@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count of rows) so the full plan
+runs; timings exclude session startup but include all shuffles/scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trello_github_etl_spark import registry
+from trello_github_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family. Update as
+# coverage widens; keep total runtime bounded.
+HEADLINE = [
+    "p1_filter_open_orders",
+    "a4_pricing_summary",
+    "j2_customer_geo_rollup",
+    "j1_order_line_rollup",
+    "j9_customers_without_orders",
+    "a1_order_markdown_checklist",
+    "o4_top10_orders",
+    "o1_top3_orders_per_segment",
+]
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once with the cheapest query.
+    registry.QUERIES["o4_top10_orders"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry.QUERIES:
+            continue
+        t0 = time.time()
+        n = registry.QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

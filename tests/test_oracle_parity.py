@@ -1,0 +1,60 @@
+"""Mirror of the driver's correctness gate at sf0.001 (fast).
+
+Each registered query's Spark result must exactly equal its DuckDB
+oracle result as an order-insensitive multiset (row count, column
+names, values — float bits included).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QS = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            if isinstance(v, (list, tuple)):
+                v = tuple(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(QS))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QS[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if name not in ORACLES:
+        # rows-only contract: must at least run and return a stable schema
+        assert scols
+        return
+    rel = duck.sql(ORACLES[name])
+    drows = rel.fetchall()
+    dcols = rel.columns
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _normalize(srows, scols) == _normalize(drows, dcols)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns
