@@ -44,4 +44,5 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from trello_github_etl_spark.queries import (  # noqa: F401
         relational,
+        scalar,
     )

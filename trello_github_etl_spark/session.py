@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Prune nested struct fields down to the parquet reader.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); read as long and
+        # convert in io.load_table (data is µs-precision, lossless).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Local-mode shuffle sizing; AQE coalesces below this cap.
         .config(
             "spark.sql.shuffle.partitions",
