@@ -1,0 +1,152 @@
+"""Hermetic tests for the rate-limited sink (mock transport), the
+streaming window variants, and the stateful migration machine."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.sources.rest_sink import (
+    RateLimited,
+    SinkConfig,
+    run_sink,
+)
+from trello_github_etl_spark.streaming.windows import (
+    stream_tumbling_counts,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _read_log(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def test_sink_serializes_throttles_and_records(spark, tmp_path):
+    log = str(tmp_path / "sink.jsonl")
+    df = spark.createDataFrame(
+        [(str(i), f"title{i}") for i in range(5)], "entity_id string, title string"
+    ).orderBy("entity_id")
+
+    def transport(payload, _log=log):
+        import json as _json
+
+        with open(_log, "a") as f:
+            f.write(_json.dumps({"kind": "send", "id": payload["entity_id"]}) + "\n")
+
+    def fake_sleep(seconds, _log=log):
+        import json as _json
+
+        with open(_log, "a") as f:
+            f.write(_json.dumps({"kind": "sleep", "s": seconds}) + "\n")
+
+    run_sink(df, transport, SinkConfig(sleep_s=3.0), sleep=fake_sleep)
+    events = _read_log(log)
+    sends = [e["id"] for e in events if e["kind"] == "send"]
+    sleeps = [e["s"] for e in events if e["kind"] == "sleep"]
+    assert sorted(sends) == [str(i) for i in range(5)]
+    assert sleeps == [3.0] * 4  # ST3: between entities, not before the first
+
+
+def test_sink_backoff_doubles_and_resets(spark, tmp_path):
+    log = str(tmp_path / "backoff.jsonl")
+    df = spark.createDataFrame(
+        [("a",), ("b",)], "entity_id string"
+    ).orderBy("entity_id")
+
+    # 'a' rate-limits twice then succeeds; 'b' succeeds → backoff reset
+    def transport(payload, _log=log):
+        import json as _json
+
+        from trello_github_etl_spark.sources.rest_sink import RateLimited as RL
+
+        with open(_log, "a") as f:
+            f.write(_json.dumps({"kind": "try", "id": payload["entity_id"]}) + "\n")
+        with open(_log) as f:
+            events = [_json.loads(line) for line in f]
+        tries = sum(
+            1 for e in events
+            if e["kind"] == "try" and e["id"] == payload["entity_id"]
+        )
+        if payload["entity_id"] == "a" and tries <= 2:
+            raise RL()
+
+    def fake_sleep(seconds, _log=log):
+        import json as _json
+
+        with open(_log, "a") as f:
+            f.write(_json.dumps({"kind": "sleep", "s": seconds}) + "\n")
+
+    run_sink(df, transport, SinkConfig(sleep_s=1.0), sleep=fake_sleep)
+    sleeps = [e["s"] for e in _read_log(log) if e["kind"] == "sleep"]
+    # ST4: 60 then 120 backoff for 'a', then the 1.0 inter-entity throttle
+    assert sleeps == [60.0, 120.0, 1.0]
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in tumbling_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_migration_state_machine(spark, tmp_path):
+    from trello_github_etl_spark.streaming.state_machine import migration_phases
+
+    src = str(tmp_path / "ops_src")
+    os.makedirs(src)
+    # batch 1: create both; batch 2: lists for card1 + replayed create for card2
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write('{"entity_id": "card1", "op": "create"}\n')
+        f.write('{"entity_id": "card2", "op": "create"}\n')
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write('{"entity_id": "card1", "op": "add_to_lists"}\n')
+        f.write('{"entity_id": "card2", "op": "create"}\n')  # replay → no-op
+
+    stream = (
+        spark.readStream.schema("entity_id string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        migration_phases(stream)
+        .writeStream.format("memory")
+        .queryName("phases_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends per-batch rows; the LAST row per entity is current
+    rows = spark.sql("SELECT * FROM phases_test").collect()
+    final = {}
+    for r in rows:
+        final[r.entity_id] = r.phase
+    assert final == {"card1": 1, "card2": 0}

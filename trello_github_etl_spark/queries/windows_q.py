@@ -1,0 +1,85 @@
+"""Windowed-aggregation queries on `events` with DuckDB oracles.
+
+Spark's `window()` is epoch-aligned, so hour/30-min buckets equal
+DuckDB `time_bucket`. Session windows oracle via gaps-and-islands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.registry import query
+from trello_github_etl_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "w1_tumbling_counts",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w1_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "w2_sliding_counts",
+    oracle="""
+    WITH cand AS (
+      SELECT
+        time_bucket(INTERVAL '30 minutes', ts)
+          - (o.off * INTERVAL '30 minutes') AS window_start
+      FROM events, (VALUES (0), (1)) AS o(off)
+    )
+    SELECT window_start, COUNT(*) AS n
+    FROM cand
+    GROUP BY window_start
+    """,
+)
+def w2_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "w3_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT
+        user_id, ts, value,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '5 minutes'
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_id
+      FROM ordered
+    )
+    SELECT
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL '5 minutes' AS session_end,
+      user_id,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def w3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window end = last event + gap, matching the oracle."""
+    return session_windows(load_table(spark, sf_dir, "events"))

@@ -43,8 +43,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from trello_github_etl_spark.queries import (  # noqa: F401
+        cdc_q,
         owners_q,
         relational,
         relational_ext,
         scalar,
+        windows_q,
     )

@@ -1,0 +1,67 @@
+"""Event-time windowing (SURVEY.md §2.7 — beyond-reference surface).
+
+The same windowed aggregations run in batch (driver-checkable against
+DuckDB gaps-and-islands SQL) and in Structured Streaming
+(`stream_tumbling_counts` adds a watermark; tested via file source +
+memory sink). One logical definition, two execution modes — the
+Spark-native streaming story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.queries.helpers import dsum
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per event_type."""
+    w = F.window("ts", width)
+    return events.groupBy(w.alias("w"), F.col("event_type")).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding window: each event lands in width/slide windows."""
+    w = F.window("ts", width, slide)
+    return events.groupBy(w.alias("w")).agg(
+        F.count("*").alias("n"),
+    ).select(F.col("w.start").alias("window_start"), "n")
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap."""
+    w = F.session_window("ts", gap)
+    return events.groupBy(w.alias("w"), F.col("user_id")).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+def stream_tumbling_counts(
+    stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming variant: watermarked tumbling counts (late data beyond
+    the watermark is dropped; state is bounded)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
