@@ -1,0 +1,95 @@
+"""Property tests for the LLM-pipeline operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.operators import dedup, multimodal, similarity
+
+
+def test_exact_dup_finds_planted_copies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The  SAME text"),
+            (2, "the same TEXT"),  # same canonical form
+            (3, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [1, 2]
+    assert groups[0].keeper_id == 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now ok yes")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_simhash_similar_docs_close_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated content xyzzy")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+def test_lsh_topk_subset_of_brute_force_bucketmates(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    targets = emb.select("vec_id", "embedding")
+    bf = {
+        (r.q_id, r.vec_id): r.cos
+        for r in similarity.brute_force_topk(qs, targets, k=50).collect()
+    }
+    approx = similarity.lsh_topk(qs, targets, k=5).collect()
+    # every LSH hit's cosine must equal the exact cosine (same fold)
+    for r in approx:
+        if (r.q_id, r.vec_id) in bf:
+            assert r.cos == bf[(r.q_id, r.vec_id)]
+    # the query vector itself shares its own bucket → rank-1 self hit
+    self_hits = {r.q_id for r in approx if r.q_id == r.vec_id and r.rank == 1}
+    assert self_hits == {r.q_id for r in qs.select("q_id").collect()}
+
+
+def test_real_codec_is_gated(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"bytes", "src")],
+        "media_id long, media_type string, payload binary, meta_source string",
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, codec="real")
+    with pytest.raises(ValueError):
+        multimodal.decode_media(media, codec="webp")
+
+
+def test_fake_codec_deterministic_batch_shape(spark):
+    media = spark.createDataFrame(
+        [(i, "video", f"payload{i}".encode(), "s") for i in range(10)],
+        "media_id long, media_type string, payload binary, meta_source string",
+    )
+    a = sorted(map(tuple, multimodal.decode_media(media).collect()))
+    b = sorted(map(tuple, multimodal.decode_media(media.repartition(4)).collect()))
+    assert a == b  # partitioning cannot change decode results
+    assert all(1 <= r[4] <= 240 for r in a)  # n_frames in range

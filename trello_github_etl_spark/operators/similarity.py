@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (BASELINE.json north star):
+brute-force cosine top-k (the correctness baseline) and a
+sign-LSH-bucketed variant (the scale path).
+
+Determinism contract: dot products fold left-to-right as doubles
+(`F.aggregate` is a strict fold), matching DuckDB `list_reduce`
+bit-for-bit — so cosine scores oracle exactly, no tolerance needed.
+
+The LSH hyperplanes are pseudo-random ±1 weights derived from md5 of
+(plane, dim) — a pure function of indices, reproducible anywhere with
+no RNG state (computed once driver-side, shipped as literals).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_PLANES = 8
+DIM = 64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Strict left-fold Σ aᵢ·bᵢ in double; deterministic order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × stream targets.
+
+    The query set broadcasts (it is the small side by construction);
+    targets stream through one narrow stage — at 100 TB this is a
+    single scan, no shuffle of the big side. Ties break on vec_id.
+    """
+    from pyspark.sql.window import Window
+
+    scored = targets.join(F.broadcast(queries)).withColumn(
+        "cos", cosine(F.col(query_vec), F.col(target_vec))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+def _plane_weights(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[int]]:
+    """±1 hyperplane weights from md5(plane|dim) parity — no RNG."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1 if int(h[-1], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, num_planes: int = NUM_PLANES, dim: int = DIM) -> Column:
+    """Sign-LSH bucket key: one bit per hyperplane (Σ ±vᵢ ≥ 0)."""
+    planes = _plane_weights(num_planes, dim)
+    bits = []
+    for p in range(num_planes):
+        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact ranking *within* the query's LSH bucket.
+
+    The bucket join is an equi-join on the 8-bit key → candidates are
+    ~1/256 of the corpus per query; recall is traded for a 256× cut
+    in scored pairs. Multi-probe (flipping bits) would raise recall.
+    """
+    from pyspark.sql.window import Window
+
+    qb = queries.withColumn("bucket", lsh_bucket(F.col(query_vec)))
+    tb = targets.withColumn("bucket", lsh_bucket(F.col(target_vec)))
+    scored = tb.join(F.broadcast(qb), "bucket").withColumn(
+        "cos", cosine(F.col(query_vec), F.col(target_vec))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "bucket", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked (same bucket only)."""
+    b = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col)))
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .withColumn(
+            "cos",
+            cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            "cos",
+        )
+    )

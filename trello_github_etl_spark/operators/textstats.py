@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): tokenization, language-ID heuristic, quality scoring,
+document fingerprinting.
+
+All-native column expressions (JVM codegen, no UDF). Numeric scores
+use a fixed operation order so DuckDB oracles reproduce the exact
+doubles. Tokenization uses a regex shared verbatim with the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word-ish tokens; shared with DuckDB regexp_extract_all.
+TOKEN_RE = r"[A-Za-z0-9']+"
+
+# Tiny English stopword list for the language heuristic.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this",
+)
+
+EN_STOPWORD_RATIO_THRESHOLD = 0.05
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased word tokens (regexp scan, no split-empties)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(toks)
+    )
+
+
+def detect_language(text: Column) -> Column:
+    """n-gram-free heuristic: English iff stopword ratio clears the bar.
+
+    (A production system chains more lists/charsets; the operator
+    shape — pure column expression over tokens — is the point.)
+    """
+    return F.when(
+        stopword_ratio(text) > EN_STOPWORD_RATIO_THRESHOLD, F.lit("en")
+    ).otherwise(F.lit("other"))
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^\w\s]", "")
+    )
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(text)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score; fixed op order for oracle parity:
+    0.4*stopword + 0.4*len_term + 0.2*(1-punct)."""
+    len_term = mean_token_length(text) / F.lit(10.0)
+    capped_len = F.when(len_term > 1.0, F.lit(1.0)).otherwise(len_term)
+    return (
+        F.lit(0.4) * stopword_ratio(text)
+        + F.lit(0.4) * capped_len
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio(text))
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Dedup canonical form: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the canonical form."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the canonical token stream.
+
+    Docs shorter than n tokens yield an empty array — the k<1 guard
+    matters because Spark's sequence(1, 0) is DESCENDING [1, 0], which
+    would feed slice() an invalid 0 start.
+    """
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def winnow_fingerprint(text: Column, n: int = 5) -> Column:
+    """Rolling-hash style fingerprint: lexicographic-min md5 over word
+    n-gram shingles (1-seed minhash); null for too-short docs."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))

@@ -1,0 +1,422 @@
+"""Driver-checkable LLM-data-pipeline queries: text analysis, dedup,
+similarity search (BASELINE.json north star).
+
+Every hash is md5-derived so the DuckDB oracles are exact replicas —
+including MinHash signatures, LSH buckets, SimHash bits, and cosine
+scores (strict left-fold double arithmetic on both engines).
+
+Dedup corpora are augmented deterministically on BOTH sides: exact
+copies (doc_id+100000) and near-copies with one appended token
+(doc_id+200000), so duplicate pairs exist to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.operators import dedup, similarity, textstats
+from trello_github_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (keep in sync with operators/textstats.py)
+# ---------------------------------------------------------------------------
+SQL_TOKENS = "regexp_extract_all(lower({t}), '[A-Za-z0-9'']+')"
+SQL_STOPLIST = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
+SQL_SHINGLES3 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({toks})-2, 0)+1),"
+    " i -> array_to_string(list_slice({toks}, i, i+2), ' ')))"
+)
+
+SQL_AUGMENTED_DOCS = """
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || ' extraword', lang FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" extraword")).alias("text"),
+        "lang",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "t1_token_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk, text FROM documents
+    )
+    SELECT
+      doc_id,
+      len(tk) AS n_tokens,
+      CASE WHEN len(tk) = 0 THEN 0.0
+           ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+      END AS mean_token_len,
+      CASE WHEN len(tk) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+      END AS stop_ratio,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+      END AS punct_ratio
+    FROM toks
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.mean_token_length(t).alias("mean_token_len"),
+        textstats.stopword_ratio(t).alias("stop_ratio"),
+        textstats.punct_ratio(t).alias("punct_ratio"),
+    )
+
+
+@query(
+    "t2_language_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+        CASE WHEN len(tk) > 0
+              AND CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+                  > {textstats.EN_STOPWORD_RATIO_THRESHOLD}
+             THEN 'en' ELSE 'other' END AS pred_lang
+      FROM toks
+    )
+    SELECT doc_id, pred_lang, (pred_lang = 'en') = (lang = 'en') AS agrees
+    FROM pred
+    """,
+)
+def t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = textstats.detect_language(F.col("text"))
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        ((pred == "en") == (F.col("lang") == "en")).alias("agrees"),
+    )
+
+
+@query(
+    "t3_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk, text FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+        END AS stop_ratio,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+        END / 10.0 AS len_term,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+        END AS punct_ratio
+      FROM toks
+    )
+    SELECT doc_id,
+      0.4 * stop_ratio
+      + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
+      + 0.2 * (1.0 - punct_ratio) AS quality
+    FROM parts
+    """,
+)
+def t3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "t4_fingerprints",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS canon,
+             regexp_extract_all(lower(text), '[A-Za-z0-9'']+') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+      md5(canon) AS fp,
+      list_min(list_transform(
+        list_distinct(list_transform(
+          range(1, greatest(len(tk)-4, 0)+1),
+          i -> array_to_string(list_slice(tk, i, i+4), ' '))),
+        s -> md5(s))) AS winnow_fp
+    FROM norm
+    """,
+)
+def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        textstats.winnow_fingerprint(F.col("text")).alias("winnow_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dd1_exact_dups",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    fps AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM docs
+    )
+    SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM fps GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def dd1_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_augmented_docs(spark, sf_dir))
+
+
+@query(
+    "dd2_minhash_signatures",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES3.format(toks='tk')} AS s FROM toks
+    )
+    SELECT doc_id,
+      [{', '.join(f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(dedup.NUM_MINHASHES))}] AS sig
+    FROM sh
+    WHERE len(s) > 0
+    """,
+)
+def dd2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dd3_minhash_lsh_pairs",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES3.format(toks='tk')} AS s FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+        [{', '.join(f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(dedup.NUM_MINHASHES))}] AS g
+      FROM sh WHERE len(s) > 0
+    ),
+    banded AS (
+      SELECT doc_id, b.band,
+             g[b.band*2 + 1] || '|' || g[b.band*2 + 2] AS band_key
+      FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_augmented_docs(spark, sf_dir))
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({SQL_TOKENS.format(t='text')})) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, TRY_CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id,
+      {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash FROM votes
+    """
+
+
+@query("dd4_simhash", oracle=_simhash_oracle())
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dd5_jaccard_pairs",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, lang, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, lang, unnest({SQL_SHINGLES3.format(toks='tk')}) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def dd5_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_augmented_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({SQL_DOT.format(a=a, b=a)}) * sqrt({SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "s1_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, t.vec_id,
+             {_sql_cosine('q.q_vec', 't.embedding')} AS cos
+      FROM embeddings t, q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.brute_force_topk(qs, emb.select("vec_id", "embedding"))
+
+
+def _sql_lsh_bucket(vec: str) -> str:
+    planes = similarity._plane_weights()
+    bits = []
+    for p in range(similarity.NUM_PLANES):
+        w = "[" + ", ".join(f"{float(x)}" for x in planes[p]) + "]::DOUBLE[]"
+        proj = (
+            f"list_reduce(list_transform(list_zip({vec}, {w}),"
+            " p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+@query(
+    "s2_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             {_sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    t AS (
+      SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, t.vec_id, q.bucket,
+             {_sql_cosine('q.q_vec', 't.embedding')} AS cos
+      FROM t JOIN q ON t.bucket = q.bucket
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, bucket, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, bucket, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def s2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.lsh_topk(qs, emb.select("vec_id", "embedding"))
+
+
+@query(
+    "s3_embedding_near_dups",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    b AS (
+      SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket FROM base
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           {_sql_cosine('x.embedding', 'y.embedding')} AS cos
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {_sql_cosine('x.embedding', 'y.embedding')} >= 0.95
+    """,
+)
+def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return similarity.embedding_near_dup_pairs(emb.unionByName(dups))

@@ -1,0 +1,96 @@
+"""Multimodal plumbing queries: binary payloads through mapInPandas.
+
+The media table is constructed from `documents` (payload = utf-8 text
+bytes, media_type cycles image/audio/video). The fake codec derives
+everything from md5(payload), which DuckDB reproduces with md5(text) —
+so even the pandas-UDF path gets a full value-level oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    resize_spec,
+)
+from trello_github_etl_spark.registry import query
+
+SQL_MEDIA = """
+    SELECT
+      doc_id AS media_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        AS media_type,
+      text,
+      md5(text) AS h
+    FROM documents
+"""
+
+SQL_FEATURES = f"""
+    WITH media AS ({SQL_MEDIA})
+    SELECT
+      media_id,
+      media_type,
+      CAST(TRY_CAST('0x' || substr(h, 1, 4) AS UBIGINT) % 1920 + 1 AS BIGINT) AS width,
+      CAST(TRY_CAST('0x' || substr(h, 5, 4) AS UBIGINT) % 1080 + 1 AS BIGINT) AS height,
+      CAST(CASE WHEN media_type = 'video'
+                THEN TRY_CAST('0x' || substr(h, 9, 4) AS UBIGINT) % 240 + 1
+                ELSE 1 END AS BIGINT) AS n_frames,
+      CAST(TRY_CAST('0x' || substr(h, 13, 8) AS UBIGINT) AS DOUBLE) / 4294967295.0 AS feat_0,
+      CAST(TRY_CAST('0x' || substr(h, 21, 8) AS UBIGINT) AS DOUBLE) / 4294967295.0 AS feat_1
+    FROM media
+"""
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mtype = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("source").alias("meta_source"),
+    )
+
+
+@query("mm1_decode_features", oracle=SQL_FEATURES)
+def mm1_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode (mapInPandas) with the deterministic codec."""
+    return decode_media(_media_table(spark, sf_dir))
+
+
+@query(
+    "mm2_resize_spec",
+    oracle=f"""
+    WITH feats AS ({SQL_FEATURES})
+    SELECT media_id, media_type, width, height,
+      CASE WHEN width >= height THEN 256
+           ELSE CAST(FLOOR(width * 256 / height) AS BIGINT) END AS target_w,
+      CASE WHEN width >= height THEN CAST(FLOOR(height * 256 / width) AS BIGINT)
+           ELSE 256 END AS target_h
+    FROM feats
+    """,
+)
+def mm2_resize_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over decoded dimensions."""
+    return resize_spec(decode_media(_media_table(spark, sf_dir)))
+
+
+@query(
+    "mm3_frame_samples",
+    oracle=f"""
+    WITH feats AS ({SQL_FEATURES})
+    SELECT media_id, unnest(range(0, n_frames, 30)) AS frame_idx
+    FROM feats WHERE media_type = 'video'
+    """,
+)
+def mm3_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-30th-frame sampling plan for video payloads."""
+    return frame_sample_plan(decode_media(_media_table(spark, sf_dir)))

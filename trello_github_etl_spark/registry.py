@@ -44,6 +44,8 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from trello_github_etl_spark.queries import (  # noqa: F401
         cdc_q,
+        llm_q,
+        multimodal_q,
         owners_q,
         relational,
         relational_ext,
