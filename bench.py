@@ -3,8 +3,10 @@
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count of rows) so the full plan
-runs; timings exclude session startup but include all shuffles/scans.
+Each query is executed to completion via a noop-format write so the
+full plan runs with every output column materialized (a bare
+``.count()`` would let Catalyst prune expensive projections); timings
+exclude session startup but include all shuffles/scans.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one representative per operator family. Update as
 # coverage widens; keep total runtime bounded.
 HEADLINE = [
+    # relational core
     "p1_filter_open_orders",
     "a4_pricing_summary",
     "j2_customer_geo_rollup",
@@ -32,6 +35,18 @@ HEADLINE = [
     "a1_order_markdown_checklist",
     "o4_top10_orders",
     "o1_top3_orders_per_segment",
+    # scalar/parse + board-domain
+    "f3_title_split",
+    "j7_owner_resolution",
+    "cdc_field_changes",
+    # windows
+    "w3_session_windows",
+    # LLM-pipeline
+    "t1_token_stats",
+    "dd3_minhash_lsh_pairs",
+    "dd5_jaccard_pairs",
+    "s1_cosine_topk",
+    "mm1_decode_features",
 ]
 
 
@@ -47,10 +62,11 @@ def main() -> None:
     for name in HEADLINE:
         if name not in registry.QUERIES:
             continue
+        df = registry.QUERIES[name](spark, SF_DIR)
         t0 = time.time()
-        n = registry.QUERIES[name](spark, SF_DIR).count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -56,20 +56,30 @@ def minhash_signatures(
 
     Hex strings compare lexicographically = numerically (fixed width),
     so the min IS a minhash over a 128-bit md5 family seeded by i.
+
+    Shape: explode shingles → one groupBy with ``num_hashes`` min
+    aggregates. Each md5 is computed exactly once per (shingle, seed),
+    and partial (map-side) aggregation means the shuffle carries one
+    partial signature per doc per map partition — never raw shingle
+    rows. The all-in-one-projection alternative
+    (``array_min(transform(shingles, md5))`` × seeds) duplicates the
+    whole tokenize→shingle subtree into every seed expression and was
+    ~100× slower end-to-end.
     """
-    sh = shingles(F.col(text_col))
-
-    # single-arg closure per seed — a two-arg lambda would make
-    # F.transform pass the array index as the second argument
-    def seeded(i: int):
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
+    sh = docs.select(
+        F.col("doc_id"), F.explode(shingles(F.col(text_col))).alias("shingle")
     )
-    return docs.select(F.col("doc_id"), sig.alias("sig")).filter(
-        ~F.exists("sig", lambda x: x.isNull())
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -79,29 +89,32 @@ def minhash_lsh_pairs(
     num_hashes: int = NUM_MINHASHES,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """Candidate near-dup pairs: equal signature rows in ≥1 LSH band."""
+    """Candidate near-dup pairs: equal signature rows in ≥1 LSH band.
+
+    The band index is prefixed into the bucket key so the self-join is
+    a single-column equi-join; both sides share the signature subtree,
+    so AQE plans a ReusedExchange for the second side instead of
+    recomputing signatures.
+    """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
             )
-        ).alias("band", "band_key"),
+            for b in range(bands)
+        ]
     )
+    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

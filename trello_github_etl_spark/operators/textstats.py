@@ -97,17 +97,22 @@ def fingerprint(text: Column) -> Column:
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the canonical token stream.
 
-    Docs shorter than n tokens yield an empty array — the k<1 guard
-    matters because Spark's sequence(1, 0) is DESCENDING [1, 0], which
-    would feed slice() an invalid 0 start.
+    Built by zipping the token array with n-1 shifted copies
+    (``arrays_zip`` pads the tail with nulls; entries whose last slot
+    is null are dropped). The obvious alternative —
+    ``transform(sequence(1, k), i -> slice(toks, i, n))`` — re-evaluates
+    the whole tokenizer expression per element (no CSE inside lambda
+    bodies), turning an O(T) shingle scan into O(T²) regex work per
+    document; the zip form evaluates ``toks`` n+1 times total.
     """
     toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+    cap = F.size(toks)
+    parts = [F.slice(toks, i + 1, cap).alias(f"g{i}") for i in range(n)]
+    full = F.filter(
+        F.arrays_zip(*parts), lambda s: s[f"g{n - 1}"].isNotNull()
+    )
+    grams = F.transform(
+        full, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)])
     )
     return F.array_distinct(grams)
 
