@@ -39,13 +39,16 @@ HEADLINE = [
     "f3_title_split",
     "j7_owner_resolution",
     "cdc_field_changes",
-    # windows
+    # windows + temporal joins
     "w3_session_windows",
+    "as1_last_view_before_click",
+    "rj1_error_followup_stats",
     # LLM-pipeline
     "t1_token_stats",
     "dd3_minhash_lsh_pairs",
     "dd5_jaccard_pairs",
     "s1_cosine_topk",
+    "s4_ivf_topk",
     "mm1_decode_features",
 ]
 

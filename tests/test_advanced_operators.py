@@ -1,0 +1,144 @@
+"""Unit tests for as-of join, banded range join, and IVF ANN."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.operators import asof, similarity
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, "u", _ts(5)), (3, "u", _ts(0))],
+        "lid long, user string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "u", _ts(4)), (101, "u", _ts(10)), (102, "u", _ts(20))],
+        "rid long, user string, rts timestamp",
+    )
+    out = {
+        r.lid: r.asof_rid
+        for r in asof.asof_join(
+            left, right, on="user", left_ts="lts", right_ts="rts",
+            right_payload=["rid"], left_tie="lid", right_tie="rid",
+        ).collect()
+    }
+    # lid=1 @10: rid 101 (@10, inclusive); lid=2 @5: rid 100 (@4);
+    # lid=3 @0: nothing precedes → null
+    assert out == {1: 101, 2: 100, 3: None}
+
+
+def test_asof_join_tie_on_right_ts_takes_max_tie(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10))], "lid long, user string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, "u", _ts(3)), (9, "u", _ts(3))],
+        "rid long, user string, rts timestamp",
+    )
+    [row] = asof.asof_join(
+        left, right, on="user", left_ts="lts", right_ts="rts",
+        right_payload=["rid"], right_tie="rid",
+    ).collect()
+    assert row.asof_rid == 9
+
+
+def test_asof_join_keys_are_isolated(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10))], "lid long, user string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, "b", _ts(1))], "rid long, user string, rts timestamp"
+    )
+    [row] = asof.asof_join(
+        left, right, on="user", left_ts="lts", right_ts="rts",
+        right_payload=["rid"],
+    ).collect()
+    assert row.asof_rid is None
+
+
+def test_banded_range_join_boundaries(spark):
+    # window = 60s: matches are strictly-after up to and including +60s
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10, 0))], "lid long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (20, "u", _ts(10, 0)),   # equal ts → excluded
+            (21, "u", _ts(10, 30)),  # in window, same bucket
+            (22, "u", _ts(11, 0)),   # exactly +60s → included, next bucket
+            (23, "u", _ts(11, 1)),   # +61s → excluded
+            (24, "v", _ts(10, 30)),  # other key → excluded
+        ],
+        "rid long, user string, ts timestamp",
+    )
+    joined = asof.banded_range_join(
+        left, right, on="user", window_us=60_000_000
+    )
+    got = sorted(
+        r.r_rid for r in joined.collect() if r.r_rid is not None
+    )
+    assert got == [21, 22]
+
+
+def test_banded_range_join_zero_match_rows_survive(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10))], "lid long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(20, "u", _ts(50))], "rid long, user string, ts timestamp"
+    )
+    agg = (
+        asof.banded_range_join(left, right, on="user", window_us=60_000_000)
+        .groupBy("lid")
+        .agg(F.count("r_rid").alias("n"))
+        .collect()
+    )
+    assert [(r.lid, r.n) for r in agg] == [(1, 0)]
+
+
+def test_ivf_assign_puts_centroid_in_own_cell(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (10, [0.9, 0.1, 0.0]),   # nearest centroid 0
+            (11, [0.1, 0.9, 0.0]),   # nearest centroid 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    cells = {
+        r.vec_id: r.cell for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    assert cells == {0: 0, 1: 1, 10: 0, 11: 1}
+
+
+def test_ivf_topk_finds_in_cell_neighbors(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (10, [0.95, 0.05]),
+            (11, [0.9, 0.1]),
+            (12, [0.05, 0.95]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    qs = spark.createDataFrame(
+        [(100, [0.93, 0.07])], "q_id long, q_vec array<float>"
+    )
+    got = similarity.ivf_topk(qs, emb, cents, k=2, nprobe=1).collect()
+    assert [r.vec_id for r in got] == [10, 11] or [r.vec_id for r in got] == [11, 10]
+    assert all(r.q_id == 100 for r in got)

@@ -121,6 +121,85 @@ def lsh_topk(
     )
 
 
+NUM_CENTROIDS = 16
+NPROBE = 2
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse cells.
+
+    ``centroids`` is (cent_id, c_vec) — tiny by construction, so it
+    broadcasts and the corpus streams through one stage. nprobe=1 uses
+    a partial-aggregating ``max_by`` (map-side combine, no per-vector
+    sort); nprobe>1 (query-side multi-probe) ranks the handful of
+    centroid scores with a window. Ties break toward the lowest
+    cent_id on both paths.
+    """
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "_ccos", cosine(F.col(vec_col), F.col("c_vec"))
+    )
+    if nprobe == 1:
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("_ccos"), (-F.col("cent_id")))
+                ).alias("cell"),
+                F.any_value(vec_col).alias(vec_col),
+            )
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_ccos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= nprobe)
+        .select(id_col, F.col("cent_id").alias("cell"), vec_col)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells,
+    probe each query's ``nprobe`` nearest cells, rank exactly within.
+
+    Scale shape: candidate set per query is the probed cells'
+    occupancy (~nprobe/|C| of the corpus), the cell join is an
+    equi-join on cell id, and the corpus-side assignment is one
+    broadcast-join + partial-agg pass.
+    """
+    from pyspark.sql.window import Window
+
+    cells = ivf_assign(targets, centroids, 1, target_vec, "vec_id")
+    probes = ivf_assign(queries, centroids, nprobe, query_vec, "q_id")
+    scored = cells.join(probes, "cell").withColumn(
+        "cos", cosine(F.col(query_vec), F.col(target_vec))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

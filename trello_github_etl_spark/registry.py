@@ -43,6 +43,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from trello_github_etl_spark.queries import (  # noqa: F401
+        advanced_q,
         cdc_q,
         llm_q,
         multimodal_q,
