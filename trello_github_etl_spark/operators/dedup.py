@@ -52,25 +52,30 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:
-    """Per-doc minhash signature: sig[i] = min(md5(i || '|' || shingle)).
-
-    Hex strings compare lexicographically = numerically (fixed width),
-    so the min IS a minhash over a 128-bit md5 family seeded by i.
+    """Per-doc minhash signature: sig[i] = min(h60(i || '|' || shingle)),
+    where h60 is the first 60 bits of md5 as a bigint — a minhash over
+    a 60-bit md5-derived family seeded by i.
 
     Shape: explode shingles → one groupBy with ``num_hashes`` min
     aggregates. Each md5 is computed exactly once per (shingle, seed),
     and partial (map-side) aggregation means the shuffle carries one
     partial signature per doc per map partition — never raw shingle
-    rows. The all-in-one-projection alternative
+    rows. Two deliberate physical-plan properties: (a) the
+    all-in-one-projection alternative
     (``array_min(transform(shingles, md5))`` × seeds) duplicates the
     whole tokenize→shingle subtree into every seed expression and was
-    ~100× slower end-to-end.
+    ~100× slower end-to-end; (b) min over BIGINT keeps the agg buffer
+    fixed-width so Spark plans a HashAggregate — min over md5 hex
+    *strings* falls back to SortAggregate (sort both sides of the
+    shuffle), which loses map-side combine efficiency at scale.
     """
     sh = docs.select(
         F.col("doc_id"), F.explode(shingles(F.col(text_col))).alias("shingle")
     )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_m{i}")
+        F.min(
+            _token_hash60(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
     return (
@@ -98,6 +103,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes)
+    # bigint sig entries render as plain decimal digits, so the
+    # "|"-separated key is collision-free (separator ∉ digits)
     band_keys = F.array(
         *[
             F.concat_ws(

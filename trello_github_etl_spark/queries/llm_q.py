@@ -29,6 +29,8 @@ SQL_SHINGLES3 = (
     "range(1, greatest(len({toks})-2, 0)+1),"
     " i -> array_to_string(list_slice({toks}, i, i+2), ' ')))"
 )
+# first 60 bits of md5 as BIGINT (operators/dedup._token_hash60 twin)
+SQL_H60 = "CAST(TRY_CAST('0x' || substr(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
 
 SQL_AUGMENTED_DOCS = """
     SELECT doc_id, text, lang FROM documents
@@ -208,7 +210,7 @@ def dd1_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {SQL_SHINGLES3.format(toks='tk')} AS s FROM toks
     )
     SELECT doc_id,
-      [{', '.join(f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(dedup.NUM_MINHASHES))}] AS sig
+      [{', '.join("list_min(list_transform(s, x -> " + SQL_H60.format(x=f"'{i}|' || x") + "))" for i in range(dedup.NUM_MINHASHES))}] AS sig
     FROM sh
     WHERE len(s) > 0
     """,
@@ -229,17 +231,18 @@ def dd2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
       SELECT doc_id,
-        [{', '.join(f"list_min(list_transform(s, x -> md5('{i}|' || x)))" for i in range(dedup.NUM_MINHASHES))}] AS g
+        [{', '.join("list_min(list_transform(s, x -> " + SQL_H60.format(x=f"'{i}|' || x") + "))" for i in range(dedup.NUM_MINHASHES))}] AS g
       FROM sh WHERE len(s) > 0
     ),
     banded AS (
       SELECT doc_id, b.band,
-             g[b.band*2 + 1] || '|' || g[b.band*2 + 2] AS band_key
+             g[b.band*2 + 1] AS k1, g[b.band*2 + 2] AS k2
       FROM sig, (VALUES (0), (1), (2), (3)) b(band)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b
-      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+     AND a.doc_id < b.doc_id
     """,
 )
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
