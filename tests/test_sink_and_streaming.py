@@ -150,3 +150,56 @@ def test_migration_state_machine(spark, tmp_path):
     for r in rows:
         final[r.entity_id] = r.phase
     assert final == {"card1": 1, "card2": 0}
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """Append-mode watermarking: an event older than watermark never
+    lands in its (already-finalized) window."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # batch A advances the watermark to 03:00 (05:00 - 2h); batch B
+    # finalizes + evicts the [01:00, 02:00) window; batch C's 01:30
+    # arrival is then behind the watermark → dropped. (A late row
+    # landing in the SAME batch that evicts its window still merges —
+    # eviction and the late filter use the same watermark.)
+    batches = [
+        '{"ts": "2024-01-01T01:10:00", "event_type": "x"}\n'
+        '{"ts": "2024-01-01T05:00:00", "event_type": "x"}\n',
+        '{"ts": "2024-01-01T05:30:00", "event_type": "x"}\n',
+        '{"ts": "2024-01-01T01:30:00", "event_type": "x"}\n'
+        '{"ts": "2024-01-01T09:00:00", "event_type": "x"}\n',
+    ]
+    now = time.time()
+    for i, content in enumerate(batches):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            f.write(content)
+        os.utime(p, (now - 600 + i * 60, now - 600 + i * 60))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream_tumbling_counts(stream, width="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.window_start.isoformat(): r.n
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # the 01:00 window finalized with ONE event; the late 01:30 arrival
+    # was discarded, not merged
+    assert rows.get("2024-01-01T01:00:00") == 1
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1
