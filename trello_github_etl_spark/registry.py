@@ -51,5 +51,6 @@ def load_all() -> None:
         relational,
         relational_ext,
         scalar,
+        skew_q,
         windows_q,
     )
