@@ -93,3 +93,15 @@ def test_fake_codec_deterministic_batch_shape(spark):
     b = sorted(map(tuple, multimodal.decode_media(media.repartition(4)).collect()))
     assert a == b  # partitioning cannot change decode results
     assert all(1 <= r[4] <= 240 for r in a)  # n_frames in range
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}

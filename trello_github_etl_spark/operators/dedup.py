@@ -208,3 +208,79 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id=min reachable node) from an undirected edge
+    list — the consolidation step that turns near-dup PAIRS into
+    dedup GROUPS (keep cluster min, drop the rest).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (near-dup clusters are small and dense, so
+    typically 2–4). Each round is one shuffle (join + min-agg); the
+    driver only checks a scalar convergence count — no data ever
+    collects. For graphs with giant components, swap in the
+    large-star/small-star algorithm (Kiveris et al.) — the round
+    structure below is the same.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # cache the symmetrized edge list: every iteration joins against
+    # it, and without the cache each round would re-run the entire
+    # upstream pair-generation pipeline (e.g. MinHash-LSH)
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    # labels keeps a distinct column name ("node") so joins against
+    # edge endpoints are never ambiguous self-joins
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .cache()
+    )
+    labels.count()
+    cached = labels  # the materialized frame backing `labels`
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"], "inner")
+            .select(F.col("u").alias("nbr_node"), "label")
+            .groupBy("nbr_node")
+            .agg(F.min("label").alias("nmin"))
+        )
+        # one join carries both the updated label and the old one, so
+        # convergence is a single aggregate over the cached frame —
+        # not a second labels⋈labels join per round
+        joined = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["nbr_node"], "left"
+            )
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = joined.filter(F.col("label") != F.col("old_label")).count()
+        cached.unpersist()
+        cached = joined
+        labels = joined.select("node", "label")
+        if changed == 0:
+            break
+    edges.unpersist()  # final labels are cached + materialized above
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidate pairs → connected duplicate clusters."""
+    return connected_components(minhash_lsh_pairs(docs, text_col))

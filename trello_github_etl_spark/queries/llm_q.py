@@ -423,3 +423,47 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return similarity.embedding_near_dup_pairs(emb.unionByName(dups))
+
+
+@query(
+    "dd6_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES3.format(toks='tk')} AS s FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+        [{', '.join("list_min(list_transform(s, x -> " + SQL_H60.format(x=f"'{i}|' || x") + "))" for i in range(dedup.NUM_MINHASHES))}] AS g
+      FROM sh WHERE len(s) > 0
+    ),
+    banded AS (
+      SELECT doc_id, b.band,
+             g[b.band*2 + 1] AS k1, g[b.band*2 + 2] AS k2
+      FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs consolidated into duplicate clusters (iterative
+    min-label propagation; oracle = recursive-CTE transitive closure)."""
+    return dedup.dup_clusters(_augmented_docs(spark, sf_dir))
