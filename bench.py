@@ -35,6 +35,7 @@ HEADLINE = [
     "a1_order_markdown_checklist",
     "o4_top10_orders",
     "o1_top3_orders_per_segment",
+    "tpch5_local_supplier_volume",
     # scalar/parse + board-domain
     "f3_title_split",
     "j7_owner_resolution",

@@ -52,5 +52,6 @@ def load_all() -> None:
         relational_ext,
         scalar,
         skew_q,
+        tpch_q,
         windows_q,
     )
