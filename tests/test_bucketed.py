@@ -1,0 +1,42 @@
+"""Bucketed co-located join: shuffle-free plan + result parity."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange_and_matches(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_orderkey", "orderkey"
+    )
+    lineitem = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    try:
+        write_bucketed(orders, "b_orders", "orderkey", 8, str(tmp_path / "o"))
+        write_bucketed(
+            lineitem, "b_lineitem", "orderkey", 8, str(tmp_path / "l")
+        )
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "orderkey")
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+
+        got = joined.count()
+        want = orders.join(lineitem, "orderkey").count()
+        assert got == want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
