@@ -52,6 +52,7 @@ def load_all() -> None:
         relational_ext,
         scalar,
         skew_q,
+        sql_q,
         tpch_q,
         windows_q,
     )
