@@ -40,3 +40,32 @@ def test_bucketed_join_has_no_exchange_and_matches(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from trello_github_etl_spark.io import write_partitioned
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(events, path, ["day"])
+
+    one_day = spark.read.parquet(path).filter(
+        F.col("day") == "2024-01-02"
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        one_day.explain()
+    plan = buf.getvalue()
+    # the day predicate must land in PartitionFilters (pruned at
+    # planning), not in PushedFilters/post-scan Filter
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    n_days = events.select("day").distinct().count()
+    assert one_day.count() == events.filter(F.col("day") == "2024-01-02").count()
+    assert n_days > 1

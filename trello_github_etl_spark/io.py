@@ -62,3 +62,12 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every table as a temp view for spark.sql() queries."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout: filters on the partition
+    columns prune directories at plan time (PartitionFilters in the
+    scan), so a day-filter over a year of data reads 1/365th of it."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
