@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.operators.textstats import (
     fingerprint,
     shingles,
@@ -69,7 +70,7 @@ def minhash_signatures(
     *strings* falls back to SortAggregate (sort both sides of the
     shuffle), which loses map-side combine efficiency at scale.
     """
-    sh = docs.select(
+    sh = ensure_parallelism(docs).select(
         F.col("doc_id"), F.explode(shingles(F.col(text_col))).alias("shingle")
     )
     mins = [
@@ -143,7 +144,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     one aggregate with `bits` sum expressions; signature reassembled
     as Σ 2^b.
     """
-    tok = docs.select(
+    tok = ensure_parallelism(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).withColumn("h", _token_hash60(F.col("tok")))
     votes = [
@@ -174,7 +175,7 @@ def jaccard_pairs(
     jaccard = common / (|A| + |B| - common). The shuffle key is the
     shingle hash — uniformly distributed, skew-safe.
     """
-    sh = docs.select(
+    sh = ensure_parallelism(docs).select(
         "doc_id",
         F.col(block_col).alias("_blk"),
         F.explode(shingles(F.col(text_col))).alias("shingle"),

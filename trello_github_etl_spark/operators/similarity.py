@@ -18,6 +18,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from trello_github_etl_spark.operators.parallel import ensure_parallelism
+
 NUM_PLANES = 8
 DIM = 64
 
@@ -51,7 +53,7 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
-    scored = targets.join(F.broadcast(queries)).withColumn(
+    scored = ensure_parallelism(targets).join(F.broadcast(queries)).withColumn(
         "cos", cosine(F.col(query_vec), F.col(target_vec))
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -107,7 +109,9 @@ def lsh_topk(
     from pyspark.sql.window import Window
 
     qb = queries.withColumn("bucket", lsh_bucket(F.col(query_vec)))
-    tb = targets.withColumn("bucket", lsh_bucket(F.col(target_vec)))
+    tb = ensure_parallelism(targets).withColumn(
+        "bucket", lsh_bucket(F.col(target_vec))
+    )
     scored = tb.join(F.broadcast(qb), "bucket").withColumn(
         "cos", cosine(F.col(query_vec), F.col(target_vec))
     )
@@ -141,7 +145,7 @@ def ivf_assign(
     centroid scores with a window. Ties break toward the lowest
     cent_id on both paths.
     """
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
+    scored = ensure_parallelism(vectors).join(F.broadcast(centroids)).withColumn(
         "_ccos", cosine(F.col(vec_col), F.col("c_vec"))
     )
     if nprobe == 1:
@@ -206,7 +210,9 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked (same bucket only)."""
-    b = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col)))
+    b = ensure_parallelism(embeddings).withColumn(
+        "bucket", lsh_bucket(F.col(vec_col))
+    )
     x = b.alias("x")
     y = b.alias("y")
     return (

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from trello_github_etl_spark.io import load_table
 from trello_github_etl_spark.operators import dedup, similarity, textstats
+from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -79,7 +80,7 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -109,7 +110,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pred = textstats.detect_language(F.col("text"))
     return docs.select(
         "doc_id",
@@ -145,7 +146,7 @@ def t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", textstats.quality_score(F.col("text")).alias("quality")
     )
@@ -171,7 +172,7 @@ def t3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textstats.fingerprint(F.col("text")).alias("fp"),

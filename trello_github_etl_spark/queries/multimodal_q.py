@@ -46,6 +46,9 @@ SQL_FEATURES = f"""
 
 
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT ensure_parallelism: fanning a small mapInPandas
+    # input across all cores pays one Python worker spin-up per
+    # partition, which dwarfs the compute at test scale (1.8s -> 11.7s)
     docs = load_table(spark, sf_dir, "documents")
     mtype = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
