@@ -203,3 +203,37 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming arm of the dedup family: dropDuplicatesWithinWatermark
+    on the content fingerprint suppresses re-deliveries while state
+    stays bounded by the watermark."""
+    from trello_github_etl_spark.operators.textstats import fingerprint
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"ts": "2024-01-01T01:00:00", "text": "hello  WORLD"}\n')
+        f.write('{"ts": "2024-01-01T01:01:00", "text": "hello world"}\n')  # dup (canon)
+        f.write('{"ts": "2024-01-01T01:02:00", "text": "fresh content"}\n')
+
+    stream = (
+        spark.readStream.schema("ts timestamp, text string")
+        .json(src)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT text FROM dedup_stream").collect()
+    texts = sorted(r.text for r in rows)
+    # one survivor per canonical form
+    assert texts == ["fresh content", "hello  WORLD"]
