@@ -468,3 +468,64 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs consolidated into duplicate clusters (iterative
     min-label propagation; oracle = recursive-CTE transitive closure)."""
     return dedup.dup_clusters(_augmented_docs(spark, sf_dir))
+
+
+@query(
+    "t5_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKENS.format(t='text')}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rnk FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def t5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per doc by rational tf-idf: tf·(N+1)/(df+1).
+
+    The rational form (exact integer numerator, one IEEE division)
+    sidesteps ln()'s last-ulp variance across libm implementations —
+    scores hash-match the oracle bit-for-bit. One token explode feeds
+    both the tf and df aggregates; df joins back on the term key.
+    """
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(textstats.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        (
+            (F.col("tf") * F.lit(n_docs + 1)).cast("double") / (F.col("df") + 1)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "score", "rnk")
+    )

@@ -7,6 +7,7 @@ DuckDB `time_bucket`. Session windows oracle via gaps-and-islands.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from trello_github_etl_spark.io import load_table
 from trello_github_etl_spark.registry import query
@@ -83,3 +84,38 @@ def w2_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window end = last event + gap, matching the oracle."""
     return session_windows(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "w4_user_event_sequences",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::DOUBLE AS running_value,
+           ROW_NUMBER() OVER w AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w4_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered sequences: lag gaps (exact µs), running
+    decimal-exact value total, and sequence numbers — one shuffle on
+    user_id shared by all three window functions."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(wr)
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
