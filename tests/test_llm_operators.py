@@ -105,3 +105,25 @@ def test_connected_components_chain_and_islands(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in similarity.brute_force_topk(qs, emb).collect()
+    }
+    single = {
+        (r.q_id, r.vec_id) for r in similarity.lsh_topk(qs, emb).collect()
+    }
+    multi = {
+        (r.q_id, r.vec_id)
+        for r in similarity.multiprobe_lsh_topk(qs, emb).collect()
+    }
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single
+    assert recall_multi > 0

@@ -232,3 +232,54 @@ def embedding_near_dup_pairs(
             "cos",
         )
     )
+
+
+def multiprobe_lsh_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Multi-probe sign-LSH: each query probes its own bucket plus the
+    ``num_planes`` single-bit-flip neighbors (the most likely buckets
+    for near neighbors that landed just across one hyperplane).
+
+    Recall rises toward brute force at ~(1+planes)/2^planes of its
+    cost; the corpus side is untouched — still one bucket per vector,
+    still an equi-join. Probing is query-side row expansion only,
+    which is the cheap side by construction.
+    """
+    from pyspark.sql.window import Window
+
+    qb = queries.withColumn("_qbucket", lsh_bucket(F.col(query_vec), num_planes))
+    # bucket strings are fixed-width bit strings; flipping bit p is a
+    # substring splice — generates the probe set as an array literal
+    flips = [F.col("_qbucket")] + [
+        F.concat(
+            F.substring(F.col("_qbucket"), 1, p),
+            F.when(
+                F.substring(F.col("_qbucket"), p + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1")),
+            F.substring(F.col("_qbucket"), p + 2, num_planes - p - 1),
+        )
+        for p in range(num_planes)
+    ]
+    probes = qb.select(
+        "q_id", query_vec, F.explode(F.array(*flips)).alias("bucket")
+    )
+    tb = ensure_parallelism(targets).withColumn(
+        "bucket", lsh_bucket(F.col(target_vec), num_planes)
+    )
+    scored = tb.join(F.broadcast(probes), "bucket").withColumn(
+        "cos", cosine(F.col(query_vec), F.col(target_vec))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )

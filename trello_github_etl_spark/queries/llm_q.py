@@ -529,3 +529,48 @@ def t5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "term", "score", "rnk")
     )
+
+
+@query(
+    "s5_multiprobe_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             {_sql_lsh_bucket('embedding')} AS b
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    probes AS (
+      SELECT q_id, q_vec,
+        CASE WHEN p.p = 0 THEN b
+             ELSE substr(b, 1, p.p - 1)
+                  || (CASE WHEN substr(b, p.p, 1) = '1' THEN '0' ELSE '1' END)
+                  || substr(b, p.p + 1)
+        END AS bucket
+      FROM q, (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)) p(p)
+    ),
+    t AS (
+      SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT p.q_id, t.vec_id,
+             {_sql_cosine('p.q_vec', 't.embedding')} AS cos
+      FROM t JOIN probes p ON t.bucket = p.bucket
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def s5_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: query probes its bucket + all 1-bit flips."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.multiprobe_lsh_topk(
+        qs, emb.select("vec_id", "embedding")
+    )
