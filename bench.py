@@ -36,6 +36,8 @@ HEADLINE = [
     "o4_top10_orders",
     "o1_top3_orders_per_segment",
     "tpch5_local_supplier_volume",
+    "skew1_salted_event_rollup",
+    "sql1_region_revenue",
     # scalar/parse + board-domain
     "f3_title_split",
     "j7_owner_resolution",
