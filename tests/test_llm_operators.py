@@ -127,3 +127,38 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     recall_multi = len(multi & truth) / len(truth)
     assert recall_multi >= recall_single
     assert recall_multi > 0
+
+
+def test_shingle_count_property(spark):
+    # k tokens → max(0, k-2) 3-gram shingles before dedup; distinct after
+    rows = [
+        (1, "a b"),                  # 2 tokens → 0 shingles
+        (2, "a b c"),                # 3 → 1
+        (3, "a b c d e"),            # 5 → 3
+        (4, "x y x y x y"),          # 6 → 4 raw, 2 distinct
+    ]
+    from trello_github_etl_spark.operators.textstats import shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(shingles(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 3, 4: 2}
+
+
+def test_minhash_signature_invariant_under_exact_duplication(spark):
+    # signatures depend only on the shingle SET → canonical-form dups
+    # (case/whitespace changes that survive tokenization) share sigs
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "ALPHA  beta   GAMMA delta epsilon"),
+            (3, "totally different text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: tuple(r.sig) for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]

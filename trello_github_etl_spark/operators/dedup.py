@@ -168,18 +168,35 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.2,
     block_col: str = "lang",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over shared-shingle candidates.
 
     Only pairs sharing ≥1 shingle (and a blocking key) are scored:
     jaccard = common / (|A| + |B| - common). The shuffle key is the
     shingle hash — uniformly distributed, skew-safe.
+
+    ``max_shingle_df`` is the scale lever for candidate inflation: a
+    shingle appearing in d docs contributes O(d²) candidate pairs, so
+    ultra-common shingles dominate join cost while carrying no dedup
+    signal. Capping document frequency drops ONLY the candidate
+    generation of those shingles; the jaccard numerator/denominator
+    then count capped shingles too (semantics = jaccard over the
+    df-filtered shingle sets, which the oracle replicates exactly).
     """
     sh = ensure_parallelism(docs).select(
         "doc_id",
         F.col(block_col).alias("_blk"),
         F.explode(shingles(F.col(text_col))).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")

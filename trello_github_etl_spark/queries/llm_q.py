@@ -574,3 +574,43 @@ def s5_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.multiprobe_lsh_topk(
         qs, emb.select("vec_id", "embedding")
     )
+
+
+@query(
+    "dd7_jaccard_df_capped",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, lang, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    sh_all AS (
+      SELECT doc_id, lang, unnest({SQL_SHINGLES3.format(toks='tk')}) AS shingle
+      FROM toks
+    ),
+    rare AS (
+      SELECT shingle FROM sh_all
+      GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    sh AS (
+      SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def dd7_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard dedup with the document-frequency cap engaged (the
+    candidate-inflation mitigation for web-scale corpora); the oracle
+    replicates the cap exactly, so results stay value-checked."""
+    return dedup.jaccard_pairs(_augmented_docs(spark, sf_dir), max_shingle_df=10)
