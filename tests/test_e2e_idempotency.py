@@ -104,3 +104,34 @@ def test_full_cycle_is_idempotent_and_drift_aware(spark, tmp_path):
         "Considering",
         "Done",
     )
+
+
+def test_scd2_apply_semantics(spark):
+    from trello_github_etl_spark.plans.upserts import apply_scd2
+    import datetime as dt
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    history = spark.createDataFrame(
+        [
+            ("a", "v1", t0, None),   # will change → close + reopen
+            ("b", "v1", t0, None),   # no-op change → untouched
+            ("c", "v0", t0, t0),     # already closed → passes through
+        ],
+        "entity_id string, value string, valid_from timestamp_ntz,"
+        " valid_to timestamp_ntz",
+    )
+    changes = spark.createDataFrame(
+        [("a", "v2", t1), ("b", "v1", t1), ("d", "v9", t1)],
+        "entity_id string, value string, ts timestamp_ntz",
+    )
+    rows = {
+        (r.entity_id, r.value, r.valid_from, r.valid_to)
+        for r in apply_scd2(history, changes).collect()
+    }
+    assert rows == {
+        ("a", "v1", t0, t1),    # closed at change ts
+        ("a", "v2", t1, None),  # new current version
+        ("b", "v1", t0, None),  # no-op untouched
+        ("c", "v0", t0, t0),    # closed history preserved
+        ("d", "v9", t1, None),  # brand-new entity
+    }

@@ -138,3 +138,62 @@ def advance_migration(state: DataFrame, entities: DataFrame, key: str = "entity_
         )
         .drop("_mk")
     )
+
+
+def apply_scd2(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str = "entity_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 apply: versioned history
+    instead of overwrite (the audit-grade variant of merge_state).
+
+    ``history``: (key, value, valid_from, valid_to) with valid_to
+    null marking the current row. ``changes``: (key, value, ts), at
+    most one row per key. A change whose value differs from the
+    current row (or that has no current row) closes the current row
+    at ts and opens a new one; no-op changes pass through untouched.
+
+    All joins are equi-joins on the entity key — the same uniform
+    shuffle as plan_upserts; at scale this is the Delta MERGE WHEN
+    MATCHED THEN UPDATE + INSERT pattern with full lineage retained.
+    """
+    open_rows = history.filter(F.col("valid_to").isNull())
+    closed_rows = history.filter(F.col("valid_to").isNotNull())
+
+    ch = changes.select(
+        F.col(key).alias("_ck"),
+        F.col(value_col).alias("_cv"),
+        F.col(ts_col).alias("_cts"),
+    )
+    cur = open_rows.select(
+        F.col(key).alias("_ok"), F.col(value_col).alias("_ov")
+    )
+    effective = ch.join(cur, ch._ck == cur._ok, "left").filter(
+        F.col("_ov").isNull() | (F.col("_cv") != F.col("_ov"))
+    ).select("_ck", "_cv", "_cts")
+
+    closing = open_rows.join(
+        effective, open_rows[key] == effective._ck, "inner"
+    ).select(
+        open_rows[key],
+        open_rows[value_col],
+        open_rows["valid_from"],
+        F.col("_cts").alias("valid_to"),
+    )
+    untouched_open = open_rows.join(
+        effective, open_rows[key] == effective._ck, "left_anti"
+    )
+    new_open = effective.select(
+        F.col("_ck").alias(key),
+        F.col("_cv").alias(value_col),
+        F.col("_cts").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    return (
+        closed_rows.unionByName(untouched_open)
+        .unionByName(closing)
+        .unionByName(new_open)
+    )

@@ -141,3 +141,73 @@ def cdc_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("title"),
     )
     return merge_state(state, applied)
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH history AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS entity_id,
+             o_orderstatus AS value,
+             o_orderdate AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    changes AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS entity_id,
+             'X' AS value,
+             o_orderdate + INTERVAL 30 DAY AS ts
+      FROM orders WHERE o_orderkey % 194 = 0
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), o_orderpriority,
+             o_orderdate + INTERVAL 30 DAY
+      FROM orders WHERE o_orderkey % 9700 = 50
+    ),
+    open_rows AS (SELECT * FROM history WHERE valid_to IS NULL),
+    closed_rows AS (SELECT * FROM history WHERE valid_to IS NOT NULL),
+    effective AS (
+      SELECT c.entity_id, c.value, c.ts
+      FROM changes c LEFT JOIN open_rows o ON o.entity_id = c.entity_id
+      WHERE o.value IS NULL OR c.value <> o.value
+    )
+    SELECT entity_id, value, valid_from, valid_to FROM closed_rows
+    UNION ALL
+    SELECT o.entity_id, o.value, o.valid_from, CAST(NULL AS TIMESTAMP)
+    FROM open_rows o
+    WHERE NOT EXISTS (SELECT 1 FROM effective e WHERE e.entity_id = o.entity_id)
+    UNION ALL
+    SELECT o.entity_id, o.value, o.valid_from, e.ts
+    FROM open_rows o JOIN effective e ON e.entity_id = o.entity_id
+    UNION ALL
+    SELECT entity_id, value, ts, CAST(NULL AS TIMESTAMP) FROM effective
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned history apply on a deterministic synthetic
+    history/changes pair: %194 keys flip status (close + reopen),
+    %9700+50 keys are brand-new entities, the rest pass untouched."""
+    from trello_github_etl_spark.plans.upserts import apply_scd2
+
+    orders = load_table(spark, sf_dir, "orders")
+    history = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").cast("string").alias("entity_id"),
+        F.col("o_orderstatus").alias("value"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    changes = (
+        orders.filter(F.col("o_orderkey") % 194 == 0)
+        .select(
+            F.col("o_orderkey").cast("string").alias("entity_id"),
+            F.lit("X").alias("value"),
+            F.expr("o_orderdate + INTERVAL 30 DAYS").alias("ts"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 9700 == 50).select(
+                F.col("o_orderkey").cast("string").alias("entity_id"),
+                F.col("o_orderpriority").alias("value"),
+                F.expr("o_orderdate + INTERVAL 30 DAYS").alias("ts"),
+            )
+        )
+    )
+    return apply_scd2(history, changes)

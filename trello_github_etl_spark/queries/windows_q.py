@@ -119,3 +119,38 @@ def w4_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+@query(
+    "w5_rolling_7day_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           )::DOUBLE AS revenue_7d
+    FROM orders
+    """,
+)
+def w5_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer rolling 7-day revenue, ordered
+    by exact integer microseconds so the frame bounds are engine-
+    independent (no interval/timezone arithmetic in the frame)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # parquet stores TIMESTAMP_NTZ; the session is UTC-pinned so
+        # the cast to TIMESTAMP is the identity epoch mapping
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_7d"),
+    )
