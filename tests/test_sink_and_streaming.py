@@ -237,3 +237,47 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     texts = sorted(r.text for r in rows)
     # one survivor per canonical form
     assert texts == ["fresh content", "hello  WORLD"]
+
+
+def test_stream_stream_click_attribution(spark, tmp_path):
+    """Stream-stream join with two watermarks matches the equivalent
+    batch join (inner, time-bounded, same user)."""
+    from trello_github_etl_spark.streaming.windows import (
+        stream_click_attribution,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "ss_src")
+    events.write.parquet(src)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "view"),
+        )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sc, sv = split(stream)
+    q = (
+        stream_click_attribution(sc, sv)
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql("SELECT * FROM attr_test").collect()
+    }
+
+    bc, bv = split(events)
+    want = {
+        (r.click_id, r.view_id)
+        for r in stream_click_attribution(bc, bv).collect()
+    }
+    assert got == want
+    assert len(want) > 0

@@ -65,3 +65,31 @@ def stream_tumbling_counts(
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+def stream_click_attribution(
+    clicks: DataFrame, views: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each click to same-user
+    views at most ``horizon`` before it.
+
+    Both sides carry watermarks so Spark can bound the join state:
+    view state is droppable once no future click can reach back to it
+    (the time-range predicate gives the planner the eviction bound).
+    """
+    v = views.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("click_id", "view_id", "c_user", "click_ts", "view_ts")
