@@ -473,3 +473,64 @@ def j13_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("max_price").alias("max_price"),
         )
     )
+
+
+@query(
+    "j6c_fuzzy_blocked_join",
+    oracle="""
+    WITH frags AS (
+      SELECT s_suppkey, CAST(s_suppkey % 900 + 100 AS VARCHAR) AS frag
+      FROM supplier WHERE s_suppkey % 3 = 0
+    )
+    SELECT
+      c.c_custkey,
+      f.s_suppkey AS query_key,
+      f.frag
+    FROM customer c
+    JOIN frags f ON CONTAINS(LOWER(c.c_name), LOWER(f.frag))
+    WHERE c.c_custkey % 20 = 0
+    """,
+)
+def j6c_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J6 scale path (SURVEY.md §4 custom-work item 1): substring
+    containment as a trigram-blocked EQUI-join.
+
+    frag ⊆ name implies frag's first trigram appears among name's
+    trigrams, so joining (name-trigram = frag-first-trigram) yields a
+    complete candidate set; the containment predicate then verifies.
+    Both sides hash-partition on the trigram key — no nested-loop, no
+    broadcast requirement, so it survives a member dim too large to
+    broadcast. Each (name, frag) pair surfaces via exactly one
+    blocking key (the frag's one trigram × distinct name trigrams), so
+    no dedup is needed. The oracle runs the plain containment join —
+    results must be identical to prove the blocking loses nothing.
+    """
+    frags = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(
+            "s_suppkey",
+            (F.col("s_suppkey") % 900 + 100).cast("string").alias("frag"),
+        )
+        .withColumn("_tri", F.substring(F.lower(F.col("frag")), 1, 3))
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 20 == 0
+    )
+    name_tris = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(c_name) - 2, 1)),"
+                    " i -> substring(lower(c_name), i, 3))"
+                )
+            )
+        ).alias("_tri"),
+    )
+    return (
+        name_tris.join(frags, "_tri")
+        .filter(F.instr(F.lower(F.col("c_name")), F.lower(F.col("frag"))) > 0)
+        .select("c_custkey", F.col("s_suppkey").alias("query_key"), "frag")
+    )
