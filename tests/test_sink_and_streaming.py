@@ -281,3 +281,65 @@ def test_stream_stream_click_attribution(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_upserts_idempotent_across_batches(spark, tmp_path):
+    """foreachBatch upsert loop: re-delivered entities sink nothing;
+    state versions accumulate only genuine creates."""
+    from trello_github_etl_spark.streaming.sink_stream import (
+        read_state,
+        stream_upserts,
+    )
+
+    src = str(tmp_path / "entities_src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "sent.jsonl")
+    os.makedirs(src)
+    os.makedirs(state_dir)
+
+    def write_batch(name, rows, age):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        now = time.time()
+        os.utime(p, (now - age, now - age))
+
+    ent = lambda i: {
+        "entity_id": f"c{i}", "title": f"t{i}", "state": "open",
+        "field_values": {"Status": "Pending"},
+    }
+    write_batch("b1.json", [ent(1), ent(2)], 600)
+    write_batch("b2.json", [ent(1), ent(3)], 0)  # c1 re-delivered
+
+    def transport(payload, _log=log):
+        import json as _json
+
+        with open(_log, "a") as f:
+            f.write(_json.dumps({"id": payload["entity_id"]}) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "entity_id string, title string, state string,"
+            " field_values map<string,string>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream_upserts(stream, state_dir, transport, SinkConfig(sleep_s=0.0),
+                       sleep=lambda s: None)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    sent = [json.loads(l)["id"] for l in open(log)]
+    assert sorted(sent) == ["c1", "c2", "c3"]  # c1 exactly once
+
+    final = read_state(spark, state_dir)
+    rows = {r.entity_id: r.issue_number for r in final.collect()}
+    assert set(rows) == {"c1", "c2", "c3"}
+    assert len(set(rows.values())) == 3  # dense unique issue numbers

@@ -1,0 +1,112 @@
+"""Continuous upserts: the reference's resumable batch loader
+(etl.js main) as a Structured Streaming ``foreachBatch`` pipeline.
+
+Each micro-batch runs the SAME pure CDC plan as batch mode
+(`plan_upserts`): anti-join the batch against the state table, sink
+only the creates, MERGE the acknowledged rows back, advance the
+migration phase. Re-delivered entities plan zero work (ST1/ST2
+idempotency), so at-least-once delivery composes to effectively-once
+against the idempotent sink.
+
+State versioning: each batch writes ``state_dir/v{batch_id}`` and
+flips a ``LATEST`` pointer file afterwards — a poor-man's transaction
+log (read-current / write-next / atomic pointer swap). With Delta
+available, the pointer dance collapses into ``MERGE INTO`` on one
+table; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.plans.upserts import (
+    M_CREATED,
+    STATE_SCHEMA,
+    merge_state,
+    plan_upserts,
+)
+from trello_github_etl_spark.sources.rest_sink import SinkConfig, run_sink
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current state version, or an empty frame before the first batch."""
+    pointer = os.path.join(state_dir, "LATEST")
+    if not os.path.exists(pointer):
+        return spark.createDataFrame([], STATE_SCHEMA)
+    with open(pointer) as f:
+        version = f.read().strip()
+    return spark.read.schema(STATE_SCHEMA).parquet(
+        os.path.join(state_dir, version)
+    )
+
+
+def _commit_state(state: DataFrame, state_dir: str, batch_id: int) -> None:
+    version = f"v{batch_id}"
+    state.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    tmp = os.path.join(state_dir, "LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(state_dir, "LATEST"))  # atomic flip
+
+
+def shape_created_state(creates: DataFrame, first_number: int) -> DataFrame:
+    """Acknowledged creates as STATE_SCHEMA rows; issue numbers are
+    assigned densely from ``first_number`` in entity-id order (the
+    stand-in for the sink API's returned ids)."""
+    from pyspark.sql.window import Window
+
+    return creates.select(
+        F.lit("card").alias("entity_kind"),
+        "entity_id",
+        (
+            F.row_number().over(Window.orderBy("entity_id"))
+            + F.lit(first_number - 1)
+        ).cast("long").alias("issue_number"),
+        "title",
+        F.lit("").alias("body"),
+        "state",
+        F.lit(M_CREATED).cast("long").alias("migration"),
+        "field_values",
+    )
+
+
+def stream_upserts(
+    entities: DataFrame,
+    state_dir: str,
+    transport: Callable[[dict], None],
+    cfg: SinkConfig | None = None,
+    sleep: Callable[[float], None] | None = None,
+) -> "DataStreamWriter":  # noqa: F821 - pyspark forward name
+    """writeStream.foreachBatch pipeline; caller adds checkpoint/trigger
+    options and .start()."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        state = read_state(spark, state_dir)
+        plan = plan_upserts(batch, state)
+        creates = plan.creates.cache()
+        try:
+            if creates.count() == 0:
+                return
+            run_sink(
+                creates,
+                transport,
+                cfg,
+                **({"sleep": sleep} if sleep is not None else {}),
+            )
+            next_number = (
+                state.agg(F.max("issue_number")).first()[0] or 0
+            ) + 1
+            applied = shape_created_state(creates, next_number)
+            merged = merge_state(state, applied).cache()
+            merged.count()  # materialize before writing a new version
+            _commit_state(merged, state_dir, batch_id)
+            merged.unpersist()
+        finally:
+            creates.unpersist()
+
+    return entities.writeStream.foreachBatch(process_batch)
