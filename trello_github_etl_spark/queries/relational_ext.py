@@ -534,3 +534,36 @@ def j6c_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.instr(F.lower(F.col("c_name")), F.lower(F.col("frag"))) > 0)
         .select("c_custkey", F.col("s_suppkey").alias("query_key"), "frag")
     )
+
+
+@query(
+    "a8_grouping_sets",
+    oracle="""
+    SELECT
+      COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_shipmode_stub, 'ALL') AS linestatus_or_all,
+      GROUPING(l_returnflag) * 2 + GROUPING(l_shipmode_stub) AS gid,
+      COUNT(*) AS n
+    FROM (SELECT l_returnflag, l_linestatus AS l_shipmode_stub FROM lineitem)
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_stub), ())
+    """,
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not expressible as cube/rollup): per-flag,
+    per-status, and grand totals in one pass, with grouping_id
+    disambiguating sentinel-coalesced keys from real 'ALL' values."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_linestatus").alias("l_shipmode_stub")
+    )
+    li.createOrReplaceTempView("_a8_src")
+    return spark.sql(
+        """
+        SELECT
+          COALESCE(l_returnflag, 'ALL') AS returnflag,
+          COALESCE(l_shipmode_stub, 'ALL') AS linestatus_or_all,
+          GROUPING(l_returnflag) * 2 + GROUPING(l_shipmode_stub) AS gid,
+          COUNT(*) AS n
+        FROM _a8_src
+        GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_stub), ())
+        """
+    )
