@@ -162,3 +162,27 @@ def test_minhash_signature_invariant_under_exact_duplication(spark):
     sigs = {r.doc_id: tuple(r.sig) for r in dedup.minhash_signatures(docs).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
+
+
+def test_ivf_multiprobe_recall_dominates(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in similarity.brute_force_topk(qs, emb).collect()
+    }
+    r1 = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(qs, emb, cents, nprobe=1).collect()
+    }
+    r2 = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(qs, emb, cents, nprobe=2).collect()
+    }
+    assert len(r2 & truth) >= len(r1 & truth)
+    assert len(r2 & truth) > 0
