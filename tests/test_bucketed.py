@@ -69,3 +69,26 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     n_days = events.select("day").distinct().count()
     assert one_day.count() == events.filter(F.col("day") == "2024-01-02").count()
     assert n_days > 1
+
+
+def test_events_load_survives_vanilla_session():
+    """The driver hands queries ITS OWN SparkSession, which may lack
+    session.py's defaults; load_table must self-provision the configs
+    the events TIMESTAMP(NANOS) read needs (separate process so the
+    configured test session can't mask it)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "from trello_github_etl_spark.io import load_table\n"
+        "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
+        "df = load_table(spark, '/root/testdata/sf0.001', 'events')\n"
+        "assert df.count() > 0\n"
+        "assert str(df.schema['ts'].dataType) == 'TimestampType()'\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, timeout=240
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-800:]
