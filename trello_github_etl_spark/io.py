@@ -38,19 +38,19 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    # The driver hands queries ITS OWN SparkSession, which may lack
+    # session.py's defaults; self-provision the two CORRECTNESS-
+    # relevant confs here (runtime-settable, idempotent). TZ first:
+    # queries surface raw TIMESTAMPs (as-of join) and cast NTZ↔TS
+    # (window frames, date literals) — a non-UTC host session would
+    # shift those relative to the oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
         # reader rejects outright (PARQUET_TYPE_ILLEGAL) unless
-        # nanosAsLong is on. Set it here, not only in session.py: the
-        # driver hands queries ITS OWN SparkSession, which may lack
-        # our session defaults — the conf is runtime-settable and
-        # idempotent. The data is µs-precision, so the micros
+        # nanosAsLong is on. The data is µs-precision, so the micros
         # conversion is exact (verified: epoch_ns % 1000 == 0).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # queries surface raw TIMESTAMP values (e.g. as-of join
-        # outputs); pin the session TZ so a non-UTC host session
-        # can't shift collected values relative to the oracle
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
