@@ -1,0 +1,525 @@
+"""TPC-H-shaped coverage extension (Q4/Q6/Q7/Q8/Q9/Q14/Q15/Q16/Q17/
+Q18/Q19/Q22 adapted to the testdata's column subset — no partsupp, no
+commit/receipt dates, no ship modes, so those predicates are re-keyed
+onto columns that exist).
+
+These widen the engine's exercised plan space beyond Q1/Q3/Q5/Q10:
+semi-join EXISTS (Q4), scan-only agg with pushdown-able range
+predicates (Q6), pair-of-nations theta filter on top of equi-joins
+(Q7), conditional-aggregate market share (Q8/Q14), scalar-subquery
+max/avg thresholds (Q15/Q17/Q22), distinct-agg after join (Q16),
+agg-then-join HAVING (Q18), and a disjunctive OR-of-conjuncts join
+predicate (Q19).
+
+Determinism: every money sum is an exact DECIMAL sum cast to DOUBLE on
+both engines (queries/helpers.py); ratios divide those doubles in the
+same association order; top-k sorts carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.queries.helpers import (
+    SQL_DISC_PRICE,
+    disc_price,
+    dsum,
+)
+from trello_github_etl_spark.registry import query
+
+
+@query(
+    "tpch6_revenue_change",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure scan+filter+agg — every predicate is pushdown-eligible
+    (range on shipdate, range on discount, bound on quantity), so the
+    whole query is one narrow stage with a partial/final agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(disc_price()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (adapted: EXISTS keyed on returned lines, the testdata's
+    analog of late commit dates): left-semi join then count by
+    priority — the EXISTS never widens rows, so no dedup is needed."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch7_nation_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY ns.n_name, nc.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+    """,
+)
+def tpch7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bilateral trade volume between two nations per ship-year.
+
+    The nation dim joins twice (supplier side, customer side) as two
+    independent broadcasts; the pair predicate is a residual filter on
+    top of the equi-joins, not a join condition — Catalyst keeps the
+    joins hash-based and applies the OR afterward."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch8_market_share",
+    oracle=f"""
+    WITH allnations AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             ns.n_name AS supp_nation,
+             {SQL_DISC_PRICE} AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM allnations GROUP BY o_year
+    """,
+)
+def tpch8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of PROMO-part volume sold into ASIA per
+    order-year — conditional aggregate over a 7-table join, dims all
+    broadcast, the two fact joins shuffled on their keys."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = disc_price()
+    num = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(num).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    """,
+)
+def tpch9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (adapted: profit = discounted revenue; no partsupp cost in
+    the testdata): per supplier-nation per year over name-matched
+    parts. The LIKE filter prunes the part dim before it broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "tpch14_promo_effect",
+    oracle=f"""
+    SELECT
+      100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN {SQL_DISC_PRICE} ELSE 0 END) AS DOUBLE)
+            / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: PROMO share of one month's revenue — a single broadcast
+    join and two conditional decimal sums divided as doubles."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) hitting the max quarterly revenue — the scalar
+    MAX subquery becomes a 1-row broadcast joined on equality of the
+    exact-decimal-derived double (bit-identical by construction)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 14, 23, 45, 9, 19, 3, 36)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 (adapted: supplier universe observed through lineitem — the
+    testdata has no partsupp): distinct-supplier counts per part
+    bucket. The distinct agg expands then re-aggregates; the negated
+    and IN predicates prune the broadcast part dim at scan time."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 14, 23, 45, 9, 19, 3, 36))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch17_small_qty_revenue",
+    oracle="""
+    WITH threshold AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(l_quantity)) AS qty_cap
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN threshold t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_cap
+    """,
+)
+def tpch17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: lines below 20% of their part's mean quantity — the
+    correlated AVG subquery becomes an agg-then-self-join on partkey
+    (both sides of the shuffle share the key, so AQE can co-locate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_cap")
+    )
+    return (
+        li.join(thr, li.l_partkey == thr.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: customers with bulk orders (total quantity > 200) — the
+    HAVING subquery is an agg-then-semi-join on orderkey; the outer
+    agg re-derives the quantity for the surviving orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: OR-of-conjuncts across both join sides. The equi-key
+    (partkey) stays the join condition; the disjunction is a residual
+    filter — Catalyst additionally derives a pushable brand IN-list
+    from the OR's common structure (visible as PushedFilters)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch22_idle_customers",
+    oracle="""
+    WITH threshold AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (adapted: nationkey stands in for the phone country code,
+    and "never ordered" becomes "no order since 1999" — every testdata
+    customer has some order): rich customers gone idle — a scalar-avg
+    threshold (1-row broadcast), then a left-anti join against the
+    date-pruned orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -53,6 +53,7 @@ def load_all() -> None:
         scalar,
         skew_q,
         sql_q,
+        tpch_ext_q,
         tpch_q,
         windows_q,
     )
