@@ -186,3 +186,73 @@ def test_ivf_multiprobe_recall_dominates(spark):
     }
     assert len(r2 & truth) >= len(r1 & truth)
     assert len(r2 & truth) > 0
+
+
+def test_ivf_budgeted_probe_walk_respects_budget(spark):
+    """Synthetic 2-D corpus: a dense cell and several sparse cells.
+
+    With a budget smaller than the dense cell, a query nearest the
+    dense centroid must stop after that one probe; a query nearest a
+    sparse centroid must keep probing past it. We observe probe
+    breadth through which candidates can appear in the result."""
+    import math
+
+    def vec(angle):
+        return [float(math.cos(angle)), float(math.sin(angle))]
+
+    # centroids at 0°, 60°, 120°
+    cents = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(1.05)), (2, vec(2.09))],
+        "cent_id long, c_vec array<float>",
+    )
+    # 6 corpus vectors hugging centroid 0 (dense), 1 each at 60°/120°
+    rows = [(i, vec(0.02 * i)) for i in range(6)]
+    rows += [(10, vec(1.0)), (20, vec(2.05))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # dense-side query: budget 3 < dense cell size 6 → single probe,
+    # so vec 10 (cell 1) can never be a candidate even with k=8
+    qs_dense = spark.createDataFrame(
+        [(100, vec(0.01))], "q_id long, q_vec array<float>"
+    )
+    got = similarity.ivf_topk_budgeted(
+        qs_dense, emb, cents, k=8, nprobe_max=3, candidate_budget=3
+    ).collect()
+    assert {r.vec_id for r in got} == {0, 1, 2, 3, 4, 5}
+
+    # sparse-side query: first probe (cell 1, occupancy 1) leaves the
+    # budget open → walk continues into the next-nearest cell
+    qs_sparse = spark.createDataFrame(
+        [(200, vec(1.0))], "q_id long, q_vec array<float>"
+    )
+    got2 = similarity.ivf_topk_budgeted(
+        qs_sparse, emb, cents, k=8, nprobe_max=3, candidate_budget=3
+    ).collect()
+    assert len({r.vec_id for r in got2}) > 1
+    assert 10 in {r.vec_id for r in got2}
+
+
+def test_ivf_budgeted_recall_dominates_single_probe(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in similarity.brute_force_topk(qs, emb).collect()
+    }
+    r1 = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk(qs, emb, cents, nprobe=1).collect()
+    }
+    rb = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ivf_topk_budgeted(
+            qs, emb, cents, nprobe_max=4, candidate_budget=150
+        ).collect()
+    }
+    assert len(rb & truth) >= len(r1 & truth)
+    assert len(rb & truth) > 0

@@ -204,6 +204,70 @@ def ivf_topk(
     )
 
 
+def ivf_topk_budgeted(
+    queries: DataFrame,
+    targets: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe_max: int = 4,
+    candidate_budget: int = 150,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with *adaptive* multi-probe: each query walks its cells
+    in centroid-distance order and stops once the probed cells'
+    combined occupancy reaches ``candidate_budget`` (always probing at
+    least one cell, never more than ``nprobe_max``).
+
+    This is the scale-path refinement over fixed ``nprobe``: dense
+    regions stop after one or two cells, sparse regions keep probing —
+    the per-query scored-candidate count is bounded by
+    budget + max-cell-size instead of varying with cell skew. Cell
+    occupancies come from one extra tiny aggregate over the already-
+    computed assignment (reused, not a second corpus pass), and the
+    probe walk is a running sum over ≤ nprobe_max rows per query.
+    """
+    from pyspark.sql.window import Window
+
+    cells = ivf_assign(targets, centroids, 1, target_vec, "vec_id")
+    occupancy = cells.groupBy("cell").agg(F.count("*").alias("_occ"))
+
+    scored_cents = queries.join(F.broadcast(centroids)).withColumn(
+        "_ccos", cosine(F.col(query_vec), F.col("c_vec"))
+    )
+    wrank = Window.partitionBy("q_id").orderBy(
+        F.col("_ccos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        scored_cents.withColumn("_crank", F.row_number().over(wrank))
+        .filter(F.col("_crank") <= nprobe_max)
+        .select("q_id", query_vec, F.col("cent_id").alias("cell"), "_crank")
+        .join(F.broadcast(occupancy), "cell", "left")
+        .withColumn("_occ", F.coalesce("_occ", F.lit(0)))
+    )
+    wcum = (
+        Window.partitionBy("q_id")
+        .orderBy("_crank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # keep a probe iff the cells *before* it haven't filled the budget
+    # (first probe always survives: prior sum is 0)
+    probes = probes.withColumn(
+        "_cum_before", F.sum("_occ").over(wcum) - F.col("_occ")
+    ).filter(F.col("_cum_before") < candidate_budget)
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cells.join(probes.select("q_id", query_vec, "cell"), "cell")
+        .withColumn("cos", cosine(F.col(query_vec), F.col(target_vec)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

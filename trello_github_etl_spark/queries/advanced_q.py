@@ -165,6 +165,79 @@ def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(qs, emb, cents)
 
 
+IVF_NPROBE_MAX = 4
+IVF_BUDGET = 150
+
+
+def _ivf_budgeted_oracle() -> str:
+    k = similarity.NUM_CENTROIDS
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
+      WHERE vec_id < {k}
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {_sql_cosine('t.embedding', 'c.c_vec')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM embeddings t, cents c
+      ) WHERE rn = 1
+    ),
+    occ AS (SELECT cell, COUNT(*) AS occ FROM cells GROUP BY cell),
+    probes0 AS (
+      SELECT q_id, q_vec, cent_id AS cell, crank FROM (
+        SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine('q.embedding', 'c.c_vec')} DESC,
+                          c.cent_id ASC) AS crank
+        FROM embeddings q, cents c WHERE q.vec_id % 100 = 0
+      ) WHERE crank <= {IVF_NPROBE_MAX}
+    ),
+    probes AS (
+      SELECT q_id, q_vec, cell FROM (
+        SELECT p.*,
+               SUM(COALESCE(o.occ, 0)) OVER (
+                 PARTITION BY p.q_id ORDER BY p.crank
+                 ROWS UNBOUNDED PRECEDING) - COALESCE(o.occ, 0) AS cum_before
+        FROM probes0 p LEFT JOIN occ o USING (cell)
+      ) WHERE cum_before < {IVF_BUDGET}
+    ),
+    scored AS (
+      SELECT p.q_id, t.vec_id,
+             {_sql_cosine('p.q_vec', 't.embedding')} AS cos
+      FROM cells t JOIN probes p ON t.cell = p.cell
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("s6_ivf_budgeted_topk", oracle=_ivf_budgeted_oracle())
+def s6_ivf_budgeted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via budget-adaptive IVF multi-probe: cells probed in
+    centroid-distance order until their combined occupancy reaches the
+    candidate budget (max 4 probes) — dense regions probe few cells,
+    sparse regions probe more, bounding scored candidates per query."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk_budgeted(
+        qs, emb, cents, nprobe_max=IVF_NPROBE_MAX, candidate_budget=IVF_BUDGET
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact element percentiles (no interpolation → FP-exact on both sides)
 # ---------------------------------------------------------------------------
