@@ -38,6 +38,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with both norms precomputed as columns.
+
+    Bit-identical to ``cosine`` (same dot / (na * nb) association) but
+    each row's norm is evaluated once per SIDE instead of once per
+    scored PAIR — at q queries × n targets that turns 2·q·n norm
+    folds into q + n. The engine-side win Catalyst can't find itself:
+    lambda-heavy array folds are opaque to CSE across join inputs
+    (cf. SCALE.md's lambda-body CSE lesson).
+    """
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     queries: DataFrame,
     targets: DataFrame,
@@ -53,8 +66,13 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
-    scored = ensure_parallelism(targets).join(F.broadcast(queries)).withColumn(
-        "cos", cosine(F.col(query_vec), F.col(target_vec))
+    qn = queries.withColumn("_qn", norm(F.col(query_vec)))
+    tn = ensure_parallelism(targets).withColumn("_tn", norm(F.col(target_vec)))
+    scored = tn.join(F.broadcast(qn)).withColumn(
+        "cos",
+        cosine_prenormed(
+            F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -108,12 +126,17 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    qb = queries.withColumn("bucket", lsh_bucket(F.col(query_vec)))
+    qb = queries.withColumn("bucket", lsh_bucket(F.col(query_vec))).withColumn(
+        "_qn", norm(F.col(query_vec))
+    )
     tb = ensure_parallelism(targets).withColumn(
         "bucket", lsh_bucket(F.col(target_vec))
-    )
+    ).withColumn("_tn", norm(F.col(target_vec)))
     scored = tb.join(F.broadcast(qb), "bucket").withColumn(
-        "cos", cosine(F.col(query_vec), F.col(target_vec))
+        "cos",
+        cosine_prenormed(
+            F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -144,9 +167,18 @@ def ivf_assign(
     sort); nprobe>1 (query-side multi-probe) ranks the handful of
     centroid scores with a window. Ties break toward the lowest
     cent_id on both paths.
+
+    The output carries a ``_norm`` column (each vector's L2 norm,
+    computed once here) so downstream exact scoring reuses it instead
+    of re-folding the array per candidate pair.
     """
-    scored = ensure_parallelism(vectors).join(F.broadcast(centroids)).withColumn(
-        "_ccos", cosine(F.col(vec_col), F.col("c_vec"))
+    vn = ensure_parallelism(vectors).withColumn("_norm", norm(F.col(vec_col)))
+    cn = centroids.withColumn("_cn", norm(F.col("c_vec")))
+    scored = vn.join(F.broadcast(cn)).withColumn(
+        "_ccos",
+        cosine_prenormed(
+            F.col(vec_col), F.col("c_vec"), F.col("_norm"), F.col("_cn")
+        ),
     )
     if nprobe == 1:
         return (
@@ -156,6 +188,7 @@ def ivf_assign(
                     "cent_id", F.struct(F.col("_ccos"), (-F.col("cent_id")))
                 ).alias("cell"),
                 F.any_value(vec_col).alias(vec_col),
+                F.any_value("_norm").alias("_norm"),
             )
         )
     from pyspark.sql.window import Window
@@ -166,7 +199,7 @@ def ivf_assign(
     return (
         scored.withColumn("_crank", F.row_number().over(w))
         .filter(F.col("_crank") <= nprobe)
-        .select(id_col, F.col("cent_id").alias("cell"), vec_col)
+        .select(id_col, F.col("cent_id").alias("cell"), vec_col, "_norm")
     )
 
 
@@ -189,10 +222,17 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    cells = ivf_assign(targets, centroids, 1, target_vec, "vec_id")
-    probes = ivf_assign(queries, centroids, nprobe, query_vec, "q_id")
+    cells = ivf_assign(targets, centroids, 1, target_vec, "vec_id").withColumnRenamed(
+        "_norm", "_tn"
+    )
+    probes = ivf_assign(queries, centroids, nprobe, query_vec, "q_id").withColumnRenamed(
+        "_norm", "_qn"
+    )
     scored = cells.join(probes, "cell").withColumn(
-        "cos", cosine(F.col(query_vec), F.col(target_vec))
+        "cos",
+        cosine_prenormed(
+            F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -229,11 +269,21 @@ def ivf_topk_budgeted(
     """
     from pyspark.sql.window import Window
 
-    cells = ivf_assign(targets, centroids, 1, target_vec, "vec_id")
+    cells = ivf_assign(targets, centroids, 1, target_vec, "vec_id").withColumnRenamed(
+        "_norm", "_tn"
+    )
     occupancy = cells.groupBy("cell").agg(F.count("*").alias("_occ"))
 
-    scored_cents = queries.join(F.broadcast(centroids)).withColumn(
-        "_ccos", cosine(F.col(query_vec), F.col("c_vec"))
+    cn = centroids.withColumn("_cn", norm(F.col("c_vec")))
+    scored_cents = (
+        queries.withColumn("_qn", norm(F.col(query_vec)))
+        .join(F.broadcast(cn))
+        .withColumn(
+            "_ccos",
+            cosine_prenormed(
+                F.col(query_vec), F.col("c_vec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     wrank = Window.partitionBy("q_id").orderBy(
         F.col("_ccos").desc(), F.col("cent_id").asc()
@@ -241,7 +291,7 @@ def ivf_topk_budgeted(
     probes = (
         scored_cents.withColumn("_crank", F.row_number().over(wrank))
         .filter(F.col("_crank") <= nprobe_max)
-        .select("q_id", query_vec, F.col("cent_id").alias("cell"), "_crank")
+        .select("q_id", query_vec, "_qn", F.col("cent_id").alias("cell"), "_crank")
         .join(F.broadcast(occupancy), "cell", "left")
         .withColumn("_occ", F.coalesce("_occ", F.lit(0)))
     )
@@ -260,8 +310,13 @@ def ivf_topk_budgeted(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
     return (
-        cells.join(probes.select("q_id", query_vec, "cell"), "cell")
-        .withColumn("cos", cosine(F.col(query_vec), F.col(target_vec)))
+        cells.join(probes.select("q_id", query_vec, "_qn", "cell"), "cell")
+        .withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos", "rank")
@@ -276,7 +331,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup pairs, LSH-blocked (same bucket only)."""
     b = ensure_parallelism(embeddings).withColumn(
         "bucket", lsh_bucket(F.col(vec_col))
-    )
+    ).withColumn("_n", norm(F.col(vec_col)))
     x = b.alias("x")
     y = b.alias("y")
     return (
@@ -287,7 +342,12 @@ def embedding_near_dup_pairs(
         )
         .withColumn(
             "cos",
-            cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")),
+            cosine_prenormed(
+                F.col(f"x.{vec_col}"),
+                F.col(f"y.{vec_col}"),
+                F.col("x._n"),
+                F.col("y._n"),
+            ),
         )
         .filter(F.col("cos") >= threshold)
         .select(
@@ -330,14 +390,17 @@ def multiprobe_lsh_topk(
         )
         for p in range(num_planes)
     ]
-    probes = qb.select(
-        "q_id", query_vec, F.explode(F.array(*flips)).alias("bucket")
+    probes = qb.withColumn("_qn", norm(F.col(query_vec))).select(
+        "q_id", query_vec, "_qn", F.explode(F.array(*flips)).alias("bucket")
     )
     tb = ensure_parallelism(targets).withColumn(
         "bucket", lsh_bucket(F.col(target_vec), num_planes)
-    )
+    ).withColumn("_tn", norm(F.col(target_vec)))
     scored = tb.join(F.broadcast(probes), "bucket").withColumn(
-        "cos", cosine(F.col(query_vec), F.col(target_vec))
+        "cos",
+        cosine_prenormed(
+            F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
