@@ -1,0 +1,229 @@
+"""Training-data pipeline operators beyond single analyses: subword
+token accounting, deterministic train/val/test splits, weighted
+source mixing, and the end-to-end C4-style corpus cleaning chain
+(BASELINE.json north star — what a 100 TB pretraining-data job
+actually runs).
+
+Determinism: splits/sampling decide membership by md5-derived hash
+buckets of the stable doc_id (never RNG, never row order), so the same
+corpus always yields the same split on any cluster size — and the
+DuckDB oracles reproduce membership exactly. The subword tokenizer is
+a lookahead-free regex shared verbatim between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.operators import textstats
+from trello_github_etl_spark.operators.parallel import ensure_parallelism
+from trello_github_etl_spark.queries.llm_q import SQL_STOPLIST, SQL_TOKENS
+from trello_github_etl_spark.registry import query
+
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset
+# RE2 (DuckDB) and java.util.regex both support with leftmost-first
+# alternation: contraction suffixes, space-glued word pieces, short
+# digit runs (BPE-ish number chunking), punctuation runs.
+SUBWORD_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s']+"
+SQL_SUBWORD_RE = SUBWORD_RE.replace("'", "''")
+
+# doc_id → 60-bit md5 bucket, salted per use so the split hash and the
+# mix hash are independent.
+def _hash_bucket(salt: str, doc_id: Column, mod: int) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), doc_id.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % mod
+
+
+def _sql_hash_bucket(salt: str, mod: int) -> str:
+    return (
+        "CAST(TRY_CAST('0x' || substr(md5('" + salt + "' || "
+        "CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % " + str(mod)
+    )
+
+
+@query(
+    "t6_subword_tokens",
+    oracle=f"""
+    WITH pieces AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{SQL_SUBWORD_RE}') AS pc,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           len(pc) AS n_subwords,
+           CASE WHEN len(pc) = 0 THEN 0.0
+                ELSE CAST(n_chars AS DOUBLE) / len(pc) END AS chars_per_subword
+    FROM pieces
+    """,
+)
+def t6_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting: subword piece counts per document via
+    a GPT-2-style pre-tokenizer regex — the budget-estimation pass a
+    pretraining pipeline runs before any real tokenizer, kept
+    JVM-side (one regexp scan, no UDF)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    pc = F.regexp_extract_all(F.lower(F.col("text")), F.lit(SUBWORD_RE), 0)
+    n = F.size(pc)
+    return docs.select(
+        "doc_id",
+        n.alias("n_subwords"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.length("text").cast("double") / n)
+        .alias("chars_per_subword"),
+    )
+
+
+@query(
+    "samp1_stratified_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_sql_hash_bucket('split|', 100)} < 80 THEN 'train'
+                  WHEN {_sql_hash_bucket('split|', 100)} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(n_chars) AS mean_chars
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def samp1_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by hash bucket of
+    the stable doc_id — reshuffle-proof and cluster-size-independent
+    (the property RNG sampling lacks), reported per language."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    b = _hash_bucket("split|", F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count("n_chars")
+            ).alias("mean_chars"),
+        )
+    )
+
+
+@query(
+    "samp2_weighted_mix",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             250 * ((CAST(substr(source, 4) AS INT) % 4) + 1) AS rate_pm
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN {_sql_hash_bucket('mix|', 1000)} < rate_pm
+                      THEN 1 END) AS n_kept,
+           MAX(rate_pm) AS rate_pm
+    FROM rated GROUP BY source
+    """,
+)
+def samp2_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source keeps a per-source share
+    (25/50/75/100% here, derived from the source id) decided by an
+    independent hash of doc_id — how pretraining mixes re-weight web
+    vs curated corpora. Membership is a per-row predicate: no
+    shuffle, no RNG, repeatable across runs and partitionings."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    rate_pm = 250 * (
+        (F.substring("source", 4, 10).cast("int") % 4) + 1
+    )
+    keep = _hash_bucket("mix|", F.col("doc_id"), 1000) < F.col("rate_pm")
+    return (
+        docs.withColumn("rate_pm", rate_pm)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.max("rate_pm").alias("rate_pm"),
+        )
+    )
+
+
+@query(
+    "pipe1_clean_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             {SQL_TOKENS.format(t='text')} AS tk,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, fp,
+        len(tk) AS n_tokens,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+        END AS stop_ratio,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+        END / 10.0 AS len_term,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+        END AS punct_ratio
+      FROM toks
+    ),
+    quality AS (
+      SELECT doc_id, fp, n_tokens, stop_ratio,
+        0.4 * stop_ratio
+        + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
+        + 0.2 * (1.0 - punct_ratio) AS quality,
+        MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM quality
+    WHERE stop_ratio > {textstats.EN_STOPWORD_RATIO_THRESHOLD}
+      AND quality >= 0.4
+      AND n_tokens BETWEEN 10 AND 500
+      AND doc_id = keeper_id
+    """,
+)
+def pipe1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning chain as ONE declarative plan: language
+    gate (heuristic en), quality threshold, token-length band, and
+    exact-dup removal (keep the min-id doc per fingerprint). Catalyst
+    fuses the scalar gates into the scan stage; only the dedup window
+    shuffles (on the uniformly-distributed fingerprint), so at 100 TB
+    the chain is one narrow pass + one skew-free exchange."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        textstats.fingerprint(t).alias("fp"),
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.stopword_ratio(t).alias("stop_ratio"),
+        textstats.quality_score(t).alias("quality"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        scored.withColumn("keeper_id", keeper)
+        .filter(
+            (F.col("stop_ratio") > textstats.EN_STOPWORD_RATIO_THRESHOLD)
+            & (F.col("quality") >= 0.4)
+            & F.col("n_tokens").between(10, 500)
+            & (F.col("doc_id") == F.col("keeper_id"))
+        )
+        .select("doc_id", "n_tokens", "quality")
+    )

@@ -48,6 +48,7 @@ def load_all() -> None:
         llm_q,
         multimodal_q,
         owners_q,
+        pipeline_q,
         relational,
         relational_ext,
         scalar,
