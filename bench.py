@@ -36,6 +36,8 @@ HEADLINE = [
     "o4_top10_orders",
     "o1_top3_orders_per_segment",
     "tpch5_local_supplier_volume",
+    "tpch6_revenue_change",
+    "tpch18_large_orders",
     "skew1_salted_event_rollup",
     "sql1_region_revenue",
     # scalar/parse + board-domain
@@ -48,6 +50,7 @@ HEADLINE = [
     "rj1_error_followup_stats",
     # LLM-pipeline
     "t1_token_stats",
+    "pipe1_clean_corpus",
     # dd6_dup_clusters (iterative components) is oracle-verified but
     # excluded here: at test scale its runtime is ~90% fixed per-round
     # job-scheduling overhead, not data work.

@@ -256,3 +256,31 @@ def test_ivf_budgeted_recall_dominates_single_probe(spark):
     }
     assert len(rb & truth) >= len(r1 & truth)
     assert len(rb & truth) > 0
+
+
+def test_split_assignment_invariant_under_partitioning(spark):
+    """Hash-bucket splits must not depend on row order or layout: the
+    same doc gets the same split at 1 partition and at 32."""
+    from trello_github_etl_spark.queries.pipeline_q import _hash_bucket
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    split = (
+        F.when(_hash_bucket("split|", F.col("doc_id"), 100) < 80, "train")
+        .when(_hash_bucket("split|", F.col("doc_id"), 100) < 90, "val")
+        .otherwise("test")
+    )
+    one = {
+        r.doc_id: r.split
+        for r in docs.coalesce(1).withColumn("split", split).collect()
+    }
+    many = {
+        r.doc_id: r.split
+        for r in docs.repartition(32).withColumn("split", split).collect()
+    }
+    assert one == many
+    # all three splits are populated and roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(one.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
