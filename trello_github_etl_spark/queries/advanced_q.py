@@ -162,7 +162,7 @@ def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return similarity.ivf_topk(qs, emb, cents)
+    return similarity.ivf_topk(qs, emb, cents, cache_key=f"ivf16|{sf_dir}")
 
 
 IVF_NPROBE_MAX = 4
@@ -234,7 +234,12 @@ def s6_ivf_budgeted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return similarity.ivf_topk_budgeted(
-        qs, emb, cents, nprobe_max=IVF_NPROBE_MAX, candidate_budget=IVF_BUDGET
+        qs,
+        emb,
+        cents,
+        nprobe_max=IVF_NPROBE_MAX,
+        candidate_budget=IVF_BUDGET,
+        cache_key=f"ivf16|{sf_dir}",
     )
 
 
