@@ -284,3 +284,30 @@ def test_split_assignment_invariant_under_partitioning(spark):
     c = Counter(one.values())
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_decontaminate_flags_planted_leak_not_disjoint_doc(spark):
+    """A verbatim copy of a benchmark doc must be flagged at full
+    overlap; a doc sharing no vocabulary must not appear at all."""
+    from trello_github_etl_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # full leak
+            (11, "alpha beta gamma delta other words here"),  # partial
+            (12, "totally unrelated vocabulary in this doc"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.decontaminate(corpus, bench, threshold=0.5).collect()
+    }
+    assert got[10].overlap == 1.0 and got[10].n_sh == got[10].n_hit
+    assert 12 not in got
+    # partial doc: 5 shingles, 2 of them ("alpha beta gamma",
+    # "beta gamma delta") in the benchmark -> 0.4 < threshold
+    assert 11 not in got

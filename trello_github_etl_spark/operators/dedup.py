@@ -324,3 +324,49 @@ def connected_components(
 def dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """MinHash-LSH candidate pairs → connected duplicate clusters."""
     return connected_components(minhash_lsh_pairs(docs, text_col))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose shingle sets
+    overlap an eval set too much (the GPT-3/C4-style n-gram
+    decontamination step of a pretraining pipeline).
+
+    Returns (doc_id, n_sh, n_hit, overlap) for docs with
+    overlap = |shingles(doc) ∩ shingles(benchmark)| / |shingles(doc)|
+    ≥ ``threshold``; an anti-join of the corpus against this frame is
+    the cleaned corpus.
+
+    Scale shape: the benchmark side is collapsed to DISTINCT shingles
+    once (eval suites are tiny next to a 100 TB corpus, but the
+    contract does not require broadcastability — the probe is a plain
+    equi-join on the shingle, shuffle-keyed by uniformly-distributed
+    text n-grams, so Catalyst broadcasts when small and
+    sort-merges/AQE-plans when not). The corpus side is one explode →
+    join → per-doc count: no pair expansion, no window.
+    """
+    corpus_sh = ensure_parallelism(corpus).select(
+        "doc_id", F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col))).alias("shingle"))
+        .distinct()
+    )
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id")
+        .withColumn(
+            "overlap", F.col("n_hit") / F.col("n_sh").cast("double")
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_id", "n_sh", "n_hit", "overlap")
+    )

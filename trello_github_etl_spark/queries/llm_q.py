@@ -614,3 +614,119 @@ def dd7_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-inflation mitigation for web-scale corpora); the oracle
     replicates the cap exactly, so results stay value-checked."""
     return dedup.jaccard_pairs(_augmented_docs(spark, sf_dir), max_shingle_df=10)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination & PII redaction (pretraining-pipeline hygiene)
+# ---------------------------------------------------------------------------
+# Deterministic contamination fixture, identical on both sides: the
+# "benchmark" is every doc with doc_id % 97 = 0; the corpus is the
+# rest PLUS a near-verbatim copy of each benchmark doc (id+300000,
+# two appended tokens) — the planted leaks decontamination must catch.
+SQL_DECON_BENCH = "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0"
+SQL_DECON_CORPUS = f"""
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT doc_id + 300000, text || ' tail tail' FROM ({SQL_DECON_BENCH})
+"""
+
+
+@query(
+    "dd8_decontaminate",
+    oracle=f"""
+    WITH bench_docs AS ({SQL_DECON_BENCH}),
+    corpus_docs AS ({SQL_DECON_CORPUS}),
+    btoks AS (SELECT {SQL_TOKENS.format(t='text')} AS tk FROM bench_docs),
+    bench AS (
+      SELECT DISTINCT unnest({SQL_SHINGLES3.format(toks='tk')}) AS shingle
+      FROM btoks
+    ),
+    ctoks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM corpus_docs
+    ),
+    corpus AS (
+      SELECT doc_id, unnest({SQL_SHINGLES3.format(toks='tk')}) AS shingle
+      FROM ctoks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM corpus c JOIN bench b USING (shingle)
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.n_sh, h.n_hit,
+           CAST(h.n_hit AS DOUBLE) / s.n_sh AS overlap
+    FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+    WHERE CAST(h.n_hit AS DOUBLE) / s.n_sh >= 0.5
+    """,
+)
+def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the planted near-copies of the eval
+    set (and any organically-overlapping doc) are flagged by shingle
+    overlap ≥ 0.5. See operators/dedup.decontaminate for the scale
+    shape (one explode → equi-join → per-doc count; no pair blowup)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat("text", F.lit(" tail tail")).alias("text"),
+        )
+    )
+    return dedup.decontaminate(corpus, bench, threshold=0.5)
+
+
+# PII patterns shared verbatim by java.util.regex and DuckDB's RE2:
+# no lookarounds, no backrefs, char classes + bounded repeats only.
+RE_EMAIL = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z][a-z]+"
+RE_PHONE = r"\d{3}-\d{4}"
+# Deterministic PII fixture: every 11th doc gets one email + one
+# phone appended, so redaction has real matches on both engines.
+PII_TAIL = " contact alice@example.com or call 555-0142 now"
+
+
+@query(
+    "t7_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN text || '"""
+    + PII_TAIL
+    + """' ELSE text END AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(text2, '"""
+    + RE_EMAIL
+    + """')) AS n_emails,
+      len(regexp_extract_all(text2, '"""
+    + RE_PHONE
+    + """')) AS n_phones,
+      md5(regexp_replace(regexp_replace(text2, '"""
+    + RE_EMAIL
+    + """', '<EMAIL>', 'g'), '"""
+    + RE_PHONE
+    + """', '<PHONE>', 'g')) AS red_fp
+    FROM aug
+    """,
+)
+def t7_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and mask email/phone shapes. Pure
+    per-row regex work — fuses into the scan stage, zero shuffles, so
+    at 100 TB it rides along any other narrow pass for free. (Spark's
+    regexp_replace is replace-all, matching the oracle's 'g' flag.)"""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    text2 = F.when(
+        F.col("doc_id") % 11 == 0, F.concat("text", F.lit(PII_TAIL))
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(text2, F.lit(RE_EMAIL), F.lit("<EMAIL>")),
+        F.lit(RE_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text2, F.lit(RE_EMAIL)).alias("n_emails"),
+        F.regexp_count(text2, F.lit(RE_PHONE)).alias("n_phones"),
+        F.md5(red).alias("red_fp"),
+    )

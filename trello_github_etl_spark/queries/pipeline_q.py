@@ -227,3 +227,64 @@ def pipe1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "quality")
     )
+
+
+@query(
+    "pipe2_source_cap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, {SQL_TOKENS.format(t='text')} AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+        END AS stop_ratio,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+        END / 10.0 AS len_term,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+        END AS punct_ratio
+      FROM toks
+    ),
+    quality AS (
+      SELECT doc_id, source,
+        0.4 * stop_ratio
+        + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
+        + 0.2 * (1.0 - punct_ratio) AS quality
+      FROM scored
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+        ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+      FROM quality
+    )
+    SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= 20
+    """,
+)
+def pipe2_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most N docs per source, best quality
+    first — the web-crawl balance step that stops one domain from
+    dominating the mix. One window shuffle keyed by source; at 100 TB
+    with few giant domains that key skews, so the scale path is the
+    two-phase top-N (per-partition partial rank, then final rank over
+    ≤ N·parts survivors — same shape as skew_q's salted rollup); at
+    testdata cardinality the single window IS the right plan."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        textstats.quality_score(t).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "source", "quality", "rk")
+    )
