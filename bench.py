@@ -50,7 +50,10 @@ HEADLINE = [
     "rj1_error_followup_stats",
     # LLM-pipeline
     "t1_token_stats",
+    "t7_pii_redaction",
     "pipe1_clean_corpus",
+    "pipe2_source_cap",
+    "dd8_decontaminate",
     # dd6_dup_clusters (iterative components) is oracle-verified but
     # excluded here: at test scale its runtime is ~90% fixed per-round
     # job-scheduling overhead, not data work.
