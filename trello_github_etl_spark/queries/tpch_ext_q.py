@@ -1,15 +1,16 @@
-"""TPC-H-shaped coverage extension (Q4/Q6/Q7/Q8/Q9/Q14/Q15/Q16/Q17/
-Q18/Q19/Q22 adapted to the testdata's column subset — no partsupp, no
-commit/receipt dates, no ship modes, so those predicates are re-keyed
-onto columns that exist).
+"""TPC-H-shaped coverage extension (Q4/Q6/Q7/Q8/Q9/Q13/Q14/Q15/Q16/
+Q17/Q18/Q19/Q21/Q22 adapted to the testdata's column subset — no
+partsupp, no commit/receipt dates, no ship modes, so those predicates
+are re-keyed onto columns that exist).
 
 These widen the engine's exercised plan space beyond Q1/Q3/Q5/Q10:
 semi-join EXISTS (Q4), scan-only agg with pushdown-able range
 predicates (Q6), pair-of-nations theta filter on top of equi-joins
-(Q7), conditional-aggregate market share (Q8/Q14), scalar-subquery
-max/avg thresholds (Q15/Q17/Q22), distinct-agg after join (Q16),
-agg-then-join HAVING (Q18), and a disjunctive OR-of-conjuncts join
-predicate (Q19).
+(Q7), conditional-aggregate market share (Q8/Q14), outer-join
+aggregate-of-aggregate distribution (Q13), scalar-subquery max/avg
+thresholds (Q15/Q17/Q22), distinct-agg after join (Q16), agg-then-join
+HAVING (Q18), a disjunctive OR-of-conjuncts join predicate (Q19), and
+the exists/not-exists pair over one fact table (Q21).
 
 Determinism: every money sum is an exact DECIMAL sum cast to DOUBLE on
 both engines (queries/helpers.py); ratios divide those doubles in the
@@ -523,3 +524,121 @@ def tpch22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def tpch13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 plan family: outer join with a join-time (not WHERE-time)
+    filter on the nullable side, then an aggregate OF an aggregate —
+    count orders per customer including zero-order customers, then
+    the distribution of those counts. (Q13's comment LIKE predicate
+    is re-keyed to o_orderpriority; the shape — pushing the filter
+    into the join so empty customers still survive — is what matters.)
+    Two shuffles by construction: custkey, then the tiny c_count key,
+    where AQE coalesces the near-empty final exchange."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = 'NATION_7'
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def tpch21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 plan family: the exists / not-exists pair over the SAME
+    fact table — suppliers who were the sole late shipper of a
+    finalized multi-supplier order. (Late = shipped >60 days after
+    order date, standing in for the missing commit/receipt dates.)
+
+    Shape: the late-lines set is built once (lineitem⋈orders on
+    orderkey); EXISTS becomes a LEFT SEMI against raw lineitem and
+    NOT EXISTS a LEFT ANTI against the same late set — both
+    equi-keyed on l_orderkey with the supplier inequality as a join
+    residual, so all three hops shuffle on the one key and AQE can
+    chain them without re-partitioning. Supplier×nation is a
+    broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(F.broadcast(sup), late["l_suppkey"] == sup["s_suppkey"])
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    has_other = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = has_other.join(
+        l3,
+        (has_other["l_orderkey"] == l3["k3"])
+        & (has_other["l_suppkey"] != l3["s3"]),
+        "left_anti",
+    )
+    return sole_late.groupBy("s_name").agg(F.count("*").alias("numwait"))
