@@ -311,3 +311,48 @@ def test_decontaminate_flags_planted_leak_not_disjoint_doc(spark):
     # partial doc: 5 shingles, 2 of them ("alpha beta gamma",
     # "beta gamma delta") in the benchmark -> 0.4 < threshold
     assert 11 not in got
+
+
+def test_quantize_int8_bounds_and_error(spark):
+    """Codes stay in [-127, 127] and dequantization error is at most
+    half a quantization step per element; zero vectors get scale 0."""
+    from trello_github_etl_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.5, -2.0, 1.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: r for r in similarity.quantize_int8(vecs).collect()}
+    r1 = got[1]
+    assert max(abs(q) for q in r1.qvec) == 127  # max element hits full range
+    for orig, q in zip([0.5, -2.0, 1.25, 0.0], r1.qvec):
+        assert abs(q / r1.scale - orig) <= 0.5 / r1.scale
+    assert got[2].scale == 0.0 and got[2].qvec == [0, 0, 0, 0]
+
+
+def test_token_chunks_cover_stream_with_overlap(spark):
+    """Every chunk is width<=W, consecutive chunks overlap by W-S
+    tokens, and the union of chunks covers the whole token stream."""
+    from trello_github_etl_spark.queries import pipeline_q
+
+    n_tokens = 130  # -> starts 1, 41, 81, 121 -> widths 50,50,50,10
+    text = " ".join(f"tok{i}" for i in range(n_tokens))
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": [text]}))
+    df.createOrReplaceTempView("_chunkdoc")
+    # call the operator body directly on a tiny frame via the query fn
+    # path: write the frame as the documents table of a temp sf dir
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = sorted(
+            pipeline_q.pipe3_token_chunks(spark, d).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+    assert [r.n_tokens for r in rows] == [50, 50, 50, 10]
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]

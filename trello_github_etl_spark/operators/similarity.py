@@ -468,3 +468,40 @@ def multiprobe_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+def quantize_int8(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4x
+    compression step a 100 TB embedding store runs before ANN
+    serving (the coarse IVF cells stay float; the residual corpus is
+    int8 + one float scale per vector).
+
+    q[i] = round(x[i] * 127 / max|x|), stored with ``scale`` so
+    approximate dot products are q_a·q_b / (scale_a*scale_b).
+    All-zero vectors get scale=0 and an all-zero code. Pure per-row
+    array math: fuses into the scan, no shuffle, no UDF.
+
+    ``scale`` is materialized in its own projection before the
+    quantizing ``transform`` references it d times: lambda bodies get
+    no CSE (SCALE.md), and CollapseProject declines to inline a
+    non-cheap multi-referenced alias, so the O(d) max-abs fold runs
+    once per row instead of once per element.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, F.abs))
+    scaled = ensure_parallelism(vectors).select(
+        id_col,
+        x.alias("_x"),
+        F.when(max_abs > 0.0, F.lit(127.0) / max_abs)
+        .otherwise(F.lit(0.0))
+        .alias("scale"),
+    )
+    return scaled.select(
+        id_col,
+        "scale",
+        F.transform(
+            F.col("_x"), lambda v: F.round(v * F.col("scale")).cast("int")
+        ).alias("qvec"),
+    )

@@ -730,3 +730,31 @@ def t7_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(text2, F.lit(RE_PHONE)).alias("n_phones"),
         F.md5(red).alias("red_fp"),
     )
+
+
+@query(
+    "s7_int8_quantize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xe
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, xe,
+        CASE WHEN list_max(list_transform(xe, v -> abs(v))) > 0.0
+             THEN 127.0 / list_max(list_transform(xe, v -> abs(v)))
+             ELSE 0.0 END AS scale
+      FROM x
+    )
+    SELECT vec_id, scale,
+           list_transform(xe, v -> CAST(round(v * scale) AS INTEGER)) AS qvec
+    FROM s
+    """,
+)
+def s7_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding store (the 4x
+    compression pass before ANN serving at 100 TB). Round-half rules
+    agree across engines: Spark's HALF_UP and DuckDB's round() both
+    round halves away from zero."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))

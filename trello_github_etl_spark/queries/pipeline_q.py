@@ -288,3 +288,67 @@ def pipe2_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "source", "quality", "rk")
     )
+
+
+CHUNK_W = 50  # tokens per training chunk
+CHUNK_S = 40  # stride (10-token overlap carries context across cuts)
+
+
+@query(
+    "pipe3_token_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, tk,
+             unnest(range(1, greatest(len(tk), 1) + 1, {CHUNK_S})) AS st
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, (st - 1) // {CHUNK_S} AS chunk_idx,
+             list_slice(tk, st, st + {CHUNK_W - 1}) AS chunk
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM chunks
+    """,
+)
+def pipe3_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: cut each doc's token stream into
+    fixed-width, overlapping training chunks (the sequence-prep step
+    between cleaning and tokenizer/packing in a pretraining pipeline,
+    and the chunker of a RAG index build).
+
+    Narrow explode: tokens and the per-chunk slice are each
+    materialized in their own projection before multi-reference (the
+    SCALE.md no-CSE-in-lambdas rule), so per row the tokenizer runs
+    once and each chunk is sliced once. Fan-out is ceil(n/stride)
+    rows per doc — bounded, no shuffle anywhere."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk")
+    )
+    with_starts = base.select(
+        "doc_id",
+        "_tk",
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size("_tk"), F.lit(1)),
+            F.lit(CHUNK_S),
+        ).alias("_starts"),
+    )
+    exploded = with_starts.select(
+        "doc_id", "_tk", F.explode("_starts").alias("st")
+    ).select(
+        "doc_id",
+        ((F.col("st") - 1) / CHUNK_S).cast("long").alias("chunk_idx"),
+        F.slice("_tk", F.col("st"), F.lit(CHUNK_W)).alias("_chunk"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("_chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_fp"),
+    )
