@@ -356,3 +356,23 @@ def test_token_chunks_cover_stream_with_overlap(spark):
         )
     assert [r.n_tokens for r in rows] == [50, 50, 50, 10]
     assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 cosine ranking must closely agree with exact float
+    ranking: recall@5 over all queries >= 0.8 at test scale."""
+    from trello_github_etl_spark.queries.llm_q import (
+        s1_cosine_topk,
+        s8_quantized_topk,
+    )
+
+    truth = {}
+    for r in s1_cosine_topk(spark, SF_DIR).collect():
+        truth.setdefault(r.q_id, set()).add(r.vec_id)
+    got = {}
+    for r in s8_quantized_topk(spark, SF_DIR).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(got) == set(truth)
+    hits = sum(len(got[q] & truth[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    assert hits / total >= 0.8, f"recall {hits}/{total}"

@@ -505,3 +505,57 @@ def quantize_int8(
             F.col("_x"), lambda v: F.round(v * F.col("scale")).cast("int")
         ).alias("qvec"),
     )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine of the int8 codes — the serving path over a
+    quantized embedding store (quantize_int8). Per-vector scales
+    cancel inside cosine, so ranking needs only the codes: integer
+    dot products (exact, engine-independent) with one double divide
+    at the end. At 100 TB the win is 4x less memory bandwidth on the
+    corpus scan; the plan is the same broadcast-queries × stream-
+    corpus single stage as brute_force_topk.
+    """
+    from pyspark.sql.window import Window
+
+    def int_norm(code: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                code,
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x.cast("bigint") * x.cast("bigint"),
+            ).cast("double")
+        )
+
+    qq = quantize_int8(queries, query_vec, "q_id").select(
+        "q_id", F.col("qvec").alias("_qc")
+    )
+    qq = qq.select("q_id", "_qc", int_norm(F.col("_qc")).alias("_qn"))
+    tq = quantize_int8(targets, target_vec, "vec_id").select(
+        "vec_id", F.col("qvec").alias("_tc")
+    )
+    tq = tq.select("vec_id", "_tc", int_norm(F.col("_tc")).alias("_tn"))
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("_qc"), F.col("_tc"), lambda x, y: x.cast("bigint") * y
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = tq.join(F.broadcast(qq)).withColumn(
+        "qcos", idot.cast("double") / (F.col("_qn") * F.col("_tn"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("qcos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "qcos", "rank")
+    )

@@ -758,3 +758,64 @@ def s7_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree across engines: Spark's HALF_UP and DuckDB's round() both
     round halves away from zero."""
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+# int8 quantization + integer-cosine scoring, shared shape with s7.
+SQL_QUANTIZED = """
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xe
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, xe,
+        CASE WHEN list_max(list_transform(xe, v -> abs(v))) > 0.0
+             THEN 127.0 / list_max(list_transform(xe, v -> abs(v)))
+             ELSE 0.0 END AS scale
+      FROM x
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(xe, v -> CAST(round(v * scale) AS BIGINT)) AS code
+      FROM s
+    ),
+    normed AS (
+      SELECT vec_id, code,
+             sqrt(CAST(list_reduce(list_transform(code, v -> v * v),
+                                   (a, b) -> a + b) AS DOUBLE)) AS nrm
+      FROM q8
+    )
+"""
+
+
+@query(
+    "s8_quantized_topk",
+    oracle=SQL_QUANTIZED
+    + """
+    , scored AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS vec_id,
+             CAST(list_reduce(list_transform(list_zip(q.code, t.code),
+                                             p -> p[1] * p[2]),
+                              (a, b) -> a + b) AS DOUBLE)
+               / (q.nrm * t.nrm) AS qcos
+      FROM normed t, (SELECT * FROM normed WHERE vec_id % 100 = 0) q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, qcos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY qcos DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, qcos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def s8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path ANN over the int8 store: rank by cosine of the
+    codes (scales cancel), integer dot products exact on both
+    engines, one double divide at the end. Same broadcast-queries ×
+    stream-corpus stage as s1 but at 1/4 the corpus bandwidth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.quantized_topk(qs, emb.select("vec_id", "embedding"))
