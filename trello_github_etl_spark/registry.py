@@ -49,6 +49,7 @@ def load_all() -> None:
         multimodal_q,
         owners_q,
         pipeline_q,
+        profile_q,
         relational,
         relational_ext,
         scalar,
