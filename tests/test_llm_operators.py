@@ -376,3 +376,29 @@ def test_quantized_topk_recall_vs_exact(spark):
     hits = sum(len(got[q] & truth[q]) for q in truth)
     total = sum(len(truth[q]) for q in truth)
     assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
+def test_kmeans_refine_partitioning_invariant(spark):
+    """Fixed-point accumulation makes refined centroids bit-identical
+    regardless of data layout — 1 partition vs 32 must agree on every
+    double."""
+    from trello_github_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    one = {
+        r.cent_id: (r.n_members, tuple(r.c_vec))
+        for r in similarity.kmeans_refine(
+            emb.coalesce(1), cents, n_iter=2
+        ).collect()
+    }
+    many = {
+        r.cent_id: (r.n_members, tuple(r.c_vec))
+        for r in similarity.kmeans_refine(
+            emb.repartition(32), cents, n_iter=2
+        ).collect()
+    }
+    assert one == many
+    assert sum(n for n, _ in one.values()) == emb.count()

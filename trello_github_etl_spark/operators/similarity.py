@@ -559,3 +559,68 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "qcos", "rank")
     )
+
+
+KMEANS_FIX = 1e9  # fixed-point quantum for reproducible accumulation
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd iterations refining the IVF coarse quantizer, with
+    bit-reproducible distributed means: each element is floored onto
+    a 1e-9 fixed-point grid before summing, so per-dimension sums are
+    exact integers (< 2^53) and the resulting centroid is the same
+    double on ANY partitioning or cluster size — the standard fix for
+    non-associative float accumulation in distributed k-means.
+
+    Per iteration: assignment is the narrow ivf_assign pass (one scan,
+    argmax over inlined centroid literals), then one shuffle of
+    (cell, dim) keyed rows — n·d rows, uniformly spread over k·d keys
+    — rebuilds the k mean vectors. Cells that lose all members drop
+    out (k shrinks) rather than teleporting. Returns
+    (cent_id, n_members, c_vec) after ``n_iter`` rounds.
+    """
+    cents = centroids
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, cents, 1, vec_col, id_col)
+        pe = assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "_x")
+        ).select(
+            "cell",
+            "pos",
+            F.floor(F.col("_x").cast("double") * F.lit(KMEANS_FIX)).alias(
+                "_fx"
+            ),
+        )
+        sums = pe.groupBy("cell", "pos").agg(
+            F.sum("_fx").alias("_s"), F.count("*").alias("_n")
+        )
+        dims = sums.select(
+            "cell",
+            "_n",
+            F.struct(
+                "pos",
+                (
+                    (F.col("_s").cast("double") / F.lit(KMEANS_FIX))
+                    / F.col("_n")
+                ).alias("m"),
+            ).alias("_dm"),
+        )
+        cents = (
+            dims.groupBy("cell")
+            .agg(
+                F.max("_n").alias("n_members"),
+                F.transform(
+                    F.array_sort(F.collect_list("_dm")), lambda s: s["m"]
+                ).alias("c_vec"),
+            )
+            .select(
+                F.col("cell").alias("cent_id"), "n_members", "c_vec"
+            )
+        )
+    return cents

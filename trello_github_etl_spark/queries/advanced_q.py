@@ -382,3 +382,75 @@ def a7_priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means refinement of the IVF coarse quantizer (fixed-point means)
+# ---------------------------------------------------------------------------
+def _kmeans_oracle(n_iter: int = 2) -> str:
+    k = similarity.NUM_CENTROIDS
+    fix = "1000000000.0"
+    sql_dot = (
+        "list_reduce(list_transform(list_zip(t.embedding, c.c_vec),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    sql_cn = (
+        "sqrt(list_reduce(list_transform(c.c_vec,"
+        " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))"
+    )
+    ctes = [
+        f"""cents0 AS (
+      SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
+      WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""assign{i} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {sql_dot} / {sql_cn} DESC, c.cent_id ASC) AS rn
+        FROM embeddings t, cents{i - 1} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""sums{i} AS (
+      SELECT cell, pos,
+             SUM(floor(CAST(embedding[pos] AS DOUBLE) * {fix})) AS s,
+             COUNT(*) AS n
+      FROM (
+        SELECT cell, embedding,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM assign{i}
+      ) GROUP BY cell, pos
+    )"""
+        )
+        ctes.append(
+            f"""cents{i} AS (
+      SELECT cell AS cent_id, MAX(n) AS n_members,
+             list((CAST(s AS DOUBLE) / {fix}) / n ORDER BY pos) AS c_vec
+      FROM sums{i} GROUP BY cell
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT cent_id, n_members, c_vec FROM cents{n_iter}"
+    )
+
+
+@query("s9_kmeans_refine", oracle=_kmeans_oracle())
+def s9_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds refining the 16 seed centroids, with
+    bit-reproducible fixed-point mean accumulation (the operator doc
+    on similarity.kmeans_refine explains why the 1e-9 grid makes the
+    distributed sum partitioning-invariant — which is also exactly
+    what lets a DuckDB oracle check an iterative float algorithm)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    return similarity.kmeans_refine(emb, cents, n_iter=2)
