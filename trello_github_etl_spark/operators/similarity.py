@@ -203,6 +203,19 @@ def ivf_assign(
     """
     cent_rows = _collect_centroids(centroids, cache_key)
     vn = ensure_parallelism(vectors).withColumn("_norm", norm(F.col(vec_col)))
+    if not cent_rows:
+        # No centroids ⇒ no assignments. An empty literal array has
+        # VOID element type (the packed-literal expression below would
+        # fail analysis), so emit the correctly-typed empty frame.
+        out = vn.select(
+            id_col,
+            F.lit(None).cast("int").alias("cell"),
+            vec_col,
+            "_norm",
+        )
+        if nprobe > 1:
+            out = out.withColumn("_crank", F.lit(None).cast("int"))
+        return out.filter(F.lit(False))
     # The whole per-row assignment is generated as ONE SQL expression
     # string: building the equivalent tree through the Column API
     # costs one py4j socket round-trip per node — measured 2.3 s of
