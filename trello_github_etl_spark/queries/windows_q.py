@@ -154,3 +154,47 @@ def w5_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue_7d"),
     )
+
+
+@query(
+    "w6_rank_functions",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+      ROW_NUMBER() OVER w AS rn,
+      RANK() OVER w AS rnk,
+      DENSE_RANK() OVER w AS drnk,
+      NTILE(4) OVER w AS quartile,
+      PERCENT_RANK() OVER w AS prk,
+      CUME_DIST() OVER w AS cd,
+      LAG(o_orderkey, 1) OVER w AS prev_key,
+      LEAD(o_orderkey, 1) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def w6_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface over one totally-ordered
+    window (unique o_orderkey tie-break ⇒ engine-independent).
+    percent_rank/cume_dist divide exact integers, so even the doubles
+    hash-match. One window ⇒ one shuffle + one sort; all eight
+    functions evaluate in a single pass over each partition."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
