@@ -1,0 +1,64 @@
+"""Null-tolerance: text/embedding operators must treat NULL payloads
+as absent data (dropped or null-propagated), never raise. Real
+corpora at scale always carry nulls; these pin the contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+def _docs(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_text_ops_on_null_text(spark):
+    from trello_github_etl_spark.operators import dedup, textstats
+    from pyspark.sql import functions as F
+
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma delta", "en"), (2, None, "en"), (3, "", "en")],
+    )
+    stats = docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n"),
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in stats}
+    assert by_id[1].n == 4
+    # NULL text: counts/scores/fingerprints are NULL, not errors
+    assert by_id[2].n is None and by_id[2].q is None and by_id[2].fp is None
+    assert by_id[3].n == 0
+    # dedup paths: null/empty docs simply produce no shingles/pairs
+    assert dedup.jaccard_pairs(docs).count() == 0
+    assert dedup.minhash_lsh_pairs(docs).count() == 0
+    assert dedup.exact_duplicates(docs).count() == 0
+
+
+def test_vector_ops_on_null_embedding(spark):
+    from trello_github_etl_spark.operators import similarity
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])], schema
+    )
+    got = {r.vec_id: r for r in similarity.quantize_int8(vecs).collect()}
+    assert got[1].qvec == [127, 0]
+    # NULL vector: the scale CASE falls through to 0.0 (same branch
+    # the oracle takes) and the code null-propagates — the NULL code
+    # is what marks the row as absent downstream
+    assert got[2].scale == 0.0 and got[2].qvec is None
+    assert got[3].scale == 0.0 and got[3].qvec == [0, 0]
