@@ -387,7 +387,8 @@ def a7_priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # k-means refinement of the IVF coarse quantizer (fixed-point means)
 # ---------------------------------------------------------------------------
-def _kmeans_oracle(n_iter: int = 2) -> str:
+def _kmeans_ctes(n_iter: int = 2) -> str:
+    """CTE chain cents0..cents{n_iter} (shared by s9 and s10)."""
     k = similarity.NUM_CENTROIDS
     fix = "1000000000.0"
     sql_dot = (
@@ -435,9 +436,12 @@ def _kmeans_oracle(n_iter: int = 2) -> str:
       FROM sums{i} GROUP BY cell
     )"""
         )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _kmeans_oracle(n_iter: int = 2) -> str:
     return (
-        "WITH "
-        + ",\n    ".join(ctes)
+        _kmeans_ctes(n_iter)
         + f"\n    SELECT cent_id, n_members, c_vec FROM cents{n_iter}"
     )
 
@@ -454,3 +458,65 @@ def s9_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
     return similarity.kmeans_refine(emb, cents, n_iter=2)
+
+
+def _trained_ivf_oracle() -> str:
+    return (
+        _kmeans_ctes(2)
+        + f""",
+    tcents AS (SELECT cent_id, c_vec FROM cents2),
+    cells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {_sql_cosine('t.embedding', 'c.c_vec')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM embeddings t, tcents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, q_vec, cent_id AS cell FROM (
+        SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine('q.embedding', 'c.c_vec')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM embeddings q, tcents c WHERE q.vec_id % 100 = 0
+      ) WHERE rn <= {similarity.NPROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, t.vec_id,
+             {_sql_cosine('p.q_vec', 't.embedding')} AS cos
+      FROM cells t JOIN probes p ON t.cell = p.cell
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    )
+
+
+@query("s10_ivf_trained_topk", oracle=_trained_ivf_oracle())
+def s10_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN lifecycle in one declarative plan: train the
+    coarse quantizer (two fixed-point Lloyd rounds), re-index the
+    corpus against the refined centroids, probe-and-rank exactly
+    within cells. Refined cells track the data distribution, so cell
+    occupancy balances and recall per probed candidate improves vs
+    the seed quantizer of s4 — this is what an IVF build actually
+    runs before serving."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    trained = similarity.kmeans_refine(emb, seed, n_iter=2).select(
+        "cent_id", "c_vec"
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk(qs, emb, trained)
