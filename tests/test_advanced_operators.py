@@ -142,3 +142,17 @@ def test_ivf_topk_finds_in_cell_neighbors(spark):
     got = similarity.ivf_topk(qs, emb, cents, k=2, nprobe=1).collect()
     assert [r.vec_id for r in got] == [10, 11] or [r.vec_id for r in got] == [11, 10]
     assert all(r.q_id == 100 for r in got)
+
+
+def test_bloom_filter_never_drops_true_matches(spark):
+    """Bloom guarantee: every true semi-join match passes the filter
+    (zero false negatives); false positives stay rare (< 5% of the
+    non-matching rows at these parameters)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    r = entrymod.queries()["bloom1_runtime_filter"](spark, SF_DIR).collect()[0]
+    true_pass = r.n_pass - r.n_false_pass
+    assert true_pass == r.n_true
+    non_matching = r.n_orders - r.n_true
+    assert non_matching == 0 or r.n_false_pass / non_matching < 0.05

@@ -1,0 +1,103 @@
+"""Deterministic Bloom-filter runtime pruning — the sketch behind
+Spark's runtime row-group filters and dynamic semi-join pushdown,
+built here from md5-derived bit positions so the filter (and its
+false-positive count) is bit-identical on any engine.
+
+Scale shape: the BUILD is one aggregation over the dim side —
+per-key bit masks bit_or-combine map-side, so the full filter is
+W words regardless of input size. The PROBE broadcasts those W words
+(kilobytes) and tests k bits per fact row in a narrow pass — the
+fact table never shuffles. That is exactly the plan shape of a
+runtime-filtered join at 100 TB: scan-local pruning before any
+exchange, false positives resolved by the real join afterwards.
+
+Word layout: 63 usable bits per 64-bit word (the sign bit stays
+clear), so every mask is a positive BIGINT and ``1 << bit`` behaves
+identically across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.operators.dedup import _token_hash60
+
+BLOOM_K = 3  # hash functions per key
+BITS_PER_WORD = 63
+NUM_WORDS = 64
+NUM_BITS = BITS_PER_WORD * NUM_WORDS
+
+
+def _positions(key: Column) -> list[Column]:
+    """k md5-derived bit positions in [0, NUM_BITS) for a string key."""
+    return [
+        _token_hash60(F.concat(F.lit(f"{i}|"), key)) % NUM_BITS
+        for i in range(BLOOM_K)
+    ]
+
+
+def build_bloom(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word_idx, word) rows of the filter over the distinct keys."""
+    key = F.col(key_col).cast("string")
+    pos_rows = keys.select(
+        F.explode(F.array(*_positions(key))).alias("pos")
+    )
+    return (
+        pos_rows.select(
+            (F.col("pos") / BITS_PER_WORD).cast("int").alias("word_idx"),
+            # F.shiftleft only takes a literal shift; the SQL form
+            # accepts a column expression
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos % {BITS_PER_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def probe_bloom(
+    facts: DataFrame, bloom: DataFrame, key_col: str
+) -> DataFrame:
+    """facts + a ``bloom_pass`` flag: true iff all k bits are set.
+
+    Each of the k positions joins the broadcast word table on its
+    word index (a miss = word absent = bit clear); the row passes iff
+    every probe finds its bit.
+    """
+    key = F.col(key_col).cast("string")
+    out = facts
+    for i, pos in enumerate(_positions(key)):
+        w = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"_wi{i}"),
+                F.col("word").alias(f"_w{i}"),
+            )
+        )
+        out = (
+            out.withColumn(f"_p{i}", pos)
+            .join(
+                w,
+                (F.col(f"_p{i}") / BITS_PER_WORD).cast("int")
+                == F.col(f"_wi{i}"),
+                "left",
+            )
+            .withColumn(
+                f"_hit{i}",
+                F.coalesce(
+                    F.expr(
+                        f"shiftright(_w{i},"
+                        f" CAST(_p{i} % {BITS_PER_WORD} AS INT)) % 2"
+                    )
+                    == 1,
+                    F.lit(False),
+                ),
+            )
+            .drop(f"_p{i}", f"_wi{i}", f"_w{i}")
+        )
+    return out.withColumn(
+        "bloom_pass",
+        F.expr(" AND ".join(f"_hit{i}" for i in range(BLOOM_K))),
+    ).drop(*[f"_hit{i}" for i in range(BLOOM_K)])

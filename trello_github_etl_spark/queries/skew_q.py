@@ -59,3 +59,90 @@ def skew2_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast(skew.DEC)).cast("double").alias("sum_value"),
     )
+
+
+def _bloom_oracle() -> str:
+    from trello_github_etl_spark.operators import bloom as B
+
+    def h(i: int, key: str) -> str:
+        return (
+            "CAST(TRY_CAST('0x' || substr(md5('"
+            + f"{i}|' || CAST({key} AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
+            + f" % {B.NUM_BITS}"
+        )
+
+    bpw = B.BITS_PER_WORD
+    hits = " AND ".join(f"h{i}" for i in range(B.BLOOM_K))
+    hit_cols = ",\n             ".join(
+        f"COALESCE(((b{i}.word >> CAST(p.p{i} % {bpw} AS INT)) % 2) = 1,"
+        f" FALSE) AS h{i}"
+        for i in range(B.BLOOM_K)
+    )
+    joins = "\n      ".join(
+        f"LEFT JOIN bloom b{i} ON CAST(p.p{i} // {bpw} AS INT) = b{i}.word_idx"
+        for i in range(B.BLOOM_K)
+    )
+    pos_list = ", ".join(h(i, "c_custkey") for i in range(B.BLOOM_K))
+    probe_pos = ", ".join(
+        f"{h(i, 'o_custkey')} AS p{i}" for i in range(B.BLOOM_K)
+    )
+    return f"""
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (SELECT unnest([{pos_list}]) AS pos FROM keys),
+    bloom AS (
+      SELECT CAST(pos // {bpw} AS INT) AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % {bpw} AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    probed AS (
+      SELECT p.o_custkey, {hits.replace(' AND ', ' AND ').replace('h0', 'h0')}
+             AS pass_all
+      FROM (
+        SELECT o_orderkey, o_custkey, {probe_pos} FROM orders
+      ) p
+      {joins}
+      CROSS JOIN LATERAL (SELECT {hit_cols}) hc
+    )
+    SELECT COUNT(*) AS n_orders,
+           COUNT(CASE WHEN pass_all THEN 1 END) AS n_pass,
+           COUNT(CASE WHEN t.c_custkey IS NOT NULL THEN 1 END) AS n_true,
+           COUNT(CASE WHEN pass_all AND t.c_custkey IS NULL THEN 1 END)
+             AS n_false_pass
+    FROM probed LEFT JOIN keys t ON probed.o_custkey = t.c_custkey
+    """
+
+
+@query("bloom1_runtime_filter", oracle=_bloom_oracle())
+def bloom1_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom pruning measured end-to-end: build the filter
+    over BUILDING-segment customers (one bit_or aggregate), probe
+    every order in a broadcast narrow pass, and score the filter —
+    passes vs true semi-join matches vs false positives. The
+    false-positive count is itself deterministic (md5-derived bit
+    positions), which is what makes a sketch oracle-checkable."""
+    from trello_github_etl_spark.operators import bloom as B
+
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    bloom_words = B.build_bloom(keys, "c_custkey")
+    probed = B.probe_bloom(orders, bloom_words, "o_custkey")
+    truth = keys.select(F.col("c_custkey").alias("_tk"))
+    flagged = probed.join(
+        truth, probed["o_custkey"] == truth["_tk"], "left"
+    )
+    return flagged.agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_pass"),
+        F.count(F.when(F.col("_tk").isNotNull(), 1)).alias("n_true"),
+        F.count(
+            F.when(F.col("bloom_pass") & F.col("_tk").isNull(), 1)
+        ).alias("n_false_pass"),
+    )
