@@ -40,6 +40,8 @@ HEADLINE = [
     "tpch18_large_orders",
     "skew1_salted_event_rollup",
     "sql1_region_revenue",
+    "prof1_orders_stats",
+    "bloom1_runtime_filter",
     # scalar/parse + board-domain
     "f3_title_split",
     "j7_owner_resolution",
