@@ -63,41 +63,38 @@ def probe_bloom(
 ) -> DataFrame:
     """facts + a ``bloom_pass`` flag: true iff all k bits are set.
 
-    Each of the k positions joins the broadcast word table on its
-    word index (a miss = word absent = bit clear); the row passes iff
-    every probe finds its bit.
+    The filter is collected driver-side (W words — kilobytes, by
+    construction; this is what "runtime filter" means: the sketch is
+    SMALL enough to ship into the scan) and inlined as one BIGINT
+    array literal. The probe is then a pure narrow projection —
+    element_at + shift per hash, zero joins, zero shuffles — i.e. a
+    scan-local predicate, exactly how engines push Bloom filters into
+    row-group pruning. Missing words read as 0 (bit clear).
     """
+    words = {r["word_idx"]: r["word"] for r in bloom.collect()}
+    arr = "array({})".format(
+        ", ".join(
+            f"CAST({words.get(i, 0)} AS BIGINT)" for i in range(NUM_WORDS)
+        )
+    )
     key = F.col(key_col).cast("string")
     out = facts
     for i, pos in enumerate(_positions(key)):
-        w = F.broadcast(
-            bloom.select(
-                F.col("word_idx").alias(f"_wi{i}"),
-                F.col("word").alias(f"_w{i}"),
-            )
+        # position materialized in its own projection so the md5 fold
+        # is evaluated once, then referenced by index and shift
+        out = out.withColumn(f"_p{i}", pos).withColumn(
+            f"_hit{i}",
+            F.expr(
+                f"shiftright(element_at({arr},"
+                f" CAST(_p{i} DIV {BITS_PER_WORD} AS INT) + 1),"
+                f" CAST(_p{i} % {BITS_PER_WORD} AS INT)) % 2 = 1"
+            ),
         )
-        out = (
-            out.withColumn(f"_p{i}", pos)
-            .join(
-                w,
-                (F.col(f"_p{i}") / BITS_PER_WORD).cast("int")
-                == F.col(f"_wi{i}"),
-                "left",
-            )
-            .withColumn(
-                f"_hit{i}",
-                F.coalesce(
-                    F.expr(
-                        f"shiftright(_w{i},"
-                        f" CAST(_p{i} % {BITS_PER_WORD} AS INT)) % 2"
-                    )
-                    == 1,
-                    F.lit(False),
-                ),
-            )
-            .drop(f"_p{i}", f"_wi{i}", f"_w{i}")
+    return (
+        out.withColumn(
+            "bloom_pass",
+            F.expr(" AND ".join(f"_hit{i}" for i in range(BLOOM_K))),
         )
-    return out.withColumn(
-        "bloom_pass",
-        F.expr(" AND ".join(f"_hit{i}" for i in range(BLOOM_K))),
-    ).drop(*[f"_hit{i}" for i in range(BLOOM_K)])
+        .drop(*[f"_p{i}" for i in range(BLOOM_K)])
+        .drop(*[f"_hit{i}" for i in range(BLOOM_K)])
+    )
