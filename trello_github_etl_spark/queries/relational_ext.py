@@ -567,3 +567,51 @@ def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_stub), ())
         """
     )
+
+
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "a9_priority_status_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+      {", ".join(
+        "COUNT(CASE WHEN o_orderstatus = '" + s + "' THEN 1 END)"
+        " AS n_" + s for s in PIVOT_STATUSES)},
+      {", ".join(
+        "CAST(SUM(CASE WHEN o_orderstatus = '" + s + "'"
+        " THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)"
+        " AS rev_" + s for s in PIVOT_STATUSES)}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a9_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: one row per priority, one (count, revenue) column
+    pair per order status. The status values are pinned explicitly —
+    at scale an unpinned pivot needs a driver-side distinct pass
+    first, and pinning keeps the plan a single hash aggregate with
+    conditional measures (no second job, no dynamic schema). The
+    oracle is the CASE expansion, which is also exactly what Spark
+    lowers pivot to."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    # a (priority, status) combination with no rows pivots to NULL,
+    # while the oracle's COUNT(CASE ...) yields 0 — align on 0
+    cols += [
+        F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s}")
+        for s in PIVOT_STATUSES
+    ]
+    cols += [F.col(f"{s}_rev").alias(f"rev_{s}") for s in PIVOT_STATUSES]
+    return p.select(*cols)
