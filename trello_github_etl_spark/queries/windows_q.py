@@ -198,3 +198,114 @@ def w6_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey", 1).over(w).alias("prev_key"),
         F.lead("o_orderkey", 1).over(w).alias("next_key"),
     )
+
+
+@query(
+    "w7_gapfilled_daily_counts",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id,
+             CAST(unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                         CAST(s.d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM users u, span s
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.day, COALESCE(d.n, 0) AS n_events
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def w7_gapfilled_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap-filling (the hypertable/resampling primitive):
+    a dense user × day grid over the observed span, zero-filled where
+    no events landed. The span is a 1-row broadcast (never a driver
+    collect), the grid is sequence+explode — users × days rows, built
+    without reading the fact table twice per cell — and the fill is
+    one left join keyed (user, day), uniform, skew-free."""
+    from pyspark.sql.window import Window  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    span = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@query(
+    "ev1_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, MIN(e.ts) AS t_click
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.t_view
+      GROUP BY v.user_id
+    ),
+    p AS (
+      SELECT c.user_id, MIN(e.ts) AS t_purchase
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t_click
+      GROUP BY c.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def ev1_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase) per user:
+    each stage is one aggregate keyed on user_id, chained with the
+    prior stage's timestamp as a join-time residual — three shuffles
+    all sharing the user_id key, so at scale AQE chains them with no
+    re-partitioning. NULL stage timestamps mark funnel drop-off."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
