@@ -309,3 +309,54 @@ def ev1_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
         "user_id", "t_view", "t_click", "t_purchase"
     )
+
+
+COHORT_EPOCH = "2024-01-01"
+
+
+@query(
+    "ev2_weekly_cohort_retention",
+    oracle=f"""
+    WITH firstseen AS (
+      SELECT user_id,
+             date_diff('day', DATE '{COHORT_EPOCH}',
+                       MIN(CAST(ts AS DATE))) // 7 AS cohort_w
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '{COHORT_EPOCH}',
+                       CAST(ts AS DATE)) // 7 AS week_w
+      FROM events
+    )
+    SELECT f.cohort_w, a.week_w - f.cohort_w AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM firstseen f JOIN active a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ev2_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users bucketed by first-seen week, then
+    distinct-counted per (cohort, week offset). Week indices are
+    integer day-diffs from a fixed epoch (engine week-start rules
+    never enter). Two user-keyed aggregates + one join + one
+    distinct-agg — all shuffles on user_id or the tiny grid key."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.to_date("ts"), F.lit(COHORT_EPOCH).cast("date"))
+        / 7
+    ).cast("long")
+    firstseen = (
+        ev.select("user_id", week.alias("week_w"))
+        .groupBy("user_id")
+        .agg(F.min("week_w").alias("cohort_w"))
+    )
+    active = ev.select("user_id", week.alias("week_w")).distinct()
+    return (
+        active.join(firstseen, "user_id")
+        .groupBy(
+            "cohort_w",
+            (F.col("week_w") - F.col("cohort_w")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
