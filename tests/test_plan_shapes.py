@@ -1,0 +1,79 @@
+"""Physical-plan regression pins: the scale properties SCALE.md
+claims (narrow passes, broadcast-only joins, no stray exchanges) are
+asserted here so a refactor that silently re-introduces a shuffle or
+a sort-merge join fails CI, not the 100 TB run."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def _q(spark, name):
+    return entrymod.queries()[name](spark, SF_DIR)
+
+
+def test_pii_redaction_is_one_narrow_pass(spark):
+    plan = _plan(_q(spark, "t7_pii_redaction"))
+    assert "Join" not in plan
+    # only the ensure_parallelism round-robin repartition may appear
+    assert plan.count("Exchange") <= 1
+    assert "RoundRobinPartitioning" in plan or "Exchange" not in plan
+
+
+def test_bloom_probe_has_no_join_operators(spark):
+    from trello_github_etl_spark.operators import bloom as B
+    from trello_github_etl_spark.io import load_table
+
+    keys = (
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    probed = B.probe_bloom(orders, B.build_bloom(keys, "c_custkey"), "o_custkey")
+    plan = _plan(probed)
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_ivf_assignment_is_narrow(spark):
+    from trello_github_etl_spark.operators import similarity
+    from trello_github_etl_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    plan = _plan(similarity.ivf_assign(emb, cents, 1))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # ensure_parallelism only
+
+
+def test_dim_joins_broadcast_never_sort_merge(spark):
+    for name in ("j2_customer_geo_rollup", "sql1_region_revenue",
+                 "tpch5_local_supplier_volume"):
+        plan = _plan(_q(spark, name))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_filters_reach_the_parquet_scan(spark):
+    plan = _plan(_q(spark, "p1_filter_open_orders"))
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan or "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
