@@ -41,6 +41,8 @@ HEADLINE = [
     "skew1_salted_event_rollup",
     "sql1_region_revenue",
     "prof1_orders_stats",
+    "prof2_moments",
+    "a11_latest_order_argmax",
     "bloom1_runtime_filter",
     # scalar/parse + board-domain
     "f3_title_split",

@@ -77,3 +77,30 @@ def test_filters_reach_the_parquet_scan(spark):
     assert "EqualTo(o_orderstatus,O)" in plan or "o_orderstatus" in plan.split(
         "PushedFilters"
     )[1].split("]")[0]
+
+
+def test_argmax_is_aggregate_not_window(spark):
+    """a11 must stay a partial/final hash aggregate (one candidate per
+    key crosses the shuffle), never regress to a Window ROW_NUMBER
+    that sorts every row."""
+    plan = _plan(_q(spark, "a11_latest_order_argmax"))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    # partial aggregation before the exchange: two aggregate levels
+    assert (plan.count("HashAggregate") + plan.count("ObjectHashAggregate")) >= 2
+
+
+def test_moments_are_one_combinable_aggregate(spark):
+    """prof2: five power sums in ONE two-phase hash aggregate — no
+    window, no second scan, no join."""
+    plan = _plan(_q(spark, "prof2_moments"))
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_levenshtein_join_is_broadcast_over_distinct(spark):
+    """fz1: the theta join must be a broadcast nested-loop over the
+    deduped name dimension, never a cartesian over base part rows."""
+    plan = _plan(_q(spark, "fz1_levenshtein_pairs"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -55,6 +55,7 @@ def load_all() -> None:
         scalar,
         skew_q,
         sql_q,
+        stats_q,
         tpch_ext_q,
         tpch_q,
         windows_q,
