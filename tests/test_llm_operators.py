@@ -402,3 +402,39 @@ def test_kmeans_refine_partitioning_invariant(spark):
     }
     assert one == many
     assert sum(n for n, _ in one.values()) == emb.count()
+
+
+def test_audio_segments_tile_each_clip(spark):
+    media = spark.createDataFrame(
+        [(i, "audio", f"clip{i}".encode(), "s") for i in range(8)]
+        + [(99, "image", b"not-audio", "s")],
+        "media_id long, media_type string, payload binary, meta_source string",
+    )
+    rows = multimodal.segment_audio(media).collect()
+    assert rows and all(r.media_id != 99 for r in rows)  # non-audio filtered
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r.media_id, []).append(r)
+    for clip, segs in by_clip.items():
+        segs.sort(key=lambda r: r.seg_idx)
+        assert [s.seg_idx for s in segs] == list(range(len(segs)))
+        assert segs[0].start_sample == 0
+        assert segs[-1].end_sample == segs[-1].n_samples  # full coverage
+        for s in segs:
+            assert s.start_sample < s.n_samples
+            assert s.end_sample == min(s.start_sample + 160_000, s.n_samples)
+            assert 0.0 <= s.seg_feat <= 1.0
+    # partitioning cannot change segmentation
+    again = multimodal.segment_audio(media.repartition(4)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_audio_real_codec_is_gated(spark):
+    media = spark.createDataFrame(
+        [(1, "audio", b"bytes", "s")],
+        "media_id long, media_type string, payload binary, meta_source string",
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.segment_audio(media, codec="real")
+    with pytest.raises(ValueError):
+        multimodal.segment_audio(media, codec="mp3")

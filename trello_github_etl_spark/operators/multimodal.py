@@ -133,3 +133,71 @@ def resize_spec(features: DataFrame, max_side: int = 256) -> DataFrame:
         "media_id", "media_type", "width", "height",
         tw.alias("target_w"), th.alias("target_h"),
     )
+
+
+AUDIO_SEG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("seg_idx", LongType()),
+        StructField("start_sample", LongType()),
+        StructField("end_sample", LongType()),
+        StructField("seg_feat", DoubleType()),
+    ]
+)
+
+
+def segment_audio(
+    media: DataFrame,
+    window: int = 160_000,
+    hop: int = 80_000,
+    codec: str = "fake",
+) -> DataFrame:
+    """Fixed-window audio segmentation: one output row per (clip,
+    window) — the 1→N ``mapInPandas`` shape (mm1's decode is 1→1).
+
+    A real pipeline would decode PCM and emit per-window features
+    (energy, MFCC); the fake codec derives sample_rate / n_samples /
+    per-segment features from md5 so the oracle can reproduce every
+    value. The batch contract is the part that matters at scale: each
+    Arrow batch of clips expands to its segments WITHIN the same task
+    (narrow, no shuffle), so segmentation parallelism equals scan
+    parallelism and payload bytes never move between executors.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real segmentation requires audio libs not present in this "
+            "container; the 'fake' codec exercises identical plumbing"
+        )
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def seg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_SEG_SCHEMA.fieldNames()}
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                h = hashlib.md5(payload).hexdigest()
+                rate = 8000 + (int(h[0:4], 16) % 5) * 8000
+                n_samples = int(h[4:10], 16) % 480_000 + 16_000
+                n_segs = (n_samples - 1) // hop + 1
+                for seg in range(n_segs):
+                    hh = hashlib.md5(
+                        payload + b":" + str(seg).encode()
+                    ).hexdigest()
+                    start = seg * hop
+                    out["media_id"].append(m)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(n_samples)
+                    out["seg_idx"].append(seg)
+                    out["start_sample"].append(start)
+                    out["end_sample"].append(min(start + window, n_samples))
+                    out["seg_feat"].append(
+                        int(hh[0:8], 16) / float(0xFFFFFFFF)
+                    )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        seg_batches, AUDIO_SEG_SCHEMA
+    )

@@ -97,3 +97,48 @@ def mm2_resize_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm3_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-30th-frame sampling plan for video payloads."""
     return frame_sample_plan(decode_media(_media_table(spark, sf_dir)))
+
+
+SQL_AUDIO_SEGS = f"""
+    WITH meta AS (
+      SELECT
+        media_id,
+        text,
+        8000 + CAST(TRY_CAST('0x' || substr(h, 1, 4) AS UBIGINT) % 5 AS BIGINT)
+          * 8000 AS sample_rate,
+        CAST(TRY_CAST('0x' || substr(h, 5, 6) AS UBIGINT) % 480000 + 16000
+          AS BIGINT) AS n_samples
+      FROM ({SQL_MEDIA}) WHERE media_type = 'audio'
+    ),
+    segs AS (
+      SELECT
+        media_id, text, sample_rate, n_samples,
+        UNNEST(generate_series(0, (n_samples - 1) // 80000))
+          AS seg_idx
+      FROM meta
+    )
+    SELECT
+      media_id,
+      sample_rate,
+      n_samples,
+      seg_idx,
+      seg_idx * 80000 AS start_sample,
+      LEAST(seg_idx * 80000 + 160000, n_samples) AS end_sample,
+      CAST(TRY_CAST('0x' || substr(md5(text || ':' || CAST(seg_idx AS VARCHAR)),
+                                   1, 8) AS UBIGINT) AS DOUBLE)
+        / 4294967295.0 AS seg_feat
+    FROM segs
+    ORDER BY media_id, seg_idx
+"""
+
+
+@query("mm4_audio_segments", oracle=SQL_AUDIO_SEGS)
+def mm4_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio → fixed windows (160k samples, 80k hop): the 1→N
+    mapInPandas expansion, narrow per task; see
+    operators/multimodal.py:segment_audio."""
+    from trello_github_etl_spark.operators.multimodal import segment_audio
+
+    return segment_audio(_media_table(spark, sf_dir)).orderBy(
+        "media_id", "seg_idx"
+    )
