@@ -156,3 +156,72 @@ def test_bloom_filter_never_drops_true_matches(spark):
     assert true_pass == r.n_true
     non_matching = r.n_orders - r.n_true
     assert non_matching == 0 or r.n_false_pass / non_matching < 0.05
+
+
+def test_ivm_merge_drops_zeroed_groups_and_surfaces_negatives(spark):
+    from trello_github_etl_spark.operators import ivm
+
+    state = spark.createDataFrame(
+        [("a", 10, 2), ("b", 7, 1)], "k string, m long, n_rows long"
+    )
+    # retract ALL of b -> group disappears; over-retract c (never seen)
+    delta = spark.createDataFrame(
+        [("b", -7, -1), ("c", -3, -1)], "k string, m long, n_rows long"
+    )
+    out = {
+        r.k: (r.m, r.n_rows)
+        for r in ivm.merge_agg_state(state, delta, ["k"], ["m"]).collect()
+    }
+    assert out["a"] == (10, 2)
+    assert "b" not in out  # zero-count group dropped from the view
+    assert out["c"] == (-3, -1)  # over-retraction surfaced, not clamped
+
+
+def test_ivm_incremental_equals_recompute_any_batching(spark):
+    from trello_github_etl_spark.operators import ivm
+    from pyspark.sql import functions as F
+
+    rows = [(i % 3, i, 1) for i in range(30)]
+    base = spark.createDataFrame(rows, "k int, m long, n_rows long")
+    full = {
+        r.k: (r.m, r.n_rows)
+        for r in base.groupBy("k")
+        .agg(F.sum("m").alias("m"), F.sum("n_rows").alias("n_rows"))
+        .collect()
+    }
+    # apply in 3 uneven delta batches on top of an empty state
+    state = spark.createDataFrame([], "k int, m bigint, n_rows bigint")
+    for lo, hi in [(0, 5), (5, 21), (21, 30)]:
+        batch = (
+            spark.createDataFrame(rows[lo:hi], "k int, m long, n_rows long")
+            .groupBy("k")
+            .agg(F.sum("m").alias("m"), F.sum("n_rows").alias("n_rows"))
+        )
+        state = ivm.merge_agg_state(state, batch, ["k"], ["m"])
+    got = {r.k: (r.m, r.n_rows) for r in state.collect()}
+    assert got == full
+
+
+def test_forward_asof_no_following_match_is_null(spark):
+    from trello_github_etl_spark.operators import asof
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(30)), (3, 11, t(1))],
+        "id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(5)), (101, 10, t(20))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.id: r.asof_event_id
+        for r in asof.asof_join_forward(
+            left, right, on="user_id", right_payload=["event_id"],
+            right_tie="event_id",
+        ).collect()
+    }
+    assert out[1] == 100  # inclusive: equal ts matches
+    assert out[2] is None  # nothing after t=30
+    assert out[3] is None  # user 11 has no right rows

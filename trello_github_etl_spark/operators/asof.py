@@ -122,3 +122,50 @@ def banded_range_join(
         & (rb["_rus"] <= lb["_lus"] + window_us)
     )
     return lb.join(rb, cond, "left").drop("_ron", "_lus", "_rus", "_bucket")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    right_tie: str | None = None,
+) -> DataFrame:
+    """Forward-inclusive as-of join: for each left row, the single
+    right row with the SMALLEST ``right_ts >= left_ts`` in the same
+    ``on`` group (ties on right_ts broken by smallest ``right_tie``).
+
+    Same single-shuffle merge construction as ``asof_join``, mirrored:
+    left rows sort BEFORE right rows at equal ts (_side 0 < 1), and a
+    running ``first(..., ignoreNulls)`` over a CurrentRow→
+    UnboundedFollowing frame picks the earliest following right row.
+    """
+    right_payload = right_payload or [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ats"),
+        (F.col(right_tie) if right_tie else F.lit(0)).alias("_tie"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_rpay"),
+        F.lit(1).alias("_side"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ats"),
+        F.lit(0).alias("_tie"),
+        F.lit(0).alias("_side"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ats"), F.col("_side"), F.col("_tie"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = merged.withColumn(
+        "_match", F.first("_rpay", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 0)
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("_match")[c].alias(f"asof_{c}") for c in right_payload],
+    )

@@ -1,0 +1,65 @@
+"""Incremental view maintenance: keep a materialized aggregate
+current by merging delta batches (inserts AND retractions) instead of
+recomputing from the base table.
+
+The reference replays its whole board every run and skips unchanged
+rows one key at a time (SURVEY.md §2.2 P9, etl.js:113-146); the
+engine-grade generalization is delta-merge over ASSOCIATIVE aggregate
+state: counts and exact DECIMAL sums merge by addition, retractions
+are deltas with negated measures, and a group whose maintained count
+reaches zero is dropped (it no longer exists in the view).
+
+Scale: this is THE pattern that makes a 100 TB rollup maintainable —
+each refresh touches |delta| rows plus |state| of the affected keys
+(one shuffle on the group keys), never the 100 TB base. Measures must
+be kept in exact form (DECIMAL, not DOUBLE) so merge order can never
+drift the state; finalize to DOUBLE only at read time.
+
+Derived averages/variances stay maintainable by storing power sums
+(see queries/stats_q.py prof2): avg = sum/n, var from (n, sx, sxx) —
+all addition-mergeable. MIN/MAX are NOT retraction-safe (a deleted
+min needs a rescan of its group); insert-only views may still
+maintain them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Merge aggregate-state deltas into a materialized aggregate.
+
+    Both inputs carry ``keys + measures + count_col`` with measures in
+    exact (decimal / integral) types. Groups whose merged count drops
+    to zero are removed; a negative merged count means the caller
+    retracted rows that were never in the state — surfaced as-is so
+    tests/monitors can assert on it rather than silently clamping.
+    """
+    merged = (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(m).alias(m) for m in measures],
+            F.sum(count_col).alias(count_col),
+        )
+    )
+    return merged.filter(F.col(count_col) != 0)
+
+
+def retraction(
+    delta: DataFrame, keys: list[str], measures: list[str], count_col: str = "n_rows"
+) -> DataFrame:
+    """Negate a delta's measures and count → a retraction batch."""
+    return delta.select(
+        *[F.col(k) for k in keys],
+        *[(-F.col(m)).alias(m) for m in measures],
+        (-F.col(count_col)).alias(count_col),
+    )

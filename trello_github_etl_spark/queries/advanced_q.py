@@ -520,3 +520,50 @@ def s10_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return similarity.ivf_topk(qs, emb, trained)
+
+
+@query(
+    "as2_next_purchase_after_signup",
+    oracle="""
+    WITH signups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    ),
+    purchases AS (
+      SELECT event_id, ts, value, user_id FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts,
+      (SELECT p.event_id FROM purchases p
+        WHERE p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS asof_event_id,
+      (SELECT p.value FROM purchases p
+        WHERE p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS asof_value
+    FROM signups s
+    """,
+)
+def as2_next_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each signup, the EARLIEST purchase at-or-
+    after it by the same user (time-to-conversion joins). Same
+    single-shuffle merge construction as as1, mirrored — see
+    operators/asof.py:asof_join_forward. The oracle's correlated
+    LIMIT-1 subquery is the O(n·m) formulation this operator replaces
+    at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "value", "user_id"
+    )
+    return asof.asof_join_forward(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="signup_ts",
+        right_ts="ts",
+        right_payload=["event_id", "value"],
+        right_tie="event_id",
+    )

@@ -1,0 +1,90 @@
+"""Incremental view maintenance queries: the materialized-rollup
+refresh path (operators/ivm.py). Each query maintains a view through
+delta merges / retractions and the oracle RECOMPUTES the same view
+from scratch — passing means incremental == recompute, the IVM
+correctness contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.operators import ivm
+from trello_github_etl_spark.registry import query
+
+_CUTOFF = "1998-01-01"
+_DEC = "decimal(18,2)"
+
+
+def _priority_state(orders: DataFrame) -> DataFrame:
+    """Aggregate state per priority: count + EXACT decimal revenue sum
+    (exact types are what make merge order-insensitive)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("sum_total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _finalize(state: DataFrame) -> DataFrame:
+    return state.select(
+        "o_orderpriority",
+        F.col("n_rows"),
+        F.col("sum_total").cast("double").alias("sum_total"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "ivm1_delta_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ivm1_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-priority revenue rollup across a batch boundary:
+    state built from pre-cutoff orders, a delta batch of post-cutoff
+    orders merged in (one shuffle on the group key, |delta| + |state|
+    rows touched — never the base table). Oracle recomputes from all
+    orders; equality IS the IVM contract."""
+    o = load_table(spark, sf_dir, "orders")
+    state = _priority_state(o.filter(F.col("o_orderdate") < _CUTOFF))
+    delta = _priority_state(o.filter(F.col("o_orderdate") >= _CUTOFF))
+    merged = ivm.merge_agg_state(
+        state, delta, keys=["o_orderpriority"], measures=["sum_total"]
+    )
+    return _finalize(merged)
+
+
+@query(
+    "ivm2_retraction",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ivm2_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract deleted rows from the maintained view: negate the
+    deleted rows' aggregate contribution and merge. Oracle recomputes
+    the view without the deleted rows. Groups whose maintained count
+    hits zero drop out of the view (ivm.merge_agg_state filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    state = _priority_state(o)
+    deleted = _priority_state(o.filter(F.col("o_orderstatus") == "F"))
+    retract = ivm.retraction(
+        deleted, keys=["o_orderpriority"], measures=["sum_total"]
+    )
+    merged = ivm.merge_agg_state(
+        state, retract, keys=["o_orderpriority"], measures=["sum_total"]
+    )
+    return _finalize(merged)

@@ -45,6 +45,7 @@ def load_all() -> None:
     from trello_github_etl_spark.queries import (  # noqa: F401
         advanced_q,
         cdc_q,
+        ivm_q,
         llm_q,
         multimodal_q,
         owners_q,
