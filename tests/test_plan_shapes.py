@@ -104,3 +104,12 @@ def test_levenshtein_join_is_broadcast_over_distinct(spark):
     plan = _plan(_q(spark, "fz1_levenshtein_pairs"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keyset_page_is_topk_over_scan(spark):
+    """o7: the cursor predicate must reach the scan and the page must
+    be a TakeOrdered TopK — no global sort, no exchange."""
+    plan = _plan(_q(spark, "o7_keyset_page"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "o_orderdate" in plan.split("FileScan")[1].split("ReadSchema")[0]

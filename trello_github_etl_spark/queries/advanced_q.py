@@ -567,3 +567,39 @@ def as2_next_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFram
         right_payload=["event_id", "value"],
         right_tie="event_id",
     )
+
+
+@query(
+    "o7_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+       OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00'
+           AND o_orderkey > 5000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def o7_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: resume after the last-seen
+    (o_orderdate, o_orderkey) cursor instead of OFFSET.
+
+    The scale-correct pager: OFFSET n (o5) must produce and discard n
+    rows on every page — page p costs O(p); the keyset predicate is
+    sargable, reaches the parquet scan as a min/max-prunable filter
+    (row groups entirely before the cursor are skipped), and every
+    page costs the same. TopK sort (limit 20) never materializes a
+    global sort.
+    """
+    cursor_date, cursor_key = "1997-06-01 00:00:00", 5000
+    o = load_table(spark, sf_dir, "orders")
+    after = (F.col("o_orderdate") > F.lit(cursor_date).cast("timestamp")) | (
+        (F.col("o_orderdate") == F.lit(cursor_date).cast("timestamp"))
+        & (F.col("o_orderkey") > F.lit(cursor_key))
+    )
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .filter(after)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
