@@ -343,3 +343,65 @@ def test_stream_upserts_idempotent_across_batches(spark, tmp_path):
     rows = {r.entity_id: r.issue_number for r in final.collect()}
     assert set(rows) == {"c1", "c2", "c3"}
     assert len(set(rows.values())) == 3  # dense unique issue numbers
+
+
+def test_stream_rollup_incremental_equals_batch(spark, tmp_path):
+    """Rollup maintained over micro-batches == one-shot batch agg, and
+    restarting the stream over the same source merges nothing twice."""
+    from pyspark.sql import functions as F
+
+    from trello_github_etl_spark.streaming import rollup_stream as RS
+
+    src = str(tmp_path / "orders_src")
+    state = str(tmp_path / "rollup_state")
+    ckpt = str(tmp_path / "rollup_ckpt")
+
+    rows1 = [("HIGH", 10.0), ("LOW", 5.0), ("HIGH", 2.5)]
+    rows2 = [("LOW", 1.0), ("MED", 7.25)]
+    schema = "priority string, price double"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+
+    measures = {
+        "sum_price": F.sum(F.col("price").cast("decimal(18,2)")),
+    }
+
+    def run():
+        q = RS.stream_rollup(
+            spark.readStream.schema(schema).parquet(src),
+            state, ckpt, keys=["priority"], measures=measures,
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run()
+
+    got_df, last_id = RS.read_rollup(
+        spark, state, "priority string, sum_price decimal(28,2), n_rows bigint"
+    )
+    got = {r.priority: (float(r.sum_price), r.n_rows) for r in got_df.collect()}
+    assert got == {"HIGH": (12.5, 2), "LOW": (6.0, 2), "MED": (7.25, 1)}
+    assert last_id >= 1
+
+    # replay: fresh checkpoint-less rerun of batch ids <= last merged
+    # must be ignored by the monotone gate, not double-counted
+    batch = spark.createDataFrame(rows1, schema)
+    import trello_github_etl_spark.streaming.rollup_stream as mod
+    delta = batch.groupBy("priority").agg(
+        measures["sum_price"].alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # simulate a foreachBatch redelivery with an already-merged id
+    state_df, last = RS.read_rollup(
+        spark, state, "priority string, sum_price decimal(28,2), n_rows bigint"
+    )
+    before = sorted(map(tuple, state_df.collect()))
+    q = RS.stream_rollup(
+        spark.readStream.schema(schema).parquet(src),
+        state, ckpt, keys=["priority"], measures=measures,
+    )
+    q.awaitTermination(120)
+    after_df, _ = RS.read_rollup(
+        spark, state, "priority string, sum_price decimal(28,2), n_rows bigint"
+    )
+    assert sorted(map(tuple, after_df.collect())) == before

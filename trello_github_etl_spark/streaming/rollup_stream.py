@@ -1,0 +1,100 @@
+"""Continuously-maintained rollup: a Structured Streaming
+``foreachBatch`` loop that keeps a materialized aggregate current by
+IVM delta-merge (operators/ivm.py) instead of recomputing.
+
+Per micro-batch: aggregate the batch to delta state (exact decimal
+measures), merge into the versioned state table, flip the LATEST
+pointer (same atomic read-current / write-next / pointer-swap
+transaction as sink_stream.py). Work per batch is |batch| + |state of
+affected keys| with one shuffle on the group keys — the base stream
+is never replayed, which is what makes a 100 TB/day rollup
+maintainable. With Delta available, the pointer dance collapses into
+``MERGE INTO``.
+
+At-least-once caveat: plain additive merge double-counts a replayed
+batch, so the state records the last merged batch_id and the merge
+skips batches at-or-below it (the checkpoint replays whole batches
+with stable ids — monotone gate ⇒ effectively-once).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from trello_github_etl_spark.operators.ivm import merge_agg_state
+
+
+def read_rollup(
+    spark: SparkSession, state_dir: str, schema: str
+) -> tuple[DataFrame, int]:
+    """(current rollup, last merged batch_id); empty/-1 before batch 0."""
+    pointer = os.path.join(state_dir, "LATEST")
+    if not os.path.exists(pointer):
+        return spark.createDataFrame([], schema), -1
+    with open(pointer) as f:
+        version = f.read().strip()
+    df = spark.read.schema(schema).parquet(os.path.join(state_dir, version))
+    return df, int(version[1:])
+
+
+def stream_rollup(
+    batches: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    measures: dict[str, "F.Column"],
+    count_col: str = "n_rows",
+) -> StreamingQuery:
+    """Maintain ``groupBy(keys).agg(measures, count)`` over a stream.
+
+    ``measures`` maps output column name → exact-typed aggregate
+    expression evaluated per micro-batch (decimal sums, counts —
+    anything addition-mergeable).
+    """
+    os.makedirs(state_dir, exist_ok=True)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(*keys).agg(
+            *[expr.alias(name) for name, expr in measures.items()],
+            F.count(F.lit(1)).alias(count_col),
+        )
+        schema_str = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in delta.schema.fields
+        )
+        state, last_id = read_rollup(spark, state_dir, schema_str)
+        if batch_id <= last_id:
+            return  # replayed batch: already merged (effectively-once)
+        merged = merge_agg_state(
+            state, delta, keys, list(measures.keys()), count_col
+        )
+        # SUM widens decimal precision per merge (18,2 -> 28,2 ->
+        # 38,2); pin measures back to the delta's types so the stored
+        # schema is stable across arbitrarily many batches.
+        merged = merged.select(
+            *[F.col(k) for k in keys],
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in delta.schema.fields
+                if f.name not in keys
+            ],
+        )
+        version = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, version)
+        )
+        tmp = os.path.join(state_dir, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(state_dir, "LATEST"))
+
+    return (
+        batches.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
