@@ -48,6 +48,7 @@ HEADLINE = [
     "f3_title_split",
     "j7_owner_resolution",
     "cdc_field_changes",
+    "ivm1_delta_merge",
     # windows + temporal joins
     "w3_session_windows",
     "as1_last_view_before_click",
@@ -66,6 +67,7 @@ HEADLINE = [
     "s1_cosine_topk",
     "s4_ivf_topk",
     "mm1_decode_features",
+    "mm4_audio_segments",
 ]
 
 
