@@ -603,3 +603,53 @@ def o7_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(20)
     )
+
+
+from trello_github_etl_spark.operators import zorder as _zorder
+
+# Shared normalization: both keys onto 10-bit grids with fixed stats
+# (o_custkey in [0, 15000) at sf<=0.1; order day in [0, 2404)).
+_ZNORM = (
+    "SELECT o_orderkey, "
+    "  CAST(FLOOR((o_custkey * 1023) / 15000) AS BIGINT) AS zx, "
+    "  CAST(FLOOR((date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)"
+    "        * 1023) / 2404) AS BIGINT) AS zy "
+    "FROM orders"
+)
+
+
+@query(
+    "zo1_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey, zx, zy,
+           {_zorder.zvalue_sql(['zx', 'zy'], bits=10)} AS zval
+    FROM ({_ZNORM})
+    ORDER BY zval, o_orderkey
+    LIMIT 500
+    """,
+)
+def zo1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (customer, order-day):
+    the multi-dimensional layout key for data skipping
+    (operators/zorder.py). The interleave is %-and-* integer
+    arithmetic generated once and shared verbatim with the oracle.
+    Row-group pruning effectiveness of the layout is verified in
+    tests/test_zorder.py by counting overlapping row groups against
+    a single-column sort."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+    ).cast("bigint")
+    normed = o.select(
+        "o_orderkey",
+        F.floor((F.col("o_custkey") * 1023) / 15000).cast("bigint").alias("zx"),
+        F.floor((day * 1023) / 2404).cast("bigint").alias("zy"),
+    )
+    return (
+        normed.select(
+            "o_orderkey", "zx", "zy",
+            _zorder.zvalue(["zx", "zy"], bits=10).alias("zval"),
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(500)
+    )

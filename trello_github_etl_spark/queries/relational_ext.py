@@ -615,3 +615,44 @@ def a9_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cols += [F.col(f"{s}_rev").alias(f"rev_{s}") for s in PIVOT_STATUSES]
     return p.select(*cols)
+
+
+@query(
+    "j14_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pkey,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pkey,
+             COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 100000 GROUP BY 1
+    )
+    SELECT l.pkey, l.n_orders, COALESCE(r.n_big, 0) AS n_big
+    FROM l LEFT JOIN r ON l.pkey IS NOT DISTINCT FROM r.pkey
+    ORDER BY l.pkey NULLS FIRST
+    """,
+)
+def j14_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>``): NULL keys match each other —
+    the semantics a plain equi-join silently drops. Catalyst treats
+    ``eqNullSafe`` as a hashable equi-condition, so this still plans
+    as a broadcast/hash join (NOT a nested loop); at 100 TB the only
+    caveat is that a heavy NULL group is a skew key like any other
+    (salt it if hot)."""
+    o = load_table(spark, sf_dir, "orders")
+    pkey = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    l = o.groupBy(pkey.alias("pkey")).agg(F.count(F.lit(1)).alias("n_orders"))
+    r = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .groupBy(pkey.alias("pkey"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return (
+        l.join(r.withColumnRenamed("pkey", "rkey"),
+               F.col("pkey").eqNullSafe(F.col("rkey")), "left")
+        .select("pkey", "n_orders", F.coalesce("n_big", F.lit(0)).alias("n_big"))
+        .orderBy(F.col("pkey").asc_nulls_first())
+    )
