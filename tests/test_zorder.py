@@ -102,3 +102,44 @@ def test_zorder_prunes_2d_box_better_than_single_sort(spark, tmp_path):
         .first()
     )
     assert tuple(a) == tuple(b)
+
+
+def test_zvalue_is_bijective_on_the_grid():
+    """The %-and-* interleave must be a bijection from [0,2^b)^2 onto
+    [0,4^b) — checked exhaustively at b=5 via DuckDB (no Spark), i.e.
+    the shared SQL text itself, not a Python reimplementation."""
+    import duckdb
+
+    expr = Z.zvalue_sql(["x", "y"], bits=5)
+    rows = duckdb.sql(
+        f"""
+        WITH g AS (
+          SELECT a.r AS x, b.r AS y
+          FROM range(32) a(r), range(32) b(r)
+        )
+        SELECT {expr} AS z FROM g
+        """
+    ).fetchall()
+    zs = sorted(r[0] for r in rows)
+    assert zs == list(range(1024))  # every code hit exactly once
+
+
+def test_zvalue_locality_nested_quadrants():
+    """High bits of the Morton code = quadrant of the space: points
+    sharing a quadrant must be contiguous in z-range."""
+    import duckdb
+
+    expr = Z.zvalue_sql(["x", "y"], bits=5)
+    rows = duckdb.sql(
+        f"""
+        WITH g AS (
+          SELECT a.r AS x, b.r AS y
+          FROM range(32) a(r), range(32) b(r)
+        )
+        SELECT x, y, {expr} AS z FROM g
+        """
+    ).fetchall()
+    for x, y, z in rows:
+        quad = (x >= 16, y >= 16)
+        # top 2 bits of z encode the quadrant
+        assert (bool((z >> 8) & 1), bool((z >> 9) & 1)) == quad
