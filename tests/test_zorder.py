@@ -143,3 +143,50 @@ def test_zvalue_locality_nested_quadrants():
         quad = (x >= 16, y >= 16)
         # top 2 bits of z encode the quadrant
         assert (bool((z >> 8) & 1), bool((z >> 9) & 1)) == quad
+
+
+def test_compaction_shrinks_files_preserves_layout_and_content(spark, tmp_path):
+    """Compaction must cut file count to the target, keep every row,
+    and keep the layout key clustered (file-level key ranges stay
+    disjoint, so pruning still works after the rewrite)."""
+    from trello_github_etl_spark.operators import maintenance as M
+
+    df = _normed_orders(spark).withColumn(
+        "z", Z.zvalue(["zx", "zy"], bits=10)
+    )
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    # simulate a streaming sink: many tiny appends
+    for i in range(10):
+        df.filter(F.col("o_orderkey") % 10 == i).repartition(8).write.mode(
+            "append"
+        ).parquet(src)
+    n_src_files = len(glob.glob(src + "/*.parquet"))
+    assert n_src_files >= 60  # properly fragmented
+
+    n_out = M.compact(spark, src, out, "z", target_rows_per_file=400)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n_out <= 5
+
+    # content identical
+    a = spark.read.parquet(src).agg(
+        F.count("*"), F.sum("o_orderkey"), F.sum("z")
+    ).first()
+    b = spark.read.parquet(out).agg(
+        F.count("*"), F.sum("o_orderkey"), F.sum("z")
+    ).first()
+    assert tuple(a) == tuple(b)
+
+    # clustering preserved: per-file z ranges must not overlap
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(cols["z"]).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files

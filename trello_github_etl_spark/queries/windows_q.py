@@ -6,7 +6,7 @@ DuckDB `time_bucket`. Session windows oracle via gaps-and-islands.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trello_github_etl_spark.io import load_table
@@ -360,3 +360,51 @@ def ev2_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "w9_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id,
+             CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, day, new_users,
+           SUM(new_users) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_distinct_users
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def w9_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over time — the growth-curve staple —
+    WITHOUT a distinct-inside-window (which Spark rejects and which
+    would hold per-frame sets at scale). Rewrite: distinct collapses
+    to each user's FIRST day (one hash agg on (type, user)), then a
+    daily count and a running SUM over the tiny per-day series. The
+    expensive shuffle is the first agg — linear in distinct pairs;
+    the window runs over |days| rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min("ts").alias("first_ts")
+    )
+    daily = firsts.select(
+        "event_type",
+        F.date_trunc("day", F.col("first_ts")).cast("date").alias("day"),
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type", "day", "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    ).orderBy("event_type", "day")
