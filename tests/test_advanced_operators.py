@@ -225,3 +225,61 @@ def test_forward_asof_no_following_match_is_null(spark):
     assert out[1] == 100  # inclusive: equal ts matches
     assert out[2] is None  # nothing after t=30
     assert out[3] is None  # user 11 has no right rows
+
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-50, 50)),
+        min_size=1, max_size=40,
+    ),
+    cut1=st.integers(0, 40),
+    cut2=st.integers(0, 40),
+    n_retract=st.integers(0, 10),
+)
+def test_ivm_property_batched_inserts_plus_retractions(
+    spark, rows, cut1, cut2, n_retract
+):
+    """Any batching of inserts followed by retracting any prefix of
+    the inserted rows must equal recomputing over the surviving rows
+    — exact decimal/int state makes merge order irrelevant."""
+    from pyspark.sql import functions as F
+
+    from trello_github_etl_spark.operators import ivm
+
+    lo, hi = sorted((min(cut1, len(rows)), min(cut2, len(rows))))
+    batches = [b for b in (rows[:lo], rows[lo:hi], rows[hi:]) if b]
+    retracted = rows[: min(n_retract, len(rows))]
+    survivors = rows[len(retracted):]
+
+    schema = "k int, m long, n_rows long"
+
+    def agg(rs):
+        return (
+            spark.createDataFrame([(k, m, 1) for k, m in rs], schema)
+            .groupBy("k")
+            .agg(F.sum("m").alias("m"), F.sum("n_rows").alias("n_rows"))
+        )
+
+    state = spark.createDataFrame([], "k int, m bigint, n_rows bigint")
+    for b in batches:
+        state = ivm.merge_agg_state(state, agg(b), ["k"], ["m"])
+    if retracted:
+        state = ivm.merge_agg_state(
+            state, ivm.retraction(agg(retracted), ["k"], ["m"]), ["k"], ["m"]
+        )
+    got = {r.k: (r.m, r.n_rows) for r in state.collect()}
+    want = (
+        {r.k: (r.m, r.n_rows) for r in agg(survivors).collect()}
+        if survivors
+        else {}
+    )
+    assert got == want

@@ -88,3 +88,51 @@ def ivm2_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         state, retract, keys=["o_orderpriority"], measures=["sum_total"]
     )
     return _finalize(merged)
+
+
+@query(
+    "ivm3_rollup_cascade",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY month, event_type
+    """,
+)
+def ivm3_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous aggregates: the DAILY rollup is
+    maintained from the base stream (ivm1 pattern), and the MONTHLY
+    rollup is maintained FROM THE DAILY STATE — base rows are touched
+    exactly once per refresh no matter how many granularities stack
+    on top (the hypertable continuous-aggregate cascade). Works
+    because the state is associative (counts + exact decimal sums):
+    re-aggregating finer state IS the coarser state. Oracle computes
+    monthly straight from the base table; equality proves the
+    cascade loses nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(
+        F.sum(F.col("value").cast(_DEC)).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    monthly = (
+        daily.groupBy(
+            F.date_trunc("month", F.col("day")).cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+    return monthly.select(
+        "month",
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("month", "event_type")
