@@ -44,6 +44,7 @@ HEADLINE = [
     "prof2_moments",
     "a11_latest_order_argmax",
     "bloom1_runtime_filter",
+    "zo1_zorder_key",
     # scalar/parse + board-domain
     "f3_title_split",
     "j7_owner_resolution",
