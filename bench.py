@@ -57,6 +57,7 @@ HEADLINE = [
     # LLM-pipeline
     "t1_token_stats",
     "t7_pii_redaction",
+    "t8_repetition_stats",
     "pipe1_clean_corpus",
     "pipe2_source_cap",
     "dd8_decontaminate",

@@ -438,3 +438,68 @@ def test_audio_real_codec_is_gated(spark):
         multimodal.segment_audio(media, codec="real")
     with pytest.raises(ValueError):
         multimodal.segment_audio(media, codec="mp3")
+
+
+def test_repetition_stats_golden_and_edges(spark):
+    from trello_github_etl_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c b c x"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    tk = F.col("tk")
+    rows = {
+        r.doc_id: r
+        for r in df.withColumn("tk", textstats.tokens(F.col("text")))
+        .withColumn("g2", textstats.ngrams(tk, 2))
+        .select(
+            "doc_id",
+            textstats.unique_fraction(tk).alias("u"),
+            textstats.duplicate_fraction(F.col("g2")).alias("d2"),
+            textstats.top_element_ratio(tk).alias("topw"),
+        )
+        .collect()
+    }
+    # 8 tokens, 4 distinct; 7 bigrams, 5 distinct ("a a" and "b c" repeat);
+    # "a" is the mode at 3/8.
+    assert rows[1].u == 0.5
+    assert rows[1].d2 == pytest.approx(2.0 / 7.0)
+    assert rows[1].topw == 0.375
+    assert (rows[2].u, rows[2].d2, rows[2].topw) == (0.0, 0.0, 0.0)
+    assert (rows[3].u, rows[3].d2, rows[3].topw) == (1.0, 0.0, 1.0)
+
+
+def test_collapse_adjacent_repeats_property(spark):
+    from trello_github_etl_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c b c x"), (2, ""), (3, "solo"), (4, "z z z z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.kept
+        for r in df.withColumn("tk", textstats.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            textstats.collapse_adjacent_repeats(F.col("tk")).alias("kept"),
+        )
+        .collect()
+    }
+    assert rows[1] == ["a", "b", "c", "b", "c", "x"]
+    assert rows[2] == []
+    assert rows[3] == ["solo"]
+    assert rows[4] == ["z"]
+    # idempotence: collapsing a collapsed stream is a no-op
+    df2 = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in rows.items()], "doc_id long, text string"
+    )
+    again = {
+        r.doc_id: r.kept
+        for r in df2.withColumn("tk", textstats.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            textstats.collapse_adjacent_repeats(F.col("tk")).alias("kept"),
+        )
+        .collect()
+    }
+    assert again == rows

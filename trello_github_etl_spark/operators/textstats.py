@@ -117,6 +117,60 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams (duplicates KEPT) from a token-ARRAY column.
+
+    Same zip construction as ``shingles`` (no ``array_distinct``), but
+    takes the materialized token array rather than raw text: lambda
+    bodies get no CSE, so callers compute ``tokens(text)`` once via
+    ``withColumn`` and pass the attribute reference.
+    """
+    cap = F.size(toks)
+    parts = [F.slice(toks, i + 1, cap).alias(f"g{i}") for i in range(n)]
+    full = F.filter(
+        F.arrays_zip(*parts), lambda s: s[f"g{n - 1}"].isNotNull()
+    )
+    return F.transform(
+        full, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)])
+    )
+
+
+def duplicate_fraction(arr: Column) -> Column:
+    """1 - distinct/total over an array — the Gopher-style duplicate
+    n-gram fraction when fed ``ngrams``; 0.0 for empty arrays."""
+    return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+    )
+
+
+def unique_fraction(arr: Column) -> Column:
+    """distinct/total over an array (type-token ratio on tokens)."""
+    return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+    )
+
+
+def top_element_ratio(toks: Column) -> Column:
+    """Frequency of the most common element / total (Gopher's
+    top-word concentration signal). Nested HOF — O(unique·n) per row,
+    pure per-row CPU in the scan task, no shuffle."""
+    counts = F.transform(
+        F.array_distinct(toks), lambda w: F.size(F.filter(toks, lambda x: x == w))
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.array_max(counts).cast("double") / F.size(toks)
+    )
+
+
+def collapse_adjacent_repeats(toks: Column) -> Column:
+    """Repetition removal: drop tokens equal to their predecessor
+    (``a a a b`` → ``a b``). Index lambda + 0-based ``F.get`` (never
+    errors out-of-bounds, unlike ``element_at`` under ANSI)."""
+    return F.filter(
+        toks, lambda x, i: (i == F.lit(0)) | (x != F.get(toks, i - 1))
+    )
+
+
 def winnow_fingerprint(text: Column, n: int = 5) -> Column:
     """Rolling-hash style fingerprint: lexicographic-min md5 over word
     n-gram shingles (1-seed minhash); null for too-short docs."""

@@ -180,6 +180,95 @@ def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t8_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tk,
+        list_transform(range(1, greatest(len(tk)-1, 0)+1),
+                       i -> array_to_string(list_slice(tk, i, i+1), ' ')) AS g2,
+        list_transform(range(1, greatest(len(tk)-2, 0)+1),
+                       i -> array_to_string(list_slice(tk, i, i+2), ' ')) AS g3
+      FROM toks
+    )
+    SELECT doc_id,
+      len(tk) AS n_tokens,
+      CASE WHEN len(tk) = 0 THEN 0.0
+           ELSE CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+      END AS unique_word_ratio,
+      CASE WHEN len(g2) = 0 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+      END AS dup_2gram_ratio,
+      CASE WHEN len(g3) = 0 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      END AS dup_3gram_ratio,
+      CASE WHEN len(tk) = 0 THEN 0.0
+           ELSE CAST(list_max(list_transform(list_distinct(tk),
+                w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk)
+      END AS top_word_ratio
+    FROM grams
+    """,
+)
+def t8_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1 quality heuristics): type-token ratio, duplicate 2/3-gram
+    fractions, top-word concentration. All-native HOFs over ONE
+    materialized token array — no UDF, no shuffle; scales as pure
+    per-row CPU in the scan task."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tk = F.col("tk")
+    with_g = (
+        docs.withColumn("tk", textstats.tokens(F.col("text")))
+        .withColumn("g2", textstats.ngrams(tk, 2))
+        .withColumn("g3", textstats.ngrams(tk, 3))
+    )
+    return with_g.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        textstats.unique_fraction(tk).alias("unique_word_ratio"),
+        textstats.duplicate_fraction(F.col("g2")).alias("dup_2gram_ratio"),
+        textstats.duplicate_fraction(F.col("g3")).alias("dup_3gram_ratio"),
+        textstats.top_element_ratio(tk).alias("top_word_ratio"),
+    )
+
+
+@query(
+    "t9_collapse_repeats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    ),
+    coll AS (
+      SELECT doc_id, tk,
+             list_filter(tk, (x, i) -> i = 1 OR x != tk[i-1]) AS kept
+      FROM toks
+    )
+    SELECT doc_id, len(tk) AS n_tokens, len(kept) AS n_after,
+           array_to_string(kept, ' ') AS collapsed
+    FROM coll
+    """,
+)
+def t9_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition removal as a transform: collapse runs of identical
+    adjacent tokens and re-render the doc. Index-lambda filter (0-based
+    in Spark, 1-based in the DuckDB oracle — both pinned here)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tk, kept = F.col("tk"), F.col("kept")
+    return (
+        docs.withColumn("tk", textstats.tokens(F.col("text")))
+        .withColumn("kept", textstats.collapse_adjacent_repeats(tk))
+        .select(
+            "doc_id",
+            F.size(tk).alias("n_tokens"),
+            F.size(kept).alias("n_after"),
+            F.concat_ws(" ", kept).alias("collapsed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
