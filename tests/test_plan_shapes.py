@@ -113,3 +113,13 @@ def test_keyset_page_is_topk_over_scan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "o_orderdate" in plan.split("FileScan")[1].split("ReadSchema")[0]
+
+
+def test_repetition_stats_single_narrow_pass(spark):
+    # The whole point of the HOF design: everything happens in one
+    # Project over the scan — no shuffle, no Python workers.
+    for name in ("t8_repetition_stats", "t9_collapse_repeats"):
+        plan = _plan(_q(spark, name))
+        assert "Join" not in plan, name
+        assert plan.count("Exchange") <= 1, name  # ensure_parallelism only
+        assert "EvalPython" not in plan, name
