@@ -503,3 +503,45 @@ def test_collapse_adjacent_repeats_property(spark):
         .collect()
     }
     assert again == rows
+
+
+def test_repetition_ops_match_python_model(spark):
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "ab", "xyz", "q0", "longword"]
+    cases = ["", "a", "a a", " ".join(["b"] * 50)]
+    for _ in range(200):
+        cases.append(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        )
+    from trello_github_etl_spark.operators import textstats
+
+    df = spark.createDataFrame(list(enumerate(cases)), "doc_id long, text string")
+    tk = F.col("tk")
+    rows = (
+        df.withColumn("tk", textstats.tokens(F.col("text")))
+        .withColumn("g2", textstats.ngrams(tk, 2))
+        .select(
+            "doc_id",
+            textstats.unique_fraction(tk).alias("u"),
+            textstats.duplicate_fraction(F.col("g2")).alias("d2"),
+            textstats.top_element_ratio(tk).alias("topw"),
+            textstats.collapse_adjacent_repeats(tk).alias("kept"),
+        )
+        .collect()
+    )
+    for r in rows:
+        toks = cases[r.doc_id].split()
+        n = len(toks)
+        u = len(set(toks)) / n if n else 0.0
+        g2 = [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+        d2 = 1.0 - len(set(g2)) / len(g2) if g2 else 0.0
+        topw = max(Counter(toks).values()) / n if n else 0.0
+        kept = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
+        case = cases[r.doc_id]
+        assert r.u == pytest.approx(u), case
+        assert r.d2 == pytest.approx(d2), case
+        assert r.topw == pytest.approx(topw), case
+        assert r.kept == kept, case
