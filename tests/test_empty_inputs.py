@@ -34,7 +34,8 @@ REPRESENTATIVE = [
     "s1_cosine_topk", "s4_ivf_topk", "s8_quantized_topk",
     "s9_kmeans_refine", "pipe1_clean_corpus", "pipe3_token_chunks",
     "prof1_orders_stats", "tpch18_large_orders", "tpch21_waiting_supplier",
-    "sql1_region_revenue",
+    "sql1_region_revenue", "t8_repetition_stats", "t9_collapse_repeats",
+    "sql5_recursive_month_spine", "sql6_lateral_topk_per_customer",
 ]
 
 
