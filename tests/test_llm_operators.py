@@ -545,3 +545,27 @@ def test_repetition_ops_match_python_model(spark):
         assert r.d2 == pytest.approx(d2), case
         assert r.topw == pytest.approx(topw), case
         assert r.kept == kept, case
+
+
+def test_top_element_ratio_grouped_matches_hof(spark):
+    from trello_github_etl_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c b c x"), (2, ""), (3, "solo"), (4, "z z q z")],
+        "doc_id long, text string",
+    ).withColumn("tk", textstats.tokens(F.col("text")))
+    hof = {
+        r.doc_id: r.r
+        for r in df.select(
+            "doc_id", textstats.top_element_ratio(F.col("tk")).alias("r")
+        ).collect()
+    }
+    grouped = {
+        r.doc_id: r.top_element_ratio
+        for r in textstats.top_element_ratio_grouped(df, "doc_id", "tk").collect()
+    }
+    # empty doc drops out of the grouped form; all others must agree
+    assert 2 not in grouped
+    for k, v in grouped.items():
+        assert v == pytest.approx(hof[k])
+    assert set(grouped) == {1, 3, 4}

@@ -162,6 +162,23 @@ def top_element_ratio(toks: Column) -> Column:
     )
 
 
+def top_element_ratio_grouped(df, id_col: str, toks_col: str):
+    """Long-document variant of ``top_element_ratio``: explode +
+    two-level groupBy. Linear in token count but shuffles (token,id)
+    rows; the nested-HOF column form is O(unique·n) per row with NO
+    shuffle. Measured crossover (SCALE.md lesson 16): HOF wins on
+    short docs (~100 tokens), this wins ~10× on 2k-token docs.
+    Docs with zero tokens drop out (no rows to group) — rejoin with
+    a 0.0 default if full coverage is needed."""
+    from pyspark.sql import functions as F  # noqa: PLC0415 (match module style)
+
+    t = df.select(id_col, F.explode(F.col(toks_col)).alias("_w"))
+    cnt = t.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
+    return cnt.groupBy(id_col).agg(
+        (F.max("_c").cast("double") / F.sum("_c")).alias("top_element_ratio")
+    )
+
+
 def collapse_adjacent_repeats(toks: Column) -> Column:
     """Repetition removal: drop tokens equal to their predecessor
     (``a a a b`` → ``a b``). Index lambda + 0-based ``F.get`` (never
