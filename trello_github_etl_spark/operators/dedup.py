@@ -281,10 +281,8 @@ def connected_components(
     labels = (
         edges.select("u").distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-    cached = labels  # the materialized frame backing `labels`
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -294,8 +292,15 @@ def connected_components(
             .agg(F.min("label").alias("nmin"))
         )
         # one join carries both the updated label and the old one, so
-        # convergence is a single aggregate over the cached frame —
-        # not a second labels⋈labels join per round
+        # convergence is a single aggregate over the materialized
+        # frame — not a second labels⋈labels join per round.
+        # localCheckpoint (vs cache) TRUNCATES LINEAGE each round:
+        # with cache alone the logical plan nests every prior round,
+        # so planning time grows per iteration and losing a cached
+        # partition recomputes from round 0. Checkpointed labels are
+        # one row per node — tiny next to the edge list. (On a real
+        # cluster, swap for reliable checkpoint() + checkpoint dir if
+        # executor loss mid-algorithm must be survivable.)
         joined = (
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["nbr_node"], "left"
@@ -307,15 +312,13 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = joined.filter(F.col("label") != F.col("old_label")).count()
-        cached.unpersist()
-        cached = joined
         labels = joined.select("node", "label")
         if changed == 0:
             break
-    edges.unpersist()  # final labels are cached + materialized above
+    edges.unpersist()  # final labels are checkpoint-backed above
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
