@@ -303,6 +303,48 @@ def f14_json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F14 variant path: Spark 4 VARIANT for schema-flexible semi-structured
+# data — parse once, extract typed fields lazily (no up-front schema,
+# unlike from_json). The reference's JSON.parse of `settings`
+# (lib/gh.js:66) is exactly this shape: opaque JSON whose fields are
+# pulled out typed at use sites.
+# ---------------------------------------------------------------------------
+@query(
+    "f15_variant_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(k_value) AS sum_k,
+           MAX(k_value) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      FROM events
+    ) t
+    WHERE k_value >= 50
+    GROUP BY event_type
+    """,
+)
+def f15_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT parse + typed path extraction + aggregation over the
+    shredded field. ``try_variant_get`` returns NULL on path-miss or
+    cast failure (the F13 guard semantics); the binary variant
+    encoding keeps repeated extraction cheap vs re-parsing strings."""
+    events = load_table(spark, sf_dir, "events")
+    k_val = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k_val.alias("k_value"))
+        .filter(F.col("k_value") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k_value").alias("sum_k"),
+            F.max("k_value").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full composite: parseChecklistItem (lib/transform.js:25–70).
 # ---------------------------------------------------------------------------
 @query(
