@@ -283,3 +283,19 @@ def test_ivm_property_batched_inserts_plus_retractions(
         else {}
     )
     assert got == want
+
+
+def test_observe_quality_metrics_ride_the_action(spark):
+    from trello_github_etl_spark.operators.observe import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)],
+        "id long, v string",
+    )
+    inst, obs = observe_quality(df, ["v", "id"], name="q1")
+    # one action drives both the result and the metrics — no re-scan
+    assert inst.count() == 4
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["null_v"] == 2
+    assert got["null_id"] == 0
