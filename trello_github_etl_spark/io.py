@@ -46,20 +46,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # shift those relative to the oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
-        # reader rejects outright (PARQUET_TYPE_ILLEGAL) unless
-        # nanosAsLong is on. The data is µs-precision, so the micros
-        # conversion is exact (verified: epoch_ns % 1000 == 0).
+        # Older testdata ships events.ts as parquet TIMESTAMP(NANOS),
+        # which the vectorized reader rejects outright
+        # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is on. The data is
+        # µs-precision, so the micros conversion is exact (verified:
+        # epoch_ns % 1000 == 0). Harmless when the file is µs-encoded.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             # integer division — float division of epoch-nanos exceeds
             # double precision (53 bits) and lands ±1 µs off
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Newer testdata is TIMESTAMP(MICROS, isAdjustedToUTC=false)
+            # → Spark infers TIMESTAMP_NTZ. Engine contract is
+            # TimestampType; with the session TZ pinned to UTC above,
+            # the NTZ→LTZ cast preserves every wall-clock field, so
+            # oracle comparisons are unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
