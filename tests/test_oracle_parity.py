@@ -38,6 +38,28 @@ def _normalize(rows, cols):
 
 
 @pytest.mark.parametrize("name", sorted(QS))
+def test_output_schema_is_driver_hashable(name, spark):
+    """The driver's canonicalizer (pandas sort_values over every
+    column) throws ``unhashable type: 'list'`` on array/map/struct
+    outputs — CORRECTNESS_r01 lost 4 rows to exactly this. Guard:
+    every registered query's top-level output columns must be scalar
+    (serialize arrays with array_join/to_json, or explode to rows).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QS[name](spark, SF_DIR)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits non-scalar output columns {complex_cols}; "
+        "the driver gate cannot canonicalize these"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QS))
 def test_query_matches_oracle(name, spark, duck):
     sdf = QS[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]

@@ -46,16 +46,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # shift those relative to the oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Older testdata ships events.ts as parquet TIMESTAMP(NANOS),
-        # which the vectorized reader rejects outright
-        # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is on. The data is
-        # µs-precision, so the micros conversion is exact (verified:
-        # epoch_ns % 1000 == 0). Harmless when the file is µs-encoded.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        except Exception:
+            # Older testdata ships events.ts as parquet
+            # TIMESTAMP(NANOS), which the vectorized reader rejects
+            # outright (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is
+            # on. The data is µs-precision, so the micros conversion
+            # is exact (verified: epoch_ns % 1000 == 0).
+            # SESSION-WIDE SIDE EFFECT (deliberate): the conf must
+            # stay set until the scan executes — Spark re-reads it
+            # when the physical plan is built, so restoring it here
+            # would break the deferred scan. Only nanos-encoded
+            # testdata takes this branch; µs-encoded files never
+            # flip the conf.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+        from pyspark.sql.types import (
+            LongType,
+            TimestampNTZType,
+            TimestampType,
+        )
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
@@ -67,8 +82,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # → Spark infers TIMESTAMP_NTZ. Engine contract is
             # TimestampType; with the session TZ pinned to UTC above,
             # the NTZ→LTZ cast preserves every wall-clock field, so
-            # oracle comparisons are unchanged.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # oracle comparisons are unchanged. Cast to the explicit
+            # DataType instance — the "timestamp" keyword resolves via
+            # spark.sql.timestampType, and a host session configured
+            # with TIMESTAMP_NTZ would silently no-op the cast.
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

@@ -440,9 +440,17 @@ def _kmeans_ctes(n_iter: int = 2) -> str:
 
 
 def _kmeans_oracle(n_iter: int = 2) -> str:
+    # One row per (centroid, dimension): sums{n} already carries the
+    # per-dimension fixed-point sum, so the final mean is recomputed
+    # with the identical double arithmetic as the Spark side. Row
+    # form (not a list column) keeps the output driver-hashable.
+    fix = "1000000000.0"
     return (
         _kmeans_ctes(n_iter)
-        + f"\n    SELECT cent_id, n_members, c_vec FROM cents{n_iter}"
+        + f"""
+    SELECT cell AS cent_id, n AS n_members, pos,
+           (CAST(s AS DOUBLE) / {fix}) / n AS val
+    FROM sums{n_iter}"""
     )
 
 
@@ -452,12 +460,20 @@ def s9_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible fixed-point mean accumulation (the operator doc
     on similarity.kmeans_refine explains why the 1e-9 grid makes the
     distributed sum partitioning-invariant — which is also exactly
-    what lets a DuckDB oracle check an iterative float algorithm)."""
+    what lets a DuckDB oracle check an iterative float algorithm).
+    The centroid vector is exploded to (cent_id, n_members, pos, val)
+    rows — 1-based pos to match the oracle's generate_series — so the
+    output has no array column for the driver to choke on."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    return similarity.kmeans_refine(emb, cents, n_iter=2)
+    refined = similarity.kmeans_refine(emb, cents, n_iter=2)
+    return refined.select(
+        "cent_id",
+        "n_members",
+        F.posexplode("c_vec").alias("pos", "val"),
+    ).withColumn("pos", (F.col("pos") + F.lit(1)).cast("long"))
 
 
 def _trained_ivf_oracle() -> str:

@@ -282,12 +282,19 @@ def t9_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM docs
     )
     SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM fps GROUP BY fp HAVING COUNT(*) > 1
     """,
 )
 def dd1_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(_augmented_docs(spark, sf_dir))
+    # doc_ids serialized to a csv string: the driver's canonicalizer
+    # hashes scalar columns only (pandas sort_values chokes on lists).
+    return dedup.exact_duplicates(_augmented_docs(spark, sf_dir)).withColumn(
+        "doc_ids",
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ),
+    )
 
 
 @query(
@@ -300,13 +307,20 @@ def dd1_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {SQL_SHINGLES3.format(toks='tk')} AS s FROM toks
     )
     SELECT doc_id,
-      [{', '.join("list_min(list_transform(s, x -> " + SQL_H60.format(x=f"'{i}|' || x") + "))" for i in range(dedup.NUM_MINHASHES))}] AS sig
+      array_to_string([{', '.join("list_min(list_transform(s, x -> " + SQL_H60.format(x=f"'{i}|' || x") + "))" for i in range(dedup.NUM_MINHASHES))}], ',') AS sig
     FROM sh
     WHERE len(s) > 0
     """,
 )
 def dd2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    # sig serialized to csv (bigints render identically on both
+    # engines) so the driver canonicalizer can sort/hash the column.
+    return dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents")
+    ).withColumn(
+        "sig",
+        F.array_join(F.transform("sig", lambda x: x.cast("string")), ","),
+    )
 
 
 @query(
@@ -837,7 +851,9 @@ def t7_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x
     )
     SELECT vec_id, scale,
-           list_transform(xe, v -> CAST(round(v * scale) AS INTEGER)) AS qvec
+           array_to_string(
+             list_transform(xe, v -> CAST(round(v * scale) AS INTEGER)),
+             ',') AS qvec
     FROM s
     """,
 )
@@ -845,8 +861,14 @@ def s7_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding store (the 4x
     compression pass before ANN serving at 100 TB). Round-half rules
     agree across engines: Spark's HALF_UP and DuckDB's round() both
-    round halves away from zero."""
-    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    round halves away from zero. The int8 code array is serialized to
+    a csv string so the driver canonicalizer can hash it."""
+    return similarity.quantize_int8(
+        load_table(spark, sf_dir, "embeddings")
+    ).withColumn(
+        "qvec",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ","),
+    )
 
 
 # int8 quantization + integer-cosine scoring, shared shape with s7.

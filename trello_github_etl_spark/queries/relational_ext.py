@@ -291,16 +291,21 @@ def setops_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       p_brand,
-      list_sort(list(DISTINCT p_type)) AS types
+      array_to_string(list_sort(list(DISTINCT p_type)), '|') AS types
     FROM part
     GROUP BY p_brand
     """,
 )
 def o2_sorted_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set → sort_array: deterministic sorted label lists."""
+    """collect_set → sort_array: deterministic sorted label lists,
+    serialized '|'-joined (p_type values never contain '|') so the
+    output stays driver-hashable — the gate's canonicalizer cannot
+    sort/hash list-typed columns."""
     part = load_table(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
-        F.sort_array(F.collect_set("p_type")).alias("types")
+        F.array_join(F.sort_array(F.collect_set("p_type")), "|").alias(
+            "types"
+        )
     )
 
 
