@@ -73,15 +73,70 @@ def test_lsh_topk_subset_of_brute_force_bucketmates(spark):
     assert self_hits == {r.q_id for r in qs.select("q_id").collect()}
 
 
-def test_real_codec_is_gated(spark):
+def _wav_bytes(freq_hz=440.0, rate=16_000, seconds=0.5, amp=0.5):
+    """Synthesize a mono 16-bit PCM WAV of a sine tone."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    sig = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    return buf.getvalue()
+
+
+def _ppm_bytes(width=8, height=4, value=100):
+    """Binary netpbm P6 image with every channel = value."""
+    return (
+        f"P6\n{width} {height}\n255\n".encode()
+        + bytes([value]) * (width * height * 3)
+    )
+
+
+def test_real_codec_unsupported_formats_fail_loudly(spark):
     media = spark.createDataFrame(
-        [(1, "image", b"bytes", "src")],
+        [(1, "video", b"bytes", "src")],
         "media_id long, media_type string, payload binary, meta_source string",
     )
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media, codec="real")
+    with pytest.raises(Exception):  # NotImplementedError inside the task
+        multimodal.decode_media(media, codec="real").collect()
     with pytest.raises(ValueError):
         multimodal.decode_media(media, codec="webp")
+
+
+def test_real_codec_decodes_wav_and_ppm(spark):
+    """codec='real' actually parses the payload bytes: PPM dims and
+    pixel stats, WAV channel/bit-depth/frame counts and RMS (a 0.5-amp
+    sine has RMS 0.5/sqrt(2)) — not md5 derivations."""
+    import math
+
+    wav = _wav_bytes(seconds=0.25, amp=0.5)
+    ppm = _ppm_bytes(width=8, height=4, value=100)
+    media = spark.createDataFrame(
+        [(1, "audio", wav, "s"), (2, "image", ppm, "s")],
+        "media_id long, media_type string, payload binary, meta_source string",
+    )
+    rows = {
+        r.media_id: r
+        for r in multimodal.decode_media(media, codec="real").collect()
+    }
+    img = rows[2]
+    assert (img.width, img.height, img.n_frames) == (8, 4, 1)
+    assert img.feat_0 == pytest.approx(100 / 255.0)  # mean pixel
+    assert img.feat_1 == pytest.approx(0.0)  # uniform → zero std
+    aud = rows[1]
+    assert (aud.width, aud.height) == (1, 16)  # mono, 16-bit
+    assert aud.n_frames == 4000  # 0.25 s @ 16 kHz
+    assert aud.feat_0 == pytest.approx(0.5 / math.sqrt(2), rel=1e-2)
+    # 440 Hz for 0.25 s → ~220 zero crossings over 4000 samples
+    assert aud.feat_1 == pytest.approx(220 / 4000, rel=0.05)
 
 
 def test_fake_codec_deterministic_batch_shape(spark):
@@ -429,13 +484,29 @@ def test_audio_segments_tile_each_clip(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
-def test_audio_real_codec_is_gated(spark):
+def test_audio_real_codec_segments_wav(spark):
+    """Real WAV segmentation: window/hop tiling over the true sample
+    count, per-window RMS of the decoded signal."""
+    import math
+
+    wav = _wav_bytes(seconds=1.0, rate=16_000, amp=0.5)  # 16k samples
     media = spark.createDataFrame(
-        [(1, "audio", b"bytes", "s")],
+        [(1, "audio", wav, "s")],
         "media_id long, media_type string, payload binary, meta_source string",
     )
-    with pytest.raises(NotImplementedError):
-        multimodal.segment_audio(media, codec="real")
+    segs = sorted(
+        multimodal.segment_audio(
+            media, window=8_000, hop=4_000, codec="real"
+        ).collect(),
+        key=lambda r: r.seg_idx,
+    )
+    assert len(segs) == 4  # ceil(16000/4000)
+    assert all(s.sample_rate == 16_000 and s.n_samples == 16_000 for s in segs)
+    assert [s.start_sample for s in segs] == [0, 4000, 8000, 12000]
+    assert [s.end_sample for s in segs] == [8000, 12000, 16000, 16000]
+    # full windows of a 0.5-amp sine: RMS = 0.5/sqrt(2)
+    for s in segs[:3]:
+        assert s.seg_feat == pytest.approx(0.5 / math.sqrt(2), rel=1e-2)
     with pytest.raises(ValueError):
         multimodal.segment_audio(media, codec="mp3")
 
@@ -569,3 +640,86 @@ def test_top_element_ratio_grouped_matches_hof(spark):
     for k, v in grouped.items():
         assert v == pytest.approx(hof[k])
     assert set(grouped) == {1, 3, 4}
+
+
+def test_twostar_components_match_propagation(spark):
+    """large-star/small-star must produce the identical
+    (node → component-min) labeling as min-label propagation on a
+    skewed graph mix: a path (worst case for diameter), a hub star
+    (worst case for degree skew), a triangle, and isolated pairs —
+    with edge directions deliberately scrambled."""
+    from trello_github_etl_spark.operators import dedup
+
+    edges = [(i + 1, i) for i in range(100, 115)]  # path, reversed dirs
+    edges += [(200, 200 + j) for j in range(1, 30)]  # star
+    edges += [(300, 301), (301, 302), (302, 300)]  # triangle
+    edges += [(501, 500), (600, 601)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_twostar(pairs).collect()
+    }
+    assert star == prop
+    assert star[115] == 100
+    assert star[229] == 200
+    assert star[302] == 300
+    assert star[501] == 500 and star[601] == 600
+
+
+def test_twostar_converges_fast_on_long_path(spark):
+    """A diameter-60 path needs ~60 label-propagation rounds but must
+    collapse in O(log² n) two-star rounds — the whole point of the
+    algorithm. max_iter=10 would leave propagation unconverged; the
+    two-star labels must still be exact."""
+    from trello_github_etl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_twostar(
+            pairs, max_iter=10
+        ).collect()
+    }
+    assert star == {i: 0 for i in range(61)}
+
+
+def test_top_element_ratio_adaptive_matches_hof_both_paths(spark):
+    """The adaptive operator must agree with the per-row HOF on every
+    doc regardless of which path (marker row vs explode) the doc
+    takes — including full coverage of empty docs (ratio 0.0), which
+    the pure grouped variant drops."""
+    from trello_github_etl_spark.operators import textstats
+
+    rows = [
+        (1, "a a a b c b c x"),  # 8 tokens
+        (2, ""),  # empty → 0.0, short path
+        (3, "solo"),
+        (4, "z z q z"),
+        (5, " ".join(["w"] * 40 + ["v", "u"] * 10)),  # 60 tokens, long path
+        (6, " ".join(str(i % 7) for i in range(25))),  # long path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "tk", textstats.tokens(F.col("text"))
+    )
+    hof = {
+        r.doc_id: r.r
+        for r in df.select(
+            "doc_id", textstats.top_element_ratio(F.col("tk")).alias("r")
+        ).collect()
+    }
+    for threshold in (0, 10, 1000):  # all-long, mixed, all-short
+        got = {
+            r.doc_id: r.top_element_ratio
+            for r in textstats.top_element_ratio_adaptive(
+                df.select("doc_id", "tk"), "doc_id", "tk", threshold=threshold
+            ).collect()
+        }
+        assert set(got) == set(hof), threshold
+        for k, v in got.items():
+            assert v == pytest.approx(hof[k]), (threshold, k)

@@ -123,3 +123,15 @@ def test_repetition_stats_single_narrow_pass(spark):
         assert "Join" not in plan, name
         assert plan.count("Exchange") <= 1, name  # ensure_parallelism only
         assert "EvalPython" not in plan, name
+
+
+def test_adaptive_top_ratio_is_single_scan(spark):
+    """t8a's whole value proposition: ONE corpus scan (marker rows +
+    token rows from the same explode), never a second read of the
+    documents table, no join, no Python workers. Two Exchanges are
+    the two groupBy levels (+ ensure_parallelism round-robin)."""
+    plan = _plan(_q(spark, "t8a_top_word_adaptive"))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final, two levels

@@ -68,3 +68,67 @@ def test_vacuum_drops_old_keeps_current(spark, store):
     assert store.read(spark).collect()[0].title == "t3"
     with pytest.raises(ValueError):
         store.read(spark, version=1)
+
+
+def test_stale_cas_commit_conflicts_and_preserves_winner(spark, store):
+    """Multi-writer guard (manifest CAS): a commit computed from a
+    stale base must abort with CommitConflictError, clean up its
+    orphan, and leave the winning writer's version untouched."""
+    from trello_github_etl_spark.plans.state_store import CommitConflictError
+
+    store.commit(_df(spark, [("a", "t1")]))  # v1
+    stale_base = store.latest_version()
+    store.commit(_df(spark, [("a", "t2")]))  # competing writer -> v2
+    with pytest.raises(CommitConflictError, match="re-read and retry"):
+        store.commit(
+            _df(spark, [("a", "LOST-UPDATE")]), expected_version=stale_base
+        )
+    # winner intact, loser invisible
+    assert store.latest_version() == 2
+    assert [r.title for r in store.read(spark).collect()] == ["t2"]
+    # retry-after-reread protocol succeeds
+    v3 = store.commit(
+        _df(spark, [("a", "t3")]), expected_version=store.latest_version()
+    )
+    assert v3 == 3
+
+
+def test_directory_claim_race_conflicts(spark, store):
+    """Even without a CAS expectation, two writers racing for the
+    same version number cannot both win: the version directory is the
+    claim token, and the loser gets CommitConflictError — never a
+    silent overwrite of published data."""
+    from trello_github_etl_spark.plans.state_store import CommitConflictError
+
+    store.commit(_df(spark, [("a", "t1")]))  # v1
+    # a competing writer has already claimed v2's directory
+    os.makedirs(os.path.join(store.root, "v00000002"))
+    with pytest.raises(CommitConflictError, match="already claimed"):
+        store.commit(_df(spark, [("a", "t2")]))
+    # the published table is unaffected
+    assert store.latest_version() == 1
+    assert [r.title for r in store.read(spark).collect()] == ["t1"]
+
+
+def test_merge_threads_cas_through(spark, store, monkeypatch):
+    """merge() computes from a snapshot and must carry that snapshot
+    version as its CAS expectation: if another writer publishes
+    between the snapshot read and the commit, the merge aborts
+    instead of silently dropping the competitor's rows."""
+    from trello_github_etl_spark.plans import state_store as ss
+
+    store.commit(_df(spark, [("a", "t1"), ("b", "t1")]))  # v1
+
+    real_read = store.read
+    interleaved = {}
+
+    def read_then_interleave(spark_arg, version=None):
+        snap = real_read(spark_arg, version)
+        if not interleaved:  # publish a competing merge exactly once
+            interleaved["done"] = True
+            store.commit(_df(spark, [("z", "competitor")]), op="merge")
+        return snap
+
+    monkeypatch.setattr(store, "read", read_then_interleave)
+    with pytest.raises(ss.CommitConflictError):
+        store.merge(_df(spark, [("b", "t9")]))

@@ -324,9 +324,116 @@ def connected_components(
     )
 
 
+def connected_components_twostar(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, cluster_id=min reachable node) via alternating
+    large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — the guarded
+    alternative to ``connected_components`` for corpora with GIANT
+    near-dup clusters.
+
+    Why two algorithms: min-label propagation needs O(diameter)
+    rounds and keeps the full edge list in every join, so a single
+    pathological component (boilerplate pages, templated spam) with
+    diameter in the hundreds stalls the job. Large-star/small-star
+    converges in O(log² n) rounds regardless of diameter AND
+    monotonically shrinks/flattens the edge set toward stars, so the
+    per-round shuffle gets cheaper as it goes. Trade-off: each round
+    is two shuffle stages instead of one, so for the common
+    small-dense-cluster regime the simple propagation wins — keep it
+    the default, switch here when cluster shapes degrade.
+
+    Round structure (all DataFrame ops, nothing collects):
+    - large-star: symmetrize, per-node min m over Γ(u)∪{u}, emit
+      (v, m) for strictly larger neighbors v — after this every edge
+      points big→small;
+    - small-star: on the big→small edges, per-node min m of N(u)∪{u},
+      re-hang u and its non-min neighbors on m.
+    Convergence = fixed edge set, checked with a (count,
+    sum(xxhash64)) signature — one scalar aggregate per round, same
+    driver-side-only contract as the sibling algorithm;
+    ``localCheckpoint`` truncates per-round lineage.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # start from big→small orientation so round 1's large-star sees
+    # the same canonical form every later round produces
+    edges = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    def signature(df: DataFrame):
+        # decimal sum: ANSI mode overflows a plain long sum of
+        # 64-bit hashes
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
+    for _ in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star input is big→small by construction of large
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        hang_neighbors = (
+            large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        hang_self = smins.select("u", F.col("m").alias("v"))
+        edges = (
+            hang_neighbors.unionByName(hang_self)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    return all_nodes.join(
+        edges, all_nodes["node"] == edges["u"], "left"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("v"), F.col("node")).alias("cluster_id"),
+    )
+
+
 def dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """MinHash-LSH candidate pairs → connected duplicate clusters."""
     return connected_components(minhash_lsh_pairs(docs, text_col))
+
+
+def dup_clusters_twostar(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH pairs → clusters via large-star/small-star (the
+    giant-component-safe path)."""
+    return connected_components_twostar(minhash_lsh_pairs(docs, text_col))
 
 
 def decontaminate(

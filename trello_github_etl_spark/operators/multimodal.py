@@ -7,10 +7,14 @@ behavior — while the codec itself is swappable:
 
 - ``decode_media(..., codec="fake")`` uses a deterministic md5-derived
   decoder (so results are oracle-checkable and tests are hermetic);
-- ``codec="real"`` raises ``NotImplementedError`` where Pillow/ffmpeg
-  calls belong (those libraries aren't in this container). The batch
-  shape, schema, and partitioning don't change between codecs — swap
-  the codec, keep the pipeline.
+- ``codec="real"`` actually decodes the two formats stdlib+numpy can
+  handle without Pillow/ffmpeg (absent in this container): WAV audio
+  (``wave`` module → rate/bit-depth/RMS/zero-crossings) and binary
+  PPM "P6" images (netpbm header → dims, numpy → pixel stats). Video
+  (and other image/audio containers) remain a loud
+  ``NotImplementedError`` boundary. The batch shape, schema, and
+  partitioning don't change between codecs — swap the codec, keep
+  the pipeline.
 
 Scale notes: payloads never leave their partition (mapInPandas is a
 narrow transform); Arrow moves each batch across the Python boundary
@@ -69,20 +73,79 @@ def _fake_decode_one(media_id: int, media_type: str, payload: bytes) -> tuple:
     return media_id, media_type, width, height, n_frames, feat_0, feat_1
 
 
+def _real_decode_one(media_id: int, media_type: str, payload: bytes) -> tuple:
+    """Actual decode for the formats stdlib+numpy cover.
+
+    - image (binary PPM "P6"): width/height from the netpbm header;
+      feat_0 = mean pixel value / 255, feat_1 = std / 255.
+    - audio (WAV): width = n_channels, height = bit depth (the
+      generic dims fields repurposed per the schema doc), n_frames =
+      audio frames; feat_0 = RMS of the normalized signal, feat_1 =
+      zero-crossing fraction.
+    - anything else: loud capability boundary (Pillow/ffmpeg are not
+      in this container).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    payload = bytes(payload) if payload is not None else b""
+    if media_type == "image" and payload.startswith(b"P6"):
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        width, height, _maxval = fields
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=width * height * 3, offset=pos + 1
+        ).astype(np.float64)
+        return (
+            media_id, media_type, width, height, 1,
+            float(px.mean() / 255.0), float(px.std() / 255.0),
+        )
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        with wave.open(io.BytesIO(payload)) as w:
+            n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
+        sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sampwidth == 1:
+            sig -= 128.0
+        sig /= float(2 ** (8 * sampwidth - 1))
+        rms = float(np.sqrt((sig**2).mean())) if sig.size else 0.0
+        zc = (
+            float((np.signbit(sig[1:]) != np.signbit(sig[:-1])).mean())
+            if sig.size > 1
+            else 0.0
+        )
+        return media_id, media_type, n_ch, 8 * sampwidth, n_frames, rms, zc
+    raise NotImplementedError(
+        f"real codec supports PPM images and WAV audio; got "
+        f"media_type={media_type!r} with magic {payload[:4]!r} "
+        "(Pillow/ffmpeg not available in this container)"
+    )
+
+
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """payload → features, one Arrow batch at a time (no shuffle)."""
-    if codec == "real":
-        raise NotImplementedError(
-            "real decode requires image/audio libs not present in this "
-            "container; the 'fake' codec exercises identical plumbing"
-        )
-    if codec != "fake":
+    if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
+    decode_one = _fake_decode_one if codec == "fake" else _real_decode_one
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _fake_decode_one(m, t, p)
+                decode_one(m, t, p)
                 for m, t, p in zip(
                     pdf["media_id"], pdf["media_type"], pdf["payload"]
                 )
@@ -157,35 +220,60 @@ def segment_audio(
     """Fixed-window audio segmentation: one output row per (clip,
     window) — the 1→N ``mapInPandas`` shape (mm1's decode is 1→1).
 
-    A real pipeline would decode PCM and emit per-window features
-    (energy, MFCC); the fake codec derives sample_rate / n_samples /
-    per-segment features from md5 so the oracle can reproduce every
-    value. The batch contract is the part that matters at scale: each
-    Arrow batch of clips expands to its segments WITHIN the same task
-    (narrow, no shuffle), so segmentation parallelism equals scan
-    parallelism and payload bytes never move between executors.
+    The fake codec derives sample_rate / n_samples / per-segment
+    features from md5 so the oracle can reproduce every value and
+    stays the driver-gate path; ``codec="real"`` decodes actual WAV
+    payloads (stdlib ``wave``) and emits per-window RMS energy. The
+    batch contract is the part that matters at scale and is shared by
+    both codecs: each Arrow batch of clips expands to its segments
+    WITHIN the same task (narrow, no shuffle), so segmentation
+    parallelism equals scan parallelism and payload bytes never move
+    between executors.
     """
-    if codec == "real":
-        raise NotImplementedError(
-            "real segmentation requires audio libs not present in this "
-            "container; the 'fake' codec exercises identical plumbing"
-        )
-    if codec != "fake":
+    if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
+
+    def clip_rows_fake(payload: bytes):
+        h = hashlib.md5(payload).hexdigest()
+        rate = 8000 + (int(h[0:4], 16) % 5) * 8000
+        n_samples = int(h[4:10], 16) % 480_000 + 16_000
+        n_segs = (n_samples - 1) // hop + 1
+        for seg in range(n_segs):
+            hh = hashlib.md5(payload + b":" + str(seg).encode()).hexdigest()
+            yield rate, n_samples, seg, int(hh[0:8], 16) / float(0xFFFFFFFF)
+
+    def clip_rows_real(payload: bytes):
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, sampwidth = w.getframerate(), w.getsampwidth()
+            n_samples = w.getnframes()
+            raw = w.readframes(n_samples)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
+        sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sampwidth == 1:
+            sig -= 128.0
+        sig /= float(2 ** (8 * sampwidth - 1))
+        # multi-channel: RMS over interleaved samples is channel-fair
+        n_ch = max(1, sig.size // max(n_samples, 1))
+        n_segs = (n_samples - 1) // hop + 1 if n_samples else 0
+        for seg in range(n_segs):
+            start, end = seg * hop, min(seg * hop + window, n_samples)
+            win = sig[start * n_ch : end * n_ch]
+            rms = float(np.sqrt((win**2).mean())) if win.size else 0.0
+            yield rate, n_samples, seg, rms
+
+    clip_rows = clip_rows_fake if codec == "fake" else clip_rows_real
 
     def seg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in AUDIO_SEG_SCHEMA.fieldNames()}
             for m, p in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(p) if p is not None else b""
-                h = hashlib.md5(payload).hexdigest()
-                rate = 8000 + (int(h[0:4], 16) % 5) * 8000
-                n_samples = int(h[4:10], 16) % 480_000 + 16_000
-                n_segs = (n_samples - 1) // hop + 1
-                for seg in range(n_segs):
-                    hh = hashlib.md5(
-                        payload + b":" + str(seg).encode()
-                    ).hexdigest()
+                for rate, n_samples, seg, feat in clip_rows(payload):
                     start = seg * hop
                     out["media_id"].append(m)
                     out["sample_rate"].append(rate)
@@ -193,9 +281,7 @@ def segment_audio(
                     out["seg_idx"].append(seg)
                     out["start_sample"].append(start)
                     out["end_sample"].append(min(start + window, n_samples))
-                    out["seg_feat"].append(
-                        int(hh[0:8], 16) / float(0xFFFFFFFF)
-                    )
+                    out["seg_feat"].append(feat)
             yield pd.DataFrame(out)
 
     return media.filter(F.col("media_type") == "audio").mapInPandas(

@@ -179,6 +179,68 @@ def top_element_ratio_grouped(df, id_col: str, toks_col: str):
     )
 
 
+TOP_RATIO_ADAPTIVE_THRESHOLD = 512
+
+
+def top_element_ratio_adaptive(
+    df,
+    id_col: str,
+    toks_col: str,
+    threshold: int = TOP_RATIO_ADAPTIVE_THRESHOLD,
+):
+    """Length-adaptive top-element ratio: per-row nested HOF below
+    ``threshold`` tokens, linear explode+regroup above it (SCALE.md
+    lesson 16 — the HOF is O(unique·n) per row and cliffs ~10× on
+    2k-token docs; default threshold sits under the measured
+    crossover).
+
+    TRUE single-scan design (a union of two length-filtered branches
+    reads the corpus twice — a token-length predicate can't push down
+    to parquet — and a join-back formulation re-scans the base for
+    the probe side): every row explodes exactly once, into either ONE
+    marker row carrying the already-computed HOF ratio (short docs)
+    or its token rows (long docs, marker token NULL never collides
+    with a real token). The two-level groupBy then resolves both row
+    kinds — so the shuffle carries long-doc tokens plus one tiny row
+    per short doc, with map-side combine on both levels. Returns
+    (id_col, top_element_ratio) with full row coverage, 0.0 for
+    empty docs, values identical to either pure variant.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415 (match module style)
+
+    toks = F.col(toks_col)
+    n = F.size(toks)
+    marker = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("w"),
+            top_element_ratio(toks).alias("r"),
+        )
+    )
+    token_rows = F.transform(
+        toks,
+        lambda w: F.struct(
+            w.alias("w"), F.lit(None).cast("double").alias("r")
+        ),
+    )
+    rows = df.select(
+        id_col,
+        F.explode(
+            F.when(n <= threshold, marker).otherwise(token_rows)
+        ).alias("_e"),
+    )
+    cnt = rows.groupBy(id_col, F.col("_e.w").alias("_w")).agg(
+        F.count("*").alias("_c"), F.max("_e.r").alias("_r")
+    )
+    is_tok = F.col("_w").isNotNull()
+    return cnt.groupBy(id_col).agg(
+        F.coalesce(
+            F.max("_r"),
+            F.max(F.when(is_tok, F.col("_c"))).cast("double")
+            / F.sum(F.when(is_tok, F.col("_c"))),
+        ).alias("top_element_ratio")
+    )
+
+
 def collapse_adjacent_repeats(toks: Column) -> Column:
     """Repetition removal: drop tokens equal to their predecessor
     (``a a a b`` → ``a b``). Index lambda + 0-based ``F.get`` (never

@@ -24,8 +24,21 @@ immutable directory, so:
   until ``vacuum`` reclaims unpublished/old versions.
 
 This is deliberately single-writer (like the reference's one-process
-ETL). Multi-writer needs a log of commits with conflict detection —
-that is the part a real table format adds.
+ETL) — delta-spark is not installable in this container, so the
+documented decision (VERDICT r1 §5) is: keep this store and make
+concurrent-writer misuse FAIL LOUDLY instead of losing updates.
+Two guards provide that:
+
+- the version DIRECTORY is the claim token: ``errorifexists`` means
+  the second writer racing for the same version number dies on write
+  (``CommitConflictError``), never publishes over the winner;
+- ``commit(..., expected_version=)`` is optimistic CAS at the
+  manifest level: the commit aborts (and removes its orphan
+  directory) if another writer published in between — the lost-update
+  window a directory claim alone cannot see.
+
+True multi-writer (a commit log with conflict *resolution*, not just
+detection) remains what a real table format adds.
 """
 
 from __future__ import annotations
@@ -40,6 +53,11 @@ from pyspark.sql import DataFrame, SparkSession
 from trello_github_etl_spark.plans.upserts import merge_state
 
 MANIFEST = "_manifest.json"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer claimed or published this version first.
+    Re-read the latest snapshot, rebuild the change, retry."""
 
 
 @dataclass
@@ -82,18 +100,56 @@ class VersionedStateStore:
     def _dir(self, version: int) -> str:
         return os.path.join(self.root, f"v{version:08d}")
 
-    def commit(self, df: DataFrame, op: str = "overwrite") -> int:
-        """Write ``df`` as the next version and publish it."""
+    def commit(
+        self,
+        df: DataFrame,
+        op: str = "overwrite",
+        expected_version: int | None = None,
+    ) -> int:
+        """Write ``df`` as the next version and publish it.
+
+        ``expected_version`` is the optimistic-CAS guard for
+        multi-writer misuse: pass the version the change was computed
+        FROM, and the commit aborts with ``CommitConflictError`` —
+        removing its own orphan directory — if any other writer
+        published meanwhile. Without it, a same-version race still
+        fails loudly via the directory claim; only the stale-base
+        lost-update window needs the explicit expectation.
+        """
         m = self._read_manifest()
+        if expected_version is not None and m["current"] != expected_version:
+            raise CommitConflictError(
+                f"state advanced to v{m['current']} (expected "
+                f"v{expected_version}); re-read and retry"
+            )
         version = m["current"] + 1
         path = self._dir(version)
-        df.write.mode("errorifexists").parquet(path)
+        try:
+            df.write.mode("errorifexists").parquet(path)
+        except Exception as e:
+            if os.path.exists(path):
+                raise CommitConflictError(
+                    f"version directory v{version:08d} already claimed by "
+                    "another writer"
+                ) from e
+            raise
         n = df.sparkSession.read.parquet(path).count()
-        m["current"] = version
-        m["history"].append(
+        # CAS re-check at the publish point: a competing writer may
+        # have published while this one was writing parquet.
+        m2 = self._read_manifest()
+        if m2["current"] != version - 1:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            raise CommitConflictError(
+                f"manifest advanced to v{m2['current']} during commit of "
+                f"v{version}; aborted (orphan removed)"
+            )
+        m2["current"] = version
+        m2["history"].append(
             {"version": version, "op": op, "n_rows": n, "ts": time.time()}
         )
-        self._publish(m)
+        self._publish(m2)
         return version
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -109,10 +165,18 @@ class VersionedStateStore:
 
     def merge(self, applied: DataFrame, key: str = "entity_id") -> int:
         """MERGE: applied rows replace matching keys, everything else
-        survives; the result is the next published version."""
+        survives; the result is the next published version. The commit
+        carries the base version as its CAS expectation, so a merge
+        computed from a stale snapshot can never silently drop a
+        competing writer's rows."""
         spark = applied.sparkSession
-        state = self.read(spark)
-        return self.commit(merge_state(state, applied, key), op="merge")
+        base = self.latest_version()
+        state = self.read(spark, base)
+        return self.commit(
+            merge_state(state, applied, key),
+            op="merge",
+            expected_version=base,
+        )
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop unpublished orphans and all but the last ``keep_last``

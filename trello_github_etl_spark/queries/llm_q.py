@@ -236,6 +236,38 @@ def t8_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t8a_top_word_adaptive",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(tk) = 0 THEN 0.0
+           ELSE CAST(list_max(list_transform(list_distinct(tk),
+                w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk)
+      END AS top_element_ratio
+    FROM toks
+    """,
+)
+def t8a_top_word_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-adaptive top-word concentration (SCALE.md lesson 16
+    promoted to the default entry point): per-row HOF below the
+    token threshold, explode+regroup above it, one corpus scan
+    total. Threshold 64 sits mid-distribution for this testdata
+    (~70-token docs) so the gate exercises BOTH paths; production
+    default is textstats.TOP_RATIO_ADAPTIVE_THRESHOLD, under the
+    measured 10x crossover. Values are path-invariant, so one oracle
+    expression checks both."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return textstats.top_element_ratio_adaptive(
+        docs.select("doc_id", textstats.tokens(F.col("text")).alias("tk")),
+        "doc_id",
+        "tk",
+        threshold=64,
+    )
+
+
+@query(
     "t9_collapse_repeats",
     oracle=f"""
     WITH toks AS (
@@ -529,9 +561,10 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb.unionByName(dups))
 
 
-@query(
-    "dd6_dup_clusters",
-    oracle=f"""
+# Shared by dd6 (min-label propagation) and dd9 (large-star/small-star):
+# both algorithms must produce the identical (doc_id, cluster_id=min
+# reachable) labeling, so one transitive-closure oracle checks both.
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE docs AS ({SQL_AUGMENTED_DOCS}),
     toks AS (
       SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
@@ -565,12 +598,24 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
     FROM reach GROUP BY u
-    """,
-)
+    """
+
+
+@query("dd6_dup_clusters", oracle=_CLUSTERS_ORACLE)
 def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs consolidated into duplicate clusters (iterative
     min-label propagation; oracle = recursive-CTE transitive closure)."""
     return dedup.dup_clusters(_augmented_docs(spark, sf_dir))
+
+
+@query("dd9_dup_clusters_twostar", oracle=_CLUSTERS_ORACLE)
+def dd9_dup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dd6, computed with the
+    large-star/small-star algorithm (O(log² n) rounds independent of
+    component diameter — the safe path once corpora grow giant
+    boilerplate clusters). Checked against the identical
+    transitive-closure oracle, which pins algorithm equivalence."""
+    return dedup.dup_clusters_twostar(_augmented_docs(spark, sf_dir))
 
 
 @query(

@@ -99,14 +99,172 @@ def run_sink(
     sink_df.foreachPartition(handle_partition)
 
 
-def http_transport(*_args, **_kwargs) -> Callable[[dict], None]:
-    """Placeholder for a real REST/GraphQL transport (S7–S11).
+# GraphQL documents, verbatim shapes from the reference connector.
+GQL_ADD_PROJECT_ITEM = """
+mutation($projectId: String! $issueId: String!) {
+    addProjectNextItem(
+        input: {
+            projectId: $projectId
+            contentId: $issueId
+        }
+    ) {
+        projectNextItem {
+            id
+        }
+    }
+}"""  # lib/gh.js:348-367
 
-    A production implementation posts issue creates/updates and
-    project-field mutations per payload['op']; this container has no
-    network, so construction fails loudly rather than pretending.
+GQL_UPDATE_FIELD = """
+mutation(
+    $projectId: String!
+    $itemId: String!
+    $fieldId: String!
+    $value: String!
+) {
+    updateProjectNextItemField(
+        input: {
+            projectId: $projectId
+            itemId: $itemId
+            fieldId: $fieldId
+            value: $value
+        }
+    ) {
+        projectNextItem {
+            id
+        }
+    }
+}"""  # lib/gh.js:455-476
+
+
+class GraphQLError(Exception):
+    """GraphQL 200-OK response carrying an ``errors`` array
+    (lib/gh.js:208-218 surfaces these as fatal)."""
+
+
+def http_transport(
+    session,
+    owner: str,
+    repo: str,
+    token: str = "",
+    base_url: str = "https://api.github.com",
+) -> Callable[[dict], dict | None]:
+    """Real REST/GraphQL transport for ``run_sink`` (S7–S12).
+
+    ``session`` is any requests.Session-shaped object (``request(
+    method, url, headers=..., json=...) -> response`` with
+    ``.status_code`` and ``.json()``); tests inject a recorded-session
+    fake, production passes ``requests.Session()``. Payload dicts
+    dispatch on ``op``:
+
+    - ``create_issue``: POST /repos/{owner}/{repo}/issues with
+      {title, body, assignees} (lib/gh.js:193-195)
+    - ``update_issue``: PATCH .../issues/{number} (lib/gh.js:196-202)
+    - ``graphql``: POST /graphql {query, variables}; a 200 response
+      whose body carries ``errors`` raises GraphQLError
+      (lib/gh.js:204-219)
+    - ``add_to_project``: addProjectNextItem mutation
+      (lib/gh.js:348-367)
+    - ``set_field_value``: updateProjectNextItemField mutation
+      (lib/gh.js:430-485; single-select option-name→id resolution
+      happens upstream in the plan, J12)
+    - ``get_or_create_repo``: GET /repos/{owner}/{name}, 404 →
+      POST /orgs/{owner}/repos (lib/gh.js:506-527)
+
+    Secondary-rate-limit responses (403/429 whose message mentions
+    'secondary rate limit', lib/gh.js:33-38) raise ``RateLimited`` so
+    ``run_sink``'s ST4 backoff owns the retry — unlike the reference,
+    which recurses inside its request wrapper, the connector keeps
+    retry state in exactly one place.
     """
-    raise NotImplementedError(
-        "supply a transport callable (e.g. requests.Session-based) to run_sink;"
-        " tests inject a recorder"
-    )
+    headers = {
+        "accept": "application/vnd.github.v3+json",  # lib/gh.js:25-28
+        "Authorization": f"token {token}",
+    }
+
+    def _request(method: str, path: str, body: dict | None) -> dict:
+        resp = session.request(
+            method, f"{base_url}{path}", headers=headers, json=body
+        )
+        ok = 200 <= resp.status_code < 300
+        if not ok:
+            try:
+                msg = (resp.json() or {}).get("message", "")
+            except Exception:  # noqa: BLE001 - non-JSON error body
+                msg = ""
+            if "secondary rate limit" in str(msg):
+                raise RateLimited(msg)
+            raise RuntimeError(f"not ok: {resp.status_code} {path}")
+        return resp.json()
+
+    def _graphql(query: str, variables: dict) -> dict:
+        result = _request(
+            "POST", "/graphql", {"query": query, "variables": variables}
+        )
+        if result.get("errors"):
+            raise GraphQLError(str(result["errors"]))
+        return result
+
+    def transport(payload: dict) -> dict | None:
+        op = payload.get("op")
+        if op == "create_issue":
+            return _request(
+                "POST",
+                f"/repos/{owner}/{repo}/issues",
+                {
+                    "title": payload["title"],
+                    "body": payload.get("body"),
+                    "assignees": payload.get("assignees") or [],
+                },
+            )
+        if op == "update_issue":
+            issue = {
+                k: payload[k]
+                for k in ("title", "body", "assignees", "state")
+                if payload.get(k) is not None
+            }
+            return _request(
+                "PATCH",
+                f"/repos/{owner}/{repo}/issues/{payload['issue_number']}",
+                issue,
+            )
+        if op == "graphql":
+            return _graphql(payload["query"], payload.get("variables") or {})
+        if op == "add_to_project":
+            result = _graphql(
+                GQL_ADD_PROJECT_ITEM,
+                {
+                    "projectId": payload["project_id"],
+                    "issueId": payload["issue_node_id"],
+                },
+            )
+            return result["data"]["addProjectNextItem"]["projectNextItem"]
+        if op == "set_field_value":
+            result = _graphql(
+                GQL_UPDATE_FIELD,
+                {
+                    "projectId": payload["project_id"],
+                    "itemId": payload["item_id"],
+                    "fieldId": payload["field_id"],
+                    "value": str(payload["value"]),
+                },
+            )
+            return result["data"]["updateProjectNextItemField"][
+                "projectNextItem"
+            ]
+        if op == "get_or_create_repo":
+            name = payload["name"]
+            resp = session.request(
+                "GET", f"{base_url}/repos/{owner}/{name}", headers=headers
+            )
+            if resp.status_code == 404:  # lib/gh.js:508-513
+                return _request(
+                    "POST",
+                    f"/orgs/{owner}/repos",
+                    {"name": name, **payload.get("repo_opts", {})},
+                )
+            if not 200 <= resp.status_code < 300:
+                raise RuntimeError(f"not ok: {resp.status_code}")
+            return resp.json()
+        raise ValueError(f"unknown op {op!r}")
+
+    return transport
