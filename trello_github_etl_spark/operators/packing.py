@@ -1,0 +1,115 @@
+"""Sequence packing for LLM pretraining batches — the step between a
+cleaned corpus and the trainer: fill fixed token-budget sequences
+from variable-length documents (BASELINE.json north star; no
+reference analog — cited as spec-free extension).
+
+Two industry-standard strategies, two very different Spark shapes:
+
+- ``concat_chunk_packing`` (GPT-style): concatenate the shard's token
+  stream and cut every ``budget`` tokens; documents may straddle
+  sequence boundaries. Pure prefix-sum window math — one shuffle per
+  shard ordering, no Python, no state — so it scales like any
+  windowed aggregation.
+- ``greedy_pack`` (no-split first-fit-sequential): a document never
+  straddles sequences; open a new sequence when the next document
+  would overflow the budget. Inherently sequential per shard (the
+  bin index depends on every prior decision — not expressible as an
+  associative window), so it runs as ``applyInPandas`` over shards:
+  per-group linear state, Arrow-batched, deterministic doc_id order.
+
+Sharding is the scale lever for BOTH: packing quality only needs
+*local* order, so the corpus is hash-sharded (``doc_id % shards``)
+and each shard packs independently — parallelism = ``shards``,
+regardless of corpus size. At 100 TB you set shards ≈ a few × the
+cluster's task slots; the per-shard stream stays a narrow sorted
+pass. The greedy variant's state is three integers per shard —
+nothing accumulates in memory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PACK_SCHEMA = (
+    "shard long, doc_id long, n_tokens long, seq_idx long, fill long"
+)
+
+
+def concat_chunk_packing(
+    docs: DataFrame,
+    budget: int,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    cost_col: str = "n_tokens",
+) -> DataFrame:
+    """Concatenate-and-chunk packing plan. Returns one row per doc:
+    (shard, doc_id, n_tokens, start_seq, start_off, end_seq) — which
+    fixed-size sequence the doc starts in, at what offset, and where
+    it ends. Empty docs get start_seq == end_seq.
+    """
+    iid = F.col(id_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
+    n = F.col(cost_col)
+    return (
+        docs.withColumn("shard", iid % shards)
+        .withColumn("_prev", prev_cum)
+        .select(
+            "shard",
+            iid.alias("doc_id"),
+            n.alias("n_tokens"),
+            F.floor(F.col("_prev") / budget).alias("start_seq"),
+            (F.col("_prev") % budget).alias("start_off"),
+            F.floor(
+                (F.col("_prev") + F.greatest(n, F.lit(1)) - 1) / budget
+            ).alias("end_seq"),
+        )
+    )
+
+
+def greedy_pack(
+    docs: DataFrame,
+    budget: int,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    cost_col: str = "n_tokens",
+) -> DataFrame:
+    """No-split packing: per shard in doc_id order, a doc joins the
+    open sequence unless it would overflow ``budget`` — then a new
+    sequence opens. Oversized docs (> budget) get a sequence of their
+    own. Returns (shard, doc_id, n_tokens, seq_idx, fill) where
+    ``fill`` is the sequence occupancy after placing the doc.
+    """
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, fills = [], []
+        seq, fill = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if first:
+                seq, fill, first = 0, n, False
+            elif fill + n > budget:
+                seq, fill = seq + 1, n
+            else:
+                fill += n
+            seqs.append(seq)
+            fills.append(fill)
+        pdf["seq_idx"] = seqs
+        pdf["fill"] = fills
+        return pdf[["shard", "doc_id", "n_tokens", "seq_idx", "fill"]]
+
+    base = docs.select(
+        (F.col(id_col) % shards).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.col(cost_col).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("shard").applyInPandas(pack_shard, PACK_SCHEMA)

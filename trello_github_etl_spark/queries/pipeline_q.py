@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trello_github_etl_spark.io import load_table
-from trello_github_etl_spark.operators import textstats
+from trello_github_etl_spark.operators import packing, textstats
 from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.queries.llm_q import SQL_STOPLIST, SQL_TOKENS
 from trello_github_etl_spark.registry import query
@@ -352,3 +352,87 @@ def pipe3_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_chunk").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): corpus → fixed-budget
+# training sequences.
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+SQL_PACK_TOKS = f"""
+    toks AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len({SQL_TOKENS.format(t='text')}) AS n_tokens
+      FROM documents
+    )"""
+
+
+@query(
+    "pipe4_concat_packing",
+    oracle=f"""
+    WITH {SQL_PACK_TOKS},
+    cum AS (
+      SELECT shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM toks
+    )
+    SELECT shard, doc_id, n_tokens,
+           prev // {PACK_BUDGET} AS start_seq,
+           prev % {PACK_BUDGET} AS start_off,
+           (prev + greatest(n_tokens, 1) - 1) // {PACK_BUDGET} AS end_seq
+    FROM cum
+    """,
+)
+def pipe4_concat_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-chunk packing plan: where each doc
+    lands in the shard's fixed-{PACK_BUDGET}-token sequence stream.
+    Pure prefix-sum window — one shuffle, no Python, docs may
+    straddle sequences (the trainer masks across the boundary)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.size(textstats.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return packing.concat_chunk_packing(
+        toks, budget=PACK_BUDGET, shards=PACK_SHARDS
+    )
+
+
+@query(
+    "pipe5_greedy_pack",
+    oracle=f"""
+    WITH RECURSIVE {SQL_PACK_TOKS},
+    ord AS (
+      SELECT shard, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    pack AS (
+      SELECT shard, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_idx, n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+             CASE WHEN p.fill + o.n_tokens > {PACK_BUDGET}
+                  THEN p.seq_idx + 1 ELSE p.seq_idx END,
+             CASE WHEN p.fill + o.n_tokens > {PACK_BUDGET}
+                  THEN o.n_tokens ELSE p.fill + o.n_tokens END
+      FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, seq_idx, fill FROM pack
+    """,
+)
+def pipe5_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing: a doc never straddles sequences; the
+    bin index depends on every prior placement, so this is the
+    canonical applyInPandas stateful operator (three integers of
+    state per shard, Arrow-batched, deterministic doc_id order).
+    Oracle = recursive CTE replaying the same decision chain."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.size(textstats.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return packing.greedy_pack(toks, budget=PACK_BUDGET, shards=PACK_SHARDS)

@@ -1,0 +1,204 @@
+"""Driver-side GraphQL catalog resolution — the engine's "analyzer"
+phase (SURVEY §2.8 Pipeline 3, §3 E1 step 2; reference
+`lib/gh.js:48-190` ``mustInit``).
+
+The reference resolves project + field *names* to GraphQL node ids
+against the remote catalog at startup, validates the env-DSL board
+columns, and mutates ``process.env`` with the resolved ids. Here the
+same resolution is a pure function: transport in, an immutable
+``ResolvedCatalog`` out — ready to broadcast to executors (the
+Spark analog of the reference's global ``fieldsCache``), with
+fail-fast diagnostics collected into one exception instead of
+``process.exit(1)``.
+
+Single-flight memoization of the project id (the reference's
+``_id_promise``, lib/gh.js:305-332) falls out naturally: resolution
+happens once on the driver; executors only ever see the frozen
+result.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+# The 11 field-name settings the reference requires (lib/gh.js:91-112,
+# env names minus the _NAME suffix convention).
+REQUIRED_FIELD_SETTINGS = (
+    "dash_field",  # "Dash Bounty"
+    "owner_field",  # "Owner"
+    "fallback_owner_field",  # "Fallback Owner"
+    "id_field",  # "Trello ID"
+    "type_field",  # "Trello Type"
+    "card_status_field",  # "Status"
+    "card_type_field",  # "Trello Board Column"
+    "labels_field",  # "Trello Labels"
+    "task_parent_field",  # "Dash Incubator on Github"
+    "task_parent_link_field",  # URL field
+    "task_type_field",  # "Task Type"
+)
+
+GQL_PROJECT_BY_NAME = """
+query($login: String!, $name: String) {
+  organization(login: $login) {
+    projectsNext(last: 100, query: $name) {
+      nodes {
+        id
+        number
+        title
+      }
+    }
+  }
+}"""  # lib/gh.js:266-290 (page cap last:100)
+
+GQL_PROJECT_FIELDS = """
+query($projectId: ID!) {
+    node(id: $projectId) {
+        ... on ProjectNext {
+            fields(first: 100) {
+                nodes {
+                    id
+                    name
+                    settings
+                }
+            }
+        }
+    }
+}"""  # lib/gh.js:397-426 (page cap first:100)
+
+
+class CatalogResolutionError(RuntimeError):
+    """All missing fields/columns reported at once (the reference
+    prints the same diagnostics then process.exit(1),
+    lib/gh.js:144-176)."""
+
+
+@dataclass(frozen=True)
+class ResolvedCatalog:
+    """Broadcast-ready resolution result: tiny (KBs) by construction."""
+
+    project_id: str
+    project_number: int
+    project_title: str
+    field_ids: dict[str, str]  # setting key -> field node id
+    fields_by_name: dict[str, dict]  # name -> {id, name, settings}
+    fields_by_id: dict[str, dict]  # the reference's dual-keyed cache
+    status_options: tuple[str, ...]  # board columns (Status options)
+    option_ids: dict[tuple[str, str], str] = field(default_factory=dict)
+
+    def option_id(self, field_name: str, option_name: str) -> str:
+        """J12: single-select option-name → option-id
+        (lib/gh.js:440-452), raising with the available options."""
+        key = (field_name, option_name)
+        if key not in self.option_ids:
+            have = [n for (f, n) in self.option_ids if f == field_name]
+            raise KeyError(
+                f"no option {option_name!r} for field {field_name!r}; "
+                f"have {sorted(have)}"
+            )
+        return self.option_ids[key]
+
+
+def parse_board_lists_dsl(dsl: str) -> dict[str, str]:
+    """`"Concepts:Pending, None:Considering"` → {trello: github}
+    (F11, lib/transform.js:89-94 / lib/gh.js:78-81)."""
+    out = {}
+    for pair in [p for p in re.split(r"[,\s]+", dsl) if p]:
+        parts = pair.split(":")
+        out[parts[0]] = parts[1]
+    return out
+
+
+def resolve_catalog(
+    transport: Callable[[dict], dict | None],
+    project_name: str,
+    login: str,
+    field_names: dict[str, str],
+    board_lists_dsl: str = "",
+) -> ResolvedCatalog:
+    """Resolve names → node ids against the remote catalog.
+
+    ``transport`` is the injected connector (rest_sink.http_transport
+    or a recorded fake); ``field_names`` maps each key in
+    ``REQUIRED_FIELD_SETTINGS`` to the configured field display name.
+    Raises ``CatalogResolutionError`` with EVERY problem (missing
+    settings, unknown fields, unknown board columns) in one pass —
+    the reference's die-at-the-end diagnostics, lib/gh.js:55,144-176.
+    """
+    boards = transport(
+        {
+            "op": "graphql",
+            "query": GQL_PROJECT_BY_NAME,
+            "variables": {"login": login, "name": project_name},
+        }
+    )["data"]["organization"]["projectsNext"]["nodes"]
+    board = next((b for b in boards if b["title"] == project_name), None)
+    if board is None:
+        raise CatalogResolutionError(
+            f"project {project_name!r} not found for {login!r}"
+        )
+
+    nodes = transport(
+        {
+            "op": "graphql",
+            "query": GQL_PROJECT_FIELDS,
+            "variables": {"projectId": board["id"]},
+        }
+    )["data"]["node"]["fields"]["nodes"]
+    fields_by_name: dict[str, dict] = {}
+    fields_by_id: dict[str, dict] = {}
+    for f in nodes:
+        # 'settings' is ALWAYS at least 'null' (lib/gh.js:65-66)
+        f = {**f, "settings": json.loads(f["settings"])}
+        fields_by_name[f["name"]] = f
+        fields_by_id[f["id"]] = f
+
+    problems: list[str] = []
+
+    status = fields_by_name.get("Status")
+    options = (
+        [o["name"] for o in (status["settings"] or {}).get("options", [])]
+        if status
+        else []
+    )
+    option_ids = {}
+    for f in fields_by_name.values():
+        for o in ((f["settings"] or {}).get("options")) or []:
+            option_ids[(f["name"], o["name"])] = o["id"]
+
+    for gh_col in parse_board_lists_dsl(board_lists_dsl).values():
+        if gh_col not in options:
+            problems.append(
+                f"board list column {gh_col!r} is not a Status option "
+                f"of {board['title']!r}"
+            )
+
+    field_ids: dict[str, str] = {}
+    for key in REQUIRED_FIELD_SETTINGS:
+        name = field_names.get(key)
+        if not name:
+            problems.append(f"field setting {key!r} is not configured")
+            continue
+        f = fields_by_name.get(name)  # exact match, like the reference
+        if f is None:
+            problems.append(
+                f"{name!r} ({key}) is not a field of {board['title']!r}"
+            )
+            continue
+        field_ids[key] = f["id"]
+
+    if problems:
+        raise CatalogResolutionError("; ".join(problems))
+
+    return ResolvedCatalog(
+        project_id=board["id"],
+        project_number=board["number"],
+        project_title=board["title"],
+        field_ids=field_ids,
+        fields_by_name=fields_by_name,
+        fields_by_id=fields_by_id,
+        status_options=tuple(options),
+        option_ids=option_ids,
+    )
