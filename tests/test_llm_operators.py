@@ -723,3 +723,30 @@ def test_top_element_ratio_adaptive_matches_hof_both_paths(spark):
         assert set(got) == set(hof), threshold
         for k, v in got.items():
             assert v == pytest.approx(hof[k]), (threshold, k)
+
+
+def test_incremental_dedup_verdicts(spark):
+    from trello_github_etl_spark.operators.textstats import fingerprint
+
+    corpus = spark.createDataFrame(
+        [("known text",), ("other known",)], "text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (1, "Known   TEXT "),  # canonicalizes to a corpus hit
+            (2, "brand new"),
+            (3, "brand new"),  # within-batch dup of 2
+            (4, "unique thing"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in dedup.incremental_dedup(batch, corpus).collect()
+    }
+    assert got == {
+        1: "dup_existing",
+        2: "kept",
+        3: "dup_batch",
+        4: "kept",
+    }

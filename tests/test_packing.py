@@ -97,3 +97,36 @@ def test_concat_chunk_stream_is_gapless(spark):
         cum = by_shard.get(r.shard, 0)
         assert r.start_seq * 64 + r.start_off == cum, r
         by_shard[r.shard] = cum + r.n_tokens
+
+
+def test_deterministic_shuffle_is_dense_permutation(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = packing.deterministic_shuffle(df).collect()
+    assert sorted(r.shuffle_pos for r in out) == list(range(1, 501))
+    assert len({r.doc_id for r in out}) == 500
+    # partitioning cannot change the permutation
+    again = packing.deterministic_shuffle(df.repartition(13)).collect()
+    assert {(r.doc_id, r.shuffle_pos) for r in out} == {
+        (r.doc_id, r.shuffle_pos) for r in again
+    }
+    # a different salt is a different (but still dense) permutation
+    other = packing.deterministic_shuffle(df, salt="epoch-1").collect()
+    assert sorted(r.shuffle_pos for r in other) == list(range(1, 501))
+    assert {(r.doc_id, r.shuffle_pos) for r in other} != {
+        (r.doc_id, r.shuffle_pos) for r in out
+    }
+
+
+def test_deterministic_shuffle_bucket_order_is_global_order(spark):
+    """Positions must be contiguous by bucket in bucket order — the
+    broadcast prefix-sum property that makes the parallel rank equal
+    one global ORDER BY."""
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    rows = sorted(
+        packing.deterministic_shuffle(df).collect(),
+        key=lambda r: r.shuffle_pos,
+    )
+    buckets_in_pos_order = [r.bucket for r in rows]
+    assert buckets_in_pos_order == sorted(buckets_in_pos_order)

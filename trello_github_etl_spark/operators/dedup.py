@@ -436,6 +436,49 @@ def dup_clusters_twostar(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return connected_components_twostar(minhash_lsh_pairs(docs, text_col))
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous-crawl dedup: classify each NEW doc against the
+    already-ingested corpus and against its own batch, without ever
+    touching corpus text.
+
+    ``corpus_fps`` carries one column ``fp`` (the fingerprint state a
+    growing corpus maintains — 16 bytes/doc, the only thing the
+    history contributes). Returns (doc_id, fp, verdict) with verdict
+    ∈ {'kept', 'dup_existing', 'dup_batch'}: corpus hit wins, then
+    min-doc_id keeper within the batch.
+
+    Scale shape: one join + one window, BOTH keyed on the same
+    md5-uniform ``fp`` — the shuffle the join produces is reused by
+    the window (no second Exchange when the join shuffles; when the
+    corpus side broadcasts, the single fp Exchange serves the
+    window). Day-N cost is O(batch + |corpus fingerprints|) and the
+    batch text is read once.
+    """
+    from pyspark.sql.window import Window
+
+    fps = new_batch.select(
+        F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    corpus = corpus_fps.select("fp").distinct().withColumn("_hit", F.lit(1))
+    w = Window.partitionBy("fp")
+    return (
+        fps.join(corpus, "fp", "left")
+        .withColumn("_min_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("_hit") == 1, F.lit("dup_existing"))
+            .when(F.col("doc_id") != F.col("_min_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -74,6 +74,62 @@ def concat_chunk_packing(
     )
 
 
+SHUFFLE_BUCKETS = 256  # first hex byte of the key; order-preserving
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-epoch-0",
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order permutation
+    every pretraining run needs, reproducible on any cluster size
+    (never RNG, never row order; same contract as the hash splits).
+
+    Rank = position in the ordering by ``md5(salt || id)``. A naive
+    ``row_number() OVER (ORDER BY key)`` collapses to ONE partition —
+    the classic global-sort bottleneck — so this computes the same
+    rank in two parallel phases: (1) the first hex byte of the key
+    range-buckets the corpus (md5-uniform → balanced); per-bucket
+    counts (≤ 256 rows, KBs) come to the driver and become a
+    broadcast prefix-sum offset map, then (2) a window ranks WITHIN
+    each bucket in parallel and adds the bucket's offset. Changing
+    ``salt`` reshuffles (epoch reseeding) without touching the data.
+
+    Returns (doc_id, bucket, shuffle_pos) with shuffle_pos a dense
+    1-based total order.
+    """
+    iid = F.col(id_col)
+    key = F.md5(F.concat(F.lit(salt + "|"), iid.cast("string")))
+    keyed = docs.select(
+        iid.alias("doc_id"),
+        key.alias("_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    counts = {
+        r["bucket"]: r["n"]
+        for r in keyed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(SHUFFLE_BUCKETS):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for b in offsets for x in (b, offsets[b])]
+        ),
+        F.col("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "bucket",
+        (offset_col + F.row_number().over(w)).cast("long").alias(
+            "shuffle_pos"
+        ),
+    )
+
+
 def greedy_pack(
     docs: DataFrame,
     budget: int,

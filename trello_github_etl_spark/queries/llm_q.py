@@ -608,6 +608,68 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(_augmented_docs(spark, sf_dir))
 
 
+@query(
+    "dd10_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text || ' fresh-content' FROM documents WHERE doc_id % 9 = 4
+      UNION ALL
+      SELECT doc_id + 400000, text || ' fresh-content' FROM documents WHERE doc_id % 9 = 4
+    ),
+    fps AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM batch
+    ),
+    marked AS (
+      SELECT f.doc_id, f.fp,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp) AS hit,
+             MIN(f.doc_id) OVER (PARTITION BY f.fp) AS min_id
+      FROM fps f
+    )
+    SELECT doc_id, fp,
+           CASE WHEN hit THEN 'dup_existing'
+                WHEN doc_id != min_id THEN 'dup_batch'
+                ELSE 'kept' END AS verdict
+    FROM marked
+    """,
+)
+def dd10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N crawl dedup: a new batch (exact re-crawls of every %5
+    doc, plus genuinely fresh %9==4 docs arriving twice) classified
+    against the existing corpus's fingerprint state — corpus text is
+    never re-read, only its 16-byte fps. One fp-keyed join + window
+    (shared shuffle key); see dedup.incremental_dedup scale notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_fps = docs.select(
+        textstats.fingerprint(F.col("text")).alias("fp")
+    )
+    fresh = docs.filter(F.col("doc_id") % 9 == 4)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            fresh.select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat("text", F.lit(" fresh-content")).alias("text"),
+            )
+        )
+        .unionByName(
+            fresh.select(
+                (F.col("doc_id") + 400000).alias("doc_id"),
+                F.concat("text", F.lit(" fresh-content")).alias("text"),
+            )
+        )
+    )
+    return dedup.incremental_dedup(ensure_parallelism(batch), corpus_fps)
+
+
 @query("dd9_dup_clusters_twostar", oracle=_CLUSTERS_ORACLE)
 def dd9_dup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering contract as dd6, computed with the

@@ -436,3 +436,28 @@ def pipe5_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(textstats.tokens(F.col("text"))).alias("n_tokens")
     )
     return packing.greedy_pack(toks, budget=PACK_BUDGET, shards=PACK_SHARDS)
+
+
+@query(
+    "pipe6_corpus_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuffle-epoch-0|' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(TRY_CAST('0x' || substr(k, 1, 2) AS INTEGER) AS INTEGER)
+             AS bucket,
+           ROW_NUMBER() OVER (ORDER BY k, doc_id) AS shuffle_pos
+    FROM keyed
+    """,
+)
+def pipe6_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order permutation of the corpus. The
+    oracle ranks with ONE global ROW_NUMBER; the engine computes the
+    identical total order in parallel via first-hex-byte range
+    buckets + broadcast prefix-sum offsets (operators/packing.py
+    docstring has the scale argument — no single-partition sort)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return packing.deterministic_shuffle(docs)
