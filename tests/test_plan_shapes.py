@@ -135,3 +135,14 @@ def test_adaptive_top_ratio_is_single_scan(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial+final, two levels
+
+
+def test_corpus_shuffle_has_no_single_partition_sort(spark):
+    """pipe6 computes a GLOBAL rank, but the plan must never collapse
+    to one partition (the naive row_number() OVER (ORDER BY key)
+    does): ranking runs as a bucket-partitioned window, global order
+    restored by broadcast prefix-sum offsets."""
+    plan = _plan(_q(spark, "pipe6_corpus_shuffle"))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(bucket" in plan
+    assert "row_number()" in plan

@@ -405,3 +405,115 @@ def test_stream_rollup_incremental_equals_batch(spark, tmp_path):
         spark, state, "priority string, sum_price decimal(28,2), n_rows bigint"
     )
     assert sorted(map(tuple, after_df.collect())) == before
+
+
+def test_stream_incremental_dedup_exactly_once_corpus(spark, tmp_path):
+    """Continuous-crawl dedup loop (streaming/dedup_stream.py): three
+    file micro-batches — fresh docs, a re-crawl + within-batch dup,
+    and a full batch re-delivery. The fingerprint state must admit
+    each canonical text exactly once, and a re-delivered batch must
+    classify as all dup_existing (idempotent replay)."""
+    import json as _json
+
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.dedup_stream import (
+        dedup_batch,
+        read_fps,
+    )
+
+    store = VersionedStateStore(str(tmp_path / "fps"))
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # day 1: two fresh docs
+    v1 = {
+        r.doc_id: r.verdict
+        for r in dedup_batch(
+            spark, store, docs([(1, "alpha text"), (2, "beta text")])
+        ).collect()
+    }
+    assert v1 == {1: "kept", 2: "kept"}
+    # day 2: re-crawl of doc 1 (case-mangled), a fresh doc arriving twice
+    v2 = {
+        r.doc_id: r.verdict
+        for r in dedup_batch(
+            spark,
+            store,
+            docs([(10, "ALPHA   text"), (11, "gamma text"), (12, "gamma text")]),
+        ).collect()
+    }
+    assert v2 == {10: "dup_existing", 11: "kept", 12: "dup_batch"}
+    # replay of day 2 (at-least-once delivery): nothing new admitted
+    v2_replay = {
+        r.doc_id: r.verdict
+        for r in dedup_batch(
+            spark,
+            store,
+            docs([(10, "ALPHA   text"), (11, "gamma text"), (12, "gamma text")]),
+        ).collect()
+    }
+    assert set(v2_replay.values()) == {"dup_existing"}
+    # corpus state: exactly one fp per canonical text, versioned commits
+    fps = read_fps(spark, store).collect()
+    assert len(fps) == 3  # alpha, beta, gamma
+    assert store.latest_version() == 3
+    assert [c.op for c in store.history()] == ["dedup-batch"] * 3
+
+
+def test_stream_incremental_dedup_via_foreachbatch(spark, tmp_path):
+    """Same loop driven by an actual Structured Streaming file source
+    with availableNow, one file per micro-batch."""
+    import json as _json
+
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.dedup_stream import (
+        read_fps,
+        stream_dedup,
+    )
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, age):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        now = time.time()
+        os.utime(p, (now - age, now - age))
+
+    write_file("d1.json", [{"doc_id": 1, "text": "one"},
+                           {"doc_id": 2, "text": "two"}], 600)
+    write_file("d2.json", [{"doc_id": 3, "text": "ONE "},
+                           {"doc_id": 4, "text": "three"}], 0)
+
+    store = VersionedStateStore(str(tmp_path / "fps"))
+    seen = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream_dedup(
+            stream,
+            store,
+            str(tmp_path / "ckpt"),
+            on_batch=lambda bid, v: seen.extend(
+                (r.doc_id, r.verdict) for r in v.collect()
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    verdicts = dict(seen)
+    assert verdicts[3] == "dup_existing"  # canonical match of doc 1
+    assert verdicts[1] == verdicts[2] == verdicts[4] == "kept"
+    assert len(read_fps(spark, store).collect()) == 3
