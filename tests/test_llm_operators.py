@@ -750,3 +750,19 @@ def test_incremental_dedup_verdicts(spark):
         3: "dup_batch",
         4: "kept",
     }
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3), one pendant
+    edge (5), one disjoint triangle {10,11,12}."""
+    from trello_github_etl_spark.operators import dedup
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = k4 + [(4, 5), (10, 11), (10, 12), (11, 12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.n_triangles
+        for r in dedup.triangle_counts(pairs).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+    assert 5 not in got  # pendant node joins no triangle

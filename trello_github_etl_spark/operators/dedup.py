@@ -527,3 +527,44 @@ def decontaminate(
         .filter(F.col("overlap") >= threshold)
         .select("doc_id", "n_sh", "n_hit", "overlap")
     )
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-document triangle membership in the near-dup candidate
+    graph — the density signal that separates template/boilerplate
+    families (clique-like, high triangle count) from chains of
+    borderline pairs (triangle-free), a standard graph feature for
+    dedup-cluster triage.
+
+    Edges arrive canonical (doc_a < doc_b). Each triangle a<b<c is
+    enumerated exactly once via the two-wedge join
+    (a,b)⋈(b,c)⋈(a,c) — the ordering kills the 6x permutation blowup
+    — then explodes into its three corners for one count per doc.
+    The edge list is localCheckpointed: three join probes must not
+    re-run the whole LSH pipeline (on a cluster, persist the pair
+    frame instead). Scale lever: hot nodes make wedges quadratic in
+    max-degree; cap degree upstream (dd7's max_shingle_df analog)
+    before counting at 100 TB.
+    """
+    e = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count("*").alias("n_triangles")
+    )

@@ -637,3 +637,67 @@ def kmeans_refine(
             )
         )
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+RP_DIM_OUT = 8
+RP_FIX = 1e9  # same fixed-point trick as KMEANS_FIX
+
+
+def rp_signs(d_in: int, d_out: int = RP_DIM_OUT) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign(i, j) from the first
+    hex digit of md5('rp|i|j') — no RNG, reproducible in SQL, and
+    balanced (8 of 16 hex digits map to +1). The matrix is a few KB,
+    so (like the IVF centroid catalog) it inlines into the plan as
+    literals instead of being joined."""
+    return [
+        [
+            1
+            if hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[0] < "8"
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_projection(
+    vectors: DataFrame,
+    d_in: int,
+    d_out: int = RP_DIM_OUT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sparse-free JL sketch: y_j = Σ_i sign(i,j)·x_i, the standard
+    dimensionality squeeze before ANN indexing or near-dup hashing
+    (distance-preserving to within 1±ε by Johnson-Lindenstrauss).
+
+    Determinism contract: elements are floored onto the 1e-9 grid so
+    each signed sum is an exact integer — the projection is the same
+    double on any partitioning AND reproducible by the DuckDB oracle
+    (the kmeans_refine argument). Pure per-row column math: the d_out
+    folds fuse into the scan projection, no shuffle, no UDF; the
+    fixed-point array is materialized once per row in its own
+    projection (lambda bodies get no CSE — SCALE.md)."""
+    signs = rp_signs(d_in, d_out)
+    xf = vectors.select(
+        id_col,
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * F.lit(RP_FIX)).cast("long"),
+        ).alias("_xf"),
+    )
+    cols = []
+    for j in range(d_out):
+        sign_arr = F.array(*[F.lit(s) for s in signs[j]])
+        folded = F.aggregate(
+            F.zip_with(F.col("_xf"), sign_arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cols.append(
+            (folded.cast("double") / F.lit(RP_FIX)).alias(f"y{j}")
+        )
+    return ensure_parallelism(xf).select(id_col, *cols)

@@ -1037,3 +1037,148 @@ def s8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return similarity.quantized_topk(qs, emb.select("vec_id", "embedding"))
+
+
+# ---------------------------------------------------------------------------
+# s11 — Johnson-Lindenstrauss random projection (similarity.py)
+# ---------------------------------------------------------------------------
+_RP_TERMS = ",\n           ".join(
+    "CAST(list_reduce(list_transform(range(1, 65), i -> "
+    "CASE WHEN substr(md5('rp|' || CAST(i - 1 AS VARCHAR) || '|" + str(j) + "'), 1, 1) < '8' "
+    "THEN xf[i] ELSE -xf[i] END), (a, b) -> a + b) AS DOUBLE)"
+    " / 1000000000.0 AS y" + str(j)
+    for j in range(similarity.RP_DIM_OUT)
+)
+
+
+@query(
+    "s11_random_projection",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT))
+               AS xf
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {_RP_TERMS}
+    FROM x
+    """,
+)
+def s11_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→8 dim JL sketch with an md5-derived ±1 matrix: the
+    compression pass before LSH/near-dup hashing at 100 TB (8 bigint
+    folds fused into the scan; fixed-point grid makes every sum an
+    exact integer, so Spark and the oracle agree bit-for-bit — see
+    similarity.random_projection)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.random_projection(emb, d_in=64)
+
+
+# ---------------------------------------------------------------------------
+# dd11 — triangle counts in the near-dup candidate graph
+# ---------------------------------------------------------------------------
+@query(
+    "dd11_triangle_counts",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES3.format(toks='tk')} AS s FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+        [{', '.join("list_min(list_transform(s, x -> " + SQL_H60.format(x=f"'{i}|' || x") + "))" for i in range(dedup.NUM_MINHASHES))}] AS g
+      FROM sh WHERE len(s) > 0
+    ),
+    banded AS (
+      SELECT doc_id, b.band,
+             g[b.band*2 + 1] AS k1, g[b.band*2 + 2] AS k2
+      FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles FROM corners GROUP BY doc_id
+    """,
+)
+def dd11_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle membership in the LSH candidate graph — the
+    clique-density signal that triages template families from chains
+    (see dedup.triangle_counts for the a<b<c wedge-join shape and the
+    degree-cap scale lever)."""
+    return dedup.triangle_counts(
+        dedup.minhash_lsh_pairs(_augmented_docs(spark, sf_dir))
+    )
+
+
+# ---------------------------------------------------------------------------
+# t10 — source × lang chi-square association grid
+# ---------------------------------------------------------------------------
+@query(
+    "t10_source_lang_chisq",
+    oracle="""
+    WITH n_sl AS (
+      SELECT source, lang, COUNT(*) AS obs FROM documents GROUP BY source, lang
+    ),
+    ns AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    nl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    grid AS (
+      SELECT s.source, l.lang, s.n_s, l.n_l, t.n
+      FROM ns s CROSS JOIN nl l CROSS JOIN tot t
+    )
+    SELECT g.source, g.lang, COALESCE(o.obs, 0) AS obs,
+           CAST((COALESCE(o.obs, 0) * g.n - g.n_s * g.n_l)
+                * (COALESCE(o.obs, 0) * g.n - g.n_s * g.n_l) AS DOUBLE)
+             / CAST(g.n * g.n_s * g.n_l AS DOUBLE) AS chi2_term
+    FROM grid g
+    LEFT JOIN n_sl o ON o.source = g.source AND o.lang = g.lang
+    """,
+)
+def t10_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift detector: the chi-square independence
+    contribution of every (source, lang) cell, including zero cells
+    via the dims-grid gap fill. All integer arithmetic until ONE
+    IEEE division of exact ints (< 2^53 through petabyte corpora of
+    ~1e6 docs/source) — bit-identical on any engine, no transcendental
+    functions. The grid is |sources|x|langs| rows built from two tiny
+    aggregate dims (broadcast cross join) — never a corpus-sized
+    join."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_sl = docs.groupBy("source", "lang").agg(F.count("*").alias("obs"))
+    n_s = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_l = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = docs.agg(F.count("*").alias("n"))
+    grid = n_s.crossJoin(F.broadcast(n_l)).crossJoin(F.broadcast(tot))
+    d = F.col("obs") * F.col("n") - F.col("n_s") * F.col("n_l")
+    return (
+        grid.join(n_sl, ["source", "lang"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0)))
+        .select(
+            "source",
+            "lang",
+            "obs",
+            (
+                (d * d).cast("double")
+                / (F.col("n") * F.col("n_s") * F.col("n_l")).cast("double")
+            ).alias("chi2_term"),
+        )
+    )
