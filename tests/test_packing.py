@@ -130,3 +130,38 @@ def test_deterministic_shuffle_bucket_order_is_global_order(spark):
     )
     buckets_in_pos_order = [r.bucket for r in rows]
     assert buckets_in_pos_order == sorted(buckets_in_pos_order)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    costs=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    budget=st.integers(1, 50),
+)
+def test_greedy_pack_matches_python_model(spark, costs, budget):
+    """Model-based: the distributed greedy pack must equal a plain
+    sequential fold over the same (single-shard) order."""
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(costs)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: (r.seq_idx, r.fill)
+        for r in packing.greedy_pack(df, budget=budget, shards=1).collect()
+    }
+    seq, fill, model = 0, 0, {}
+    for i, n in enumerate(costs):
+        if i == 0:
+            fill = n
+        elif fill + n > budget:
+            seq, fill = seq + 1, n
+        else:
+            fill += n
+        model[i] = (seq, fill)
+    assert got == model
