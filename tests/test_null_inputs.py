@@ -4,6 +4,7 @@ corpora at scale always carry nulls; these pin the contract."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -62,3 +63,38 @@ def test_vector_ops_on_null_embedding(spark):
     # is what marks the row as absent downstream
     assert got[2].scale == 0.0 and got[2].qvec is None
     assert got[3].scale == 0.0 and got[3].qvec == [0, 0]
+
+
+def test_round2_ops_on_null_text_and_ids(spark):
+    """Null text must not crash the new operators: the fingerprint of
+    NULL text is NULL (its own dedup group), token arrays of NULL are
+    NULL → treated as empty by the adaptive ratio."""
+    from trello_github_etl_spark.operators import dedup, textstats
+
+    docs = spark.createDataFrame(
+        [(1, "real text here"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([("x",)], "fp string")
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in dedup.incremental_dedup(docs, corpus).collect()
+    }
+    assert verdicts[1] == "kept"
+    # both NULL-fp docs land in the same window group; min-id keeps 2
+    assert verdicts[2] == "kept" and verdicts[3] == "dup_batch"
+
+    toks = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("tk")
+    )
+    ratios = {
+        r.doc_id: r.top_element_ratio
+        for r in textstats.top_element_ratio_adaptive(
+            toks, "doc_id", "tk", threshold=1
+        ).collect()
+    }
+    # null token arrays route to the marker path (coalesced size) and
+    # surface as rows with NULL ratio — never silently dropped
+    assert set(ratios) == {1, 2, 3}
+    assert ratios[1] is not None
+    assert ratios[2] is None and ratios[3] is None

@@ -146,3 +146,16 @@ def test_corpus_shuffle_has_no_single_partition_sort(spark):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(bucket" in plan
     assert "row_number()" in plan
+
+
+def test_incremental_dedup_single_fp_exchange_on_probe_path(spark):
+    """dd10's contract: the batch is classified with ONE fp-keyed
+    Exchange on the probe path — the window rides the same
+    partitioning the join needs (the corpus side contributes its own
+    tiny distinct-fps exchange, broadcast to the join). No Python,
+    one Window."""
+    plan = _plan(_q(spark, "dd10_incremental_dedup"))
+    assert plan.count("Window") == 1
+    assert "EvalPython" not in plan
+    # ≤2 fp exchanges total: corpus distinct + probe-path window/join
+    assert plan.count("Exchange hashpartitioning(fp") <= 2

@@ -209,7 +209,11 @@ def top_element_ratio_adaptive(
     from pyspark.sql import functions as F  # noqa: PLC0415 (match module style)
 
     toks = F.col(toks_col)
-    n = F.size(toks)
+    # coalesce: size(NULL) is NULL, and a NULL routing predicate would
+    # silently DROP null-token rows (explode of a NULL array emits
+    # nothing). Null toks route to the marker path instead and surface
+    # as a row with a NULL ratio — absent data stays visible.
+    n = F.coalesce(F.size(toks), F.lit(0))
     marker = F.array(
         F.struct(
             F.lit(None).cast("string").alias("w"),
