@@ -44,22 +44,34 @@ def concat_chunk_packing(
     shards: int = 8,
     id_col: str = "doc_id",
     cost_col: str = "n_tokens",
+    order_col: str | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk packing plan. Returns one row per doc:
     (shard, doc_id, n_tokens, start_seq, start_off, end_seq) — which
     fixed-size sequence the doc starts in, at what offset, and where
     it ends. Empty docs get start_seq == end_seq.
+
+    ``order_col`` overrides the within-shard stream order (default:
+    ``id_col``); production packing orders by a shuffle key so the
+    training stream is permuted (pipe7), with ``id_col`` as the
+    unique tie-break. ``shard_col`` supplies a precomputed shard
+    (e.g. a hash-key prefix) instead of the default ``id % shards``.
     """
     iid = F.col(id_col)
+    order = (
+        [id_col] if order_col is None else [order_col, id_col]
+    )
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev_cum = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
     n = F.col(cost_col)
+    shard = iid % shards if shard_col is None else F.col(shard_col)
     return (
-        docs.withColumn("shard", iid % shards)
+        docs.withColumn("shard", shard)
         .withColumn("_prev", prev_cum)
         .select(
             "shard",

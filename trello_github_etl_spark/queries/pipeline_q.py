@@ -461,3 +461,109 @@ def pipe6_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring has the scale argument — no single-partition sort)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return packing.deterministic_shuffle(docs)
+
+
+@query(
+    "pipe7_clean_shuffle_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             {SQL_TOKENS.format(t='text')} AS tk,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, fp,
+        len(tk) AS n_tokens,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+        END AS stop_ratio,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+        END / 10.0 AS len_term,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+        END AS punct_ratio
+      FROM toks
+    ),
+    quality AS (
+      SELECT doc_id, fp, n_tokens, stop_ratio,
+        0.4 * stop_ratio
+        + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
+        + 0.2 * (1.0 - punct_ratio) AS quality,
+        MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id
+      FROM scored
+    ),
+    kept AS (
+      SELECT doc_id, n_tokens
+      FROM quality
+      WHERE stop_ratio > {textstats.EN_STOPWORD_RATIO_THRESHOLD}
+        AND quality >= 0.4
+        AND n_tokens BETWEEN 10 AND 500
+        AND doc_id = keeper_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens,
+             md5('shuffle-epoch-0|' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(TRY_CAST('0x' || substr(
+               md5('shuffle-epoch-0|' || CAST(doc_id AS VARCHAR)), 1, 2)
+               AS INTEGER) AS INTEGER) % {PACK_SHARDS} AS shard
+      FROM kept
+    ),
+    cum AS (
+      SELECT shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM keyed
+    )
+    SELECT shard, doc_id, n_tokens,
+           prev // {PACK_BUDGET} AS start_seq,
+           prev % {PACK_BUDGET} AS start_off,
+           (prev + greatest(n_tokens, 1) - 1) // {PACK_BUDGET} AS end_seq
+    FROM cum
+    """,
+)
+def pipe7_clean_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in ONE declarative plan:
+    C4-style gates + exact-dedup keeper (pipe1) → deterministic
+    shuffle-key ordering (pipe6's permutation) → concat-chunk packing
+    into {PACK_BUDGET}-token sequences (pipe4) — proof the operator
+    family composes without materialization barriers. Catalyst fuses
+    the scalar gates into the scan; the plan shuffles exactly twice
+    (the dedup fingerprint window, then the shard/pack window), both
+    on uniform md5-derived keys. This is the plan a 100 TB run would
+    submit per epoch, with only `salt` changing."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        textstats.fingerprint(t).alias("fp"),
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.stopword_ratio(t).alias("stop_ratio"),
+        textstats.quality_score(t).alias("quality"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    kept = (
+        scored.withColumn("keeper_id", keeper)
+        .filter(
+            (F.col("stop_ratio") > textstats.EN_STOPWORD_RATIO_THRESHOLD)
+            & (F.col("quality") >= 0.4)
+            & F.col("n_tokens").between(10, 500)
+            & (F.col("doc_id") == F.col("keeper_id"))
+        )
+        .select("doc_id", "n_tokens")
+    )
+    key = F.md5(F.concat(F.lit("shuffle-epoch-0|"), F.col("doc_id").cast("string")))
+    keyed = kept.withColumn("_k", key).withColumn(
+        "_shard",
+        F.conv(F.substring(F.col("_k"), 1, 2), 16, 10).cast("int")
+        % PACK_SHARDS,
+    )
+    return packing.concat_chunk_packing(
+        keyed,
+        budget=PACK_BUDGET,
+        shards=PACK_SHARDS,
+        order_col="_k",
+        shard_col="_shard",
+    )
