@@ -159,3 +159,15 @@ def test_incremental_dedup_single_fp_exchange_on_probe_path(spark):
     assert "EvalPython" not in plan
     # ≤2 fp exchanges total: corpus distinct + probe-path window/join
     assert plan.count("Exchange hashpartitioning(fp") <= 2
+
+
+def test_end_to_end_pipeline_is_one_scan_two_shuffles(spark):
+    """pipe7's whole pitch: gates fuse into ONE corpus scan, and the
+    entire clean->shuffle->pack chain shuffles exactly twice (dedup
+    fingerprint window, shard/pack window) — no materialization
+    barrier between pipeline stages."""
+    plan = _plan(_q(spark, "pipe7_clean_shuffle_pack"))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 2
+    assert "EvalPython" not in plan
