@@ -766,3 +766,28 @@ def test_triangle_counts_known_graph(spark):
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
     assert 5 not in got  # pendant node joins no triangle
+
+
+def test_winnow_pairs_catch_partial_overlap(spark):
+    """The winnowing guarantee: any shared run of >= w+k-1 = 12
+    tokens yields >= 1 shared fingerprint — including CONTAINMENT
+    (a copied paragraph inside an otherwise-different doc), the case
+    whole-doc MinHash bands miss."""
+    from trello_github_etl_spark.operators import dedup
+
+    copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    host = (
+        "completely different opening words about various other topics "
+        + copied
+        + " and then a totally different ending follows here too"
+    )
+    docs = spark.createDataFrame(
+        [(1, copied), (2, host), (3, "unrelated short content entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in dedup.winnow_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -568,3 +568,84 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     return corners.groupBy("doc_id").agg(
         F.count("*").alias("n_triangles")
     )
+
+
+WINNOW_SHINGLE = 5
+WINNOW_WINDOW = 8
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_SHINGLE,
+    w: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD 2003): hash the
+    POSITIONAL k-gram stream, keep the minimum of every w-hash
+    sliding window, dedup. Guarantees any shared run of ≥ w+k-1
+    tokens yields at least one shared fingerprint — positional
+    recall that single-min fingerprinting (t4's winnow_fp) and
+    whole-doc MinHash can't give for partial overlap/containment.
+
+    Returns (doc_id, wfp) exploded rows, O(n/w) fingerprints per doc.
+    Pure per-row array math fused into the scan; the explode fans out
+    only the selected minima, never the raw k-gram stream.
+    """
+    toks_arr = tokens(F.col(text_col))
+    base = ensure_parallelism(docs).select(
+        "doc_id", toks_arr.alias("_tk")
+    )
+    from trello_github_etl_spark.operators.textstats import ngrams
+
+    hashed = base.select(
+        "doc_id",
+        F.transform(ngrams(F.col("_tk"), k), _token_hash60).alias("_h"),
+    )
+    n_windows = F.size(F.col("_h")) - F.lit(w - 1)
+    # sequence(1, 0) DESCENDS in Spark (yielding an invalid slice
+    # start of 0) — short docs must produce an empty window list
+    idx = F.when(
+        n_windows >= 1, F.sequence(F.lit(1), n_windows)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = hashed.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
+            )
+        ).alias("_w"),
+    )
+    return wins.select(
+        "doc_id", F.explode(F.col("_w")).alias("wfp")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_SHINGLE,
+    w: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥1 winnowing fingerprint,
+    with the shared-fingerprint count as the overlap signal. Same
+    bucket-join scale shape as MinHash-LSH (equi-join on an
+    md5-uniform key, candidate pairs only) but sensitive to PARTIAL
+    overlap: a copied paragraph inside an otherwise-different doc
+    still collides. Hot fingerprints (boilerplate runs) are the skew
+    lever — cap fingerprint document-frequency upstream like dd7
+    when corpora develop giant boilerplate families."""
+    fps = winnow_fingerprints(docs, text_col, k, w)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wfp") == F.col("b.wfp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )

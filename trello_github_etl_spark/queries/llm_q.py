@@ -1182,3 +1182,47 @@ def t10_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd12 — winnowing fingerprint pairs (MOSS-style partial-overlap dedup)
+# ---------------------------------------------------------------------------
+@query(
+    "dd12_winnow_pairs",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 4), ' ')) AS g5
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(g5, s -> {SQL_H60.format(x='s')}) AS h
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 7, 0) + 1),
+               i -> list_min(list_slice(h, i, i + 7)))) AS wf
+      FROM hashed
+    ),
+    fps AS (
+      SELECT doc_id, unnest(wf) AS wfp FROM wins
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dd12_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate pairs with shared-fingerprint counts —
+    the partial-overlap-sensitive complement to whole-doc MinHash
+    (dd3): a copied ≥12-token run guarantees a collision regardless
+    of the rest of the doc (see dedup.winnow_fingerprints)."""
+    return dedup.winnow_pairs(_augmented_docs(spark, sf_dir))
