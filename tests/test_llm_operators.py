@@ -791,3 +791,28 @@ def test_winnow_pairs_catch_partial_overlap(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_df_cap_kills_boilerplate_pairs(spark):
+    """A boilerplate run shared by many docs must stop generating
+    pairs under the cap, while genuine twins keep pairing through
+    their rare fingerprints."""
+    from trello_github_etl_spark.operators import dedup
+
+    boiler = "this standard license header appears on every single page of the site"
+    rows = [(i, boiler + f" unique tail {i} content word{i}") for i in range(10)]
+    twin = "a genuinely copied rare document body with many distinct words spread over more than twelve tokens"
+    rows += [(100, twin), (101, twin)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in dedup.winnow_pairs(docs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.winnow_pairs(docs, max_fp_df=3).collect()
+    }
+    # boilerplate family pairs exist uncapped, vanish under the cap
+    assert any(a < 10 and b < 10 for a, b in uncapped)
+    assert not any(a < 10 and b < 10 for a, b in capped)
+    # the rare twin survives both
+    assert (100, 101) in uncapped and (100, 101) in capped

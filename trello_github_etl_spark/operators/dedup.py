@@ -626,16 +626,30 @@ def winnow_pairs(
     text_col: str = "text",
     k: int = WINNOW_SHINGLE,
     w: int = WINNOW_WINDOW,
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing ≥1 winnowing fingerprint,
     with the shared-fingerprint count as the overlap signal. Same
     bucket-join scale shape as MinHash-LSH (equi-join on an
     md5-uniform key, candidate pairs only) but sensitive to PARTIAL
     overlap: a copied paragraph inside an otherwise-different doc
-    still collides. Hot fingerprints (boilerplate runs) are the skew
-    lever — cap fingerprint document-frequency upstream like dd7
-    when corpora develop giant boilerplate families."""
+    still collides.
+
+    ``max_fp_df`` is the skew lever (dd7's analog): a fingerprint in
+    d docs — site boilerplate, license headers — contributes O(d²)
+    candidate pairs while carrying no near-dup signal. The cap drops
+    fingerprints with document frequency above it BEFORE the
+    self-join, so ``n_shared`` counts only sub-cap fingerprints (the
+    oracle replicates the same HAVING filter)."""
     fps = winnow_fingerprints(docs, text_col, k, w)
+    if max_fp_df is not None:
+        rare = (
+            fps.groupBy("wfp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("wfp")
+        )
+        fps = fps.join(rare, "wfp")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(

@@ -1226,3 +1226,53 @@ def dd12_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dd3): a copied ≥12-token run guarantees a collision regardless
     of the rest of the doc (see dedup.winnow_fingerprints)."""
     return dedup.winnow_pairs(_augmented_docs(spark, sf_dir))
+
+
+@query(
+    "dd13_winnow_df_capped",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 4), ' ')) AS g5
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(g5, s -> {SQL_H60.format(x='s')}) AS h
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 7, 0) + 1),
+               i -> list_min(list_slice(h, i, i + 7)))) AS wf
+      FROM hashed
+    ),
+    fps AS (
+      SELECT doc_id, unnest(wf) AS wfp FROM wins
+    ),
+    rare AS (
+      SELECT wfp FROM fps GROUP BY wfp HAVING COUNT(*) <= 20
+    ),
+    capped AS (
+      SELECT f.doc_id, f.wfp FROM fps f JOIN rare r ON f.wfp = r.wfp
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM capped a JOIN capped b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dd13_winnow_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd12 with the document-frequency cap engaged (df <= 20): the
+    boilerplate-fingerprint kill switch that bounds candidate-pair
+    inflation to O(cap·|fps|) at any corpus size. Exact copies still
+    pair through their sub-cap fingerprints; only corpus-wide
+    boilerplate runs stop generating pairs."""
+    return dedup.winnow_pairs(
+        _augmented_docs(spark, sf_dir), max_fp_df=20
+    )
