@@ -81,8 +81,10 @@ def test_round2_ops_on_null_text_and_ids(spark):
         for r in dedup.incremental_dedup(docs, corpus).collect()
     }
     assert verdicts[1] == "kept"
-    # both NULL-fp docs land in the same window group; min-id keeps 2
-    assert verdicts[2] == "kept" and verdicts[3] == "dup_batch"
+    # NULL-fp docs get their own verdict: an fp equi-join can never
+    # match NULL across batches, so 'kept' would re-admit one per
+    # batch forever — absent data is flagged, never admitted
+    assert verdicts[2] == "no_text" and verdicts[3] == "no_text"
 
     toks = docs.select(
         "doc_id", textstats.tokens(F.col("text")).alias("tk")

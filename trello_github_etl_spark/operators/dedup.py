@@ -384,6 +384,7 @@ def connected_components_twostar(
         return (row["n"], row["h"])
 
     sig = signature(edges)
+    converged = False
     for _ in range(max_iter):
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -414,8 +415,19 @@ def connected_components_twostar(
         )
         new_sig = signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+
+    if not converged:
+        # a non-star residual edge set would fan out the label join
+        # below into duplicated, inconsistent rows per node — fail
+        # loudly instead (the sibling algorithm degrades to one
+        # stale label per node on bailout; this one cannot)
+        raise RuntimeError(
+            f"two-star components did not converge in {max_iter} rounds"
+            " — raise max_iter (rounds needed are O(log^2 n))"
+        )
 
     return all_nodes.join(
         edges, all_nodes["node"] == edges["u"], "left"
@@ -471,7 +483,13 @@ def incremental_dedup(
         .select(
             "doc_id",
             "fp",
-            F.when(F.col("_hit") == 1, F.lit("dup_existing"))
+            # NULL fp (no text) gets its own verdict: an fp equi-join
+            # can never match NULL across batches, so classifying such
+            # docs 'kept' would admit one per batch forever while
+            # in-batch NULLs deduped against each other — contradictory
+            # semantics. Absent data stays visible, never admitted.
+            F.when(F.col("fp").isNull(), F.lit("no_text"))
+            .when(F.col("_hit") == 1, F.lit("dup_existing"))
             .when(F.col("doc_id") != F.col("_min_id"), F.lit("dup_batch"))
             .otherwise(F.lit("kept"))
             .alias("verdict"),

@@ -117,6 +117,11 @@ def _real_decode_one(media_id: int, media_type: str, payload: bytes) -> tuple:
             n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
             n_frames = w.getnframes()
             raw = w.readframes(n_frames)
+        if sampwidth not in (1, 2, 4):
+            raise NotImplementedError(
+                f"unsupported WAV sample width {sampwidth} bytes "
+                "(24-bit PCM needs byte repacking; 8/16/32-bit supported)"
+            )
         dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
         sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         if sampwidth == 1:
@@ -252,6 +257,11 @@ def segment_audio(
             rate, sampwidth = w.getframerate(), w.getsampwidth()
             n_samples = w.getnframes()
             raw = w.readframes(n_samples)
+        if sampwidth not in (1, 2, 4):
+            raise NotImplementedError(
+                f"unsupported WAV sample width {sampwidth} bytes "
+                "(24-bit PCM needs byte repacking; 8/16/32-bit supported)"
+            )
         dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
         sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         if sampwidth == 1:

@@ -117,7 +117,11 @@ def deterministic_shuffle(
         iid.alias("doc_id"),
         key.alias("_key"),
         F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialized once: the counts collect below AND the ranking
+    # pass both probe this frame — without the checkpoint each would
+    # re-scan the corpus and recompute every md5 key (2x the work at
+    # any scale; on a cluster, persist() instead)
     counts = {
         r["bucket"]: r["n"]
         for r in keyed.groupBy("bucket").agg(F.count("*").alias("n")).collect()

@@ -29,9 +29,11 @@ documented decision (VERDICT r1 §5) is: keep this store and make
 concurrent-writer misuse FAIL LOUDLY instead of losing updates.
 Two guards provide that:
 
-- the version DIRECTORY is the claim token: ``errorifexists`` means
-  the second writer racing for the same version number dies on write
-  (``CommitConflictError``), never publishes over the winner;
+- the version DIRECTORY is the claim token: a pre-existing directory
+  fails the commit with ``CommitConflictError`` before any write
+  (best-effort detection — the existence check and the write are not
+  one atomic step, which is exactly why this store stays
+  single-writer by design);
 - ``commit(..., expected_version=)`` is optimistic CAS at the
   manifest level: the commit aborts (and removes its orphan
   directory) if another writer published in between — the lost-update
@@ -124,14 +126,26 @@ class VersionedStateStore:
             )
         version = m["current"] + 1
         path = self._dir(version)
+        # claim check BEFORE writing: a pre-existing directory means
+        # another writer got here first. (Check-then-write is not
+        # atomic — two writers inside this window could interleave —
+        # which is why the store is single-writer BY DESIGN and these
+        # guards are best-effort conflict DETECTION, not a commit log.)
+        if os.path.exists(path):
+            raise CommitConflictError(
+                f"version directory v{version:08d} already claimed by "
+                "another writer"
+            )
         try:
             df.write.mode("errorifexists").parquet(path)
-        except Exception as e:
-            if os.path.exists(path):
-                raise CommitConflictError(
-                    f"version directory v{version:08d} already claimed by "
-                    "another writer"
-                ) from e
+        except Exception:
+            # OUR write failed (task error, disk full, execution-time
+            # expression error). Spark creates the directory at job
+            # setup, so without cleanup the partial orphan would wedge
+            # every retry into a bogus 'already claimed' conflict.
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
             raise
         n = df.sparkSession.read.parquet(path).count()
         # CAS re-check at the publish point: a competing writer may

@@ -103,10 +103,23 @@ class ResolvedCatalog:
 
 def parse_board_lists_dsl(dsl: str) -> dict[str, str]:
     """`"Concepts:Pending, None:Considering"` → {trello: github}
-    (F11, lib/transform.js:89-94 / lib/gh.js:78-81)."""
+    (F11, lib/transform.js:89-94 / lib/gh.js:78-81).
+
+    The DSL splits on commas AND whitespace (reference semantics), so
+    names containing spaces are inexpressible in it — a pair that
+    does not parse as exactly `name:name` raises a diagnostic
+    ``CatalogResolutionError`` instead of the reference's silent
+    misparse (its `split(":")[1]` would also swallow a third field).
+    """
     out = {}
     for pair in [p for p in re.split(r"[,\s]+", dsl) if p]:
         parts = pair.split(":")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise CatalogResolutionError(
+                f"malformed board-lists pair {pair!r} (expected "
+                "'TrelloList:GithubColumn'; names with spaces are "
+                "inexpressible in this whitespace-splitting DSL)"
+            )
         out[parts[0]] = parts[1]
     return out
 
@@ -157,7 +170,12 @@ def resolve_catalog(
 
     problems: list[str] = []
 
-    status = fields_by_name.get("Status")
+    # board columns live on the CONFIGURED status field (falling back
+    # to the product's fixed "Status" name, which the reference
+    # hardcodes at lib/gh.js:68-73) — validation and field resolution
+    # must agree on which field that is
+    status_name = field_names.get("card_status_field") or "Status"
+    status = fields_by_name.get(status_name)
     options = (
         [o["name"] for o in (status["settings"] or {}).get("options", [])]
         if status

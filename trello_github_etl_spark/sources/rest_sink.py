@@ -263,6 +263,15 @@ def http_transport(
                     {"name": name, **payload.get("repo_opts", {})},
                 )
             if not 200 <= resp.status_code < 300:
+                # same rate-limit mapping as _request: a 403 secondary
+                # limit must surface as RateLimited so run_sink's ST4
+                # backoff owns the retry, not a fatal task error
+                try:
+                    msg = (resp.json() or {}).get("message", "")
+                except Exception:  # noqa: BLE001 - non-JSON error body
+                    msg = ""
+                if "secondary rate limit" in str(msg):
+                    raise RateLimited(msg)
                 raise RuntimeError(f"not ok: {resp.status_code}")
             return resp.json()
         raise ValueError(f"unknown op {op!r}")

@@ -51,12 +51,14 @@ def dedup_batch(
     verdicts = incremental_dedup(batch, fps, text_col).localCheckpoint(
         eager=True
     )
+    # 'kept' excludes NULL-fingerprint (no_text) docs, so the state
+    # never accumulates a meaningless NULL fp row
     kept = verdicts.filter(F.col("verdict") == "kept").select("fp")
     new_state = fps.select("fp").unionByName(kept).distinct()
-    if base == 0:
-        store.commit(new_state, op="dedup-batch")
-    else:
-        store.commit(new_state, op="dedup-batch", expected_version=base)
+    # CAS even from the empty store (base=0): two writers racing from
+    # an empty state must not both publish v1 — that was the exact
+    # lost-update window this loop exists to close
+    store.commit(new_state, op="dedup-batch", expected_version=base)
     return verdicts
 
 
