@@ -143,3 +143,42 @@ def test_parse_board_lists_dsl():
         "E": "F",
     }
     assert parse_board_lists_dsl("") == {}
+
+
+def test_malformed_dsl_pair_is_diagnostic():
+    with pytest.raises(CatalogResolutionError, match="malformed"):
+        parse_board_lists_dsl("In Progress:Doing")  # space-split DSL limit
+    with pytest.raises(CatalogResolutionError, match="malformed"):
+        parse_board_lists_dsl("A:B:C")
+
+
+def test_status_options_follow_configured_field_name():
+    """Validation and resolution must agree on which field carries the
+    board columns when the status field has a non-default name."""
+    renamed = dict(FIELD_NAMES)
+    renamed["card_status_field"] = "Pipeline State"
+
+    def transport(payload):
+        if "projectsNext" in payload["query"]:
+            return _boards_payload()
+        nodes = [
+            {
+                "id": f"F{i}",
+                "name": ("Pipeline State" if name == "Status" else name),
+                "settings": json.dumps(STATUS_SETTINGS)
+                if name == "Status"
+                else "null",
+            }
+            for i, name in enumerate(FIELD_NAMES.values())
+        ]
+        return {"data": {"node": {"fields": {"nodes": nodes}}}}
+
+    cat = resolve_catalog(
+        transport,
+        "My Board",
+        "acme",
+        renamed,
+        board_lists_dsl="Concepts:Pending",
+    )
+    assert cat.status_options == ("Pending", "Considering", "Done")
+    assert "Pipeline State" in cat.fields_by_name

@@ -279,3 +279,21 @@ def test_run_sink_drives_transport_with_backoff(spark, tmp_path):
     assert calls == ["0", "0", "1"]
     # the ST4 backoff slept between entity 0's two attempts
     assert [e["slept"] for e in events if "slept" in e].count(7.0) == 1
+
+
+def test_get_or_create_repo_rate_limit_maps_to_ratelimited():
+    """The GET leg must route secondary-rate-limit responses into the
+    sink's backoff contract, same as every other request."""
+    t, _ = _transport(
+        [
+            (
+                "GET",
+                "/repos/acme/widgets",
+                FakeResponse(
+                    403, {"message": "secondary rate limit hit"}
+                ),
+            )
+        ]
+    )
+    with pytest.raises(RateLimited):
+        t({"op": "get_or_create_repo", "name": "widgets"})

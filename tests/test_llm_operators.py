@@ -816,3 +816,36 @@ def test_winnow_df_cap_kills_boilerplate_pairs(spark):
     assert not any(a < 10 and b < 10 for a, b in capped)
     # the rare twin survives both
     assert (100, 101) in uncapped and (100, 101) in capped
+
+
+def test_twostar_raises_on_exhausted_iterations(spark):
+    """An unconverged two-star run must fail loudly — a non-star
+    residual edge set would silently fan the label join out into
+    duplicated rows per node."""
+    from trello_github_etl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_twostar(pairs, max_iter=1)
+
+
+def test_real_codec_24bit_wav_is_loud_boundary(spark):
+    """24-bit PCM passes the RIFF magic but needs byte repacking —
+    must raise the documented NotImplementedError, not a KeyError."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)  # 24-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x02" * 100)
+    media = spark.createDataFrame(
+        [(1, "audio", buf.getvalue(), "s")],
+        "media_id long, media_type string, payload binary, meta_source string",
+    )
+    with pytest.raises(Exception, match="sample width"):
+        multimodal.decode_media(media, codec="real").collect()
