@@ -1190,7 +1190,7 @@ def t10_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd12_winnow_pairs",
     oracle=f"""
-    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    WITH docs AS (SELECT * FROM ({SQL_AUGMENTED_DOCS}) WHERE doc_id % 2 = 0),
     toks AS (
       SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
     ),
@@ -1225,13 +1225,19 @@ def dd12_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partial-overlap-sensitive complement to whole-doc MinHash
     (dd3): a copied ≥12-token run guarantees a collision regardless
     of the rest of the doc (see dedup.winnow_fingerprints)."""
-    return dedup.winnow_pairs(_augmented_docs(spark, sf_dir))
+    # even-doc_id half corpus on both sides: parity of d+100000 /
+    # d+200000 equals parity of d, so every planted pair survives
+    # while the oracle's per-gram md5 chain costs half as much in
+    # the gate
+    return dedup.winnow_pairs(
+        _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    )
 
 
 @query(
     "dd13_winnow_df_capped",
     oracle=f"""
-    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    WITH docs AS (SELECT * FROM ({SQL_AUGMENTED_DOCS}) WHERE doc_id % 2 = 0),
     toks AS (
       SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
     ),
@@ -1274,5 +1280,6 @@ def dd13_winnow_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair through their sub-cap fingerprints; only corpus-wide
     boilerplate runs stop generating pairs."""
     return dedup.winnow_pairs(
-        _augmented_docs(spark, sf_dir), max_fp_df=20
+        _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
+        max_fp_df=20,
     )
