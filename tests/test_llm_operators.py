@@ -849,3 +849,35 @@ def test_real_codec_24bit_wav_is_loud_boundary(spark):
     )
     with pytest.raises(Exception, match="sample width"):
         multimodal.decode_media(media, codec="real").collect()
+
+
+def test_countmin_is_admissible_overestimate(spark):
+    """CMS property: est >= true for EVERY token, exact for tokens
+    with no cell collisions in at least one row."""
+    from trello_github_etl_spark.operators import sketch
+
+    rows = []
+    for i, (tok, n) in enumerate(
+        [("alpha", 50), ("beta", 30), ("gamma", 7), ("rare", 1)]
+    ):
+        rows += [(tok,)] * n
+    toks = spark.createDataFrame(rows, "token string")
+    cms = sketch.countmin_table(toks)
+    # grid never exceeds depth*width rows, total mass = depth*N
+    grid = cms.collect()
+    assert len(grid) <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+    assert sum(r.cnt for r in grid) == sketch.CMS_DEPTH * len(rows)
+    est = {
+        r.token: r.cms_est
+        for r in sketch.countmin_estimate(
+            toks.select("token").distinct(), cms
+        ).collect()
+    }
+    truth = {"alpha": 50, "beta": 30, "gamma": 7, "rare": 1}
+    for tok, true_n in truth.items():
+        assert est[tok] >= true_n, tok
+    # unseen token estimates 0 (or collision mass), never negative
+    unseen = sketch.countmin_estimate(
+        spark.createDataFrame([("zzz-unseen",)], "token string"), cms
+    ).collect()[0].cms_est
+    assert unseen >= 0

@@ -1,0 +1,98 @@
+"""Count-Min sketch over token streams (Cormode & Muthukrishnan,
+J. Algorithms 2005) — heavy-hitter estimation whose state is a FIXED
+depth x width counter grid, independent of corpus size.
+
+Why this matters at 100 TB: exact token counting shuffles a key space
+that grows with the corpus (billions of distinct tokens); the sketch
+shuffles at most depth*width cells — map-side combine collapses every
+partition's contribution to <= 1,024 partial counters, so the
+reduce-side state and the shuffle volume are CONSTANT. Estimates are
+admissible overestimates (est >= true, within eps*N w.h.p.), the
+standard trade for frequency queries / heavy-hitter gates in a
+pretraining pipeline (stop-token detection, boilerplate token
+flagging) without a corpus-sized aggregation.
+
+Determinism: the d hash rows derive from md5('cms{d}|' || token) —
+no RNG, bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _h60(col):
+    """First 15 md5 hex chars as a 60-bit bigint (dedup's twin)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def countmin_table(
+    tokens_df: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(d, cell, cnt) counter grid from a token-stream frame (one row
+    per token OCCURRENCE). One explode to (d, cell) pairs + one
+    groupBy over depth*width keys — the whole reduce state is the
+    grid."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    _h60(F.concat(F.lit(f"cms{d}|"), F.col(token_col)))
+                    % width
+                ).alias("cell"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        tokens_df.select(F.explode(cells).alias("_dc"))
+        .groupBy(F.col("_dc.d").alias("d"), F.col("_dc.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    candidates: DataFrame,
+    cms: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch: est(token) = min over d of the
+    counter at (d, h_d(token)). The grid is KBs by construction, so
+    the probe is a broadcast join on (d, cell); one min-agg per
+    candidate follows."""
+    probes = candidates.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            _h60(
+                                F.concat(
+                                    F.lit(f"cms{d}|"), F.col(token_col)
+                                )
+                            )
+                            % width
+                        ).alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_dc"),
+    ).select(token_col, F.col("_dc.d").alias("d"), F.col("_dc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(cms), ["d", "cell"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )

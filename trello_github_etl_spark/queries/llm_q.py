@@ -1283,3 +1283,61 @@ def dd13_winnow_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
         max_fp_df=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# t11 — Count-Min sketch heavy hitters (operators/sketch.py)
+# ---------------------------------------------------------------------------
+@query(
+    "t11_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKENS.format(t='text')}) AS token FROM documents
+    ),
+    cells AS (
+      SELECT token, d.d AS d,
+             {SQL_H60.format(x="'cms' || d.d || '|' || token")} % 256 AS cell
+      FROM toks, (VALUES (0), (1), (2), (3)) d(d)
+    ),
+    cms AS (
+      SELECT d, cell, COUNT(*) AS cnt FROM cells GROUP BY d, cell
+    ),
+    true_counts AS (
+      SELECT token, COUNT(*) AS true_count FROM toks GROUP BY token
+    ),
+    top AS (
+      SELECT token, true_count FROM true_counts
+      ORDER BY true_count DESC, token ASC LIMIT 20
+    ),
+    probes AS (
+      SELECT t.token, t.true_count, d.d AS d,
+             {SQL_H60.format(x="'cms' || d.d || '|' || t.token")} % 256 AS cell
+      FROM top t, (VALUES (0), (1), (2), (3)) d(d)
+    )
+    SELECT p.token, p.true_count, MIN(c.cnt) AS cms_est
+    FROM probes p JOIN cms c ON c.d = p.d AND c.cell = p.cell
+    GROUP BY p.token, p.true_count
+    """,
+)
+def t11_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: the 4x256 sketch grid estimates the
+    top-20 tokens' frequencies with admissible overestimates
+    (cms_est >= true_count always — the sketch property the unit test
+    pins). The sketch's reduce state is 1,024 cells at ANY corpus
+    size; the exact top-20 here exists only to exhibit the estimates
+    against truth at gate scale (see operators/sketch.py)."""
+    from trello_github_etl_spark.operators import sketch
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(textstats.tokens(F.col("text"))).alias("token")
+    )
+    cms = sketch.countmin_table(toks)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    est = sketch.countmin_estimate(top.select("token"), cms)
+    return top.join(est, "token")
