@@ -881,3 +881,25 @@ def test_countmin_is_admissible_overestimate(spark):
         spark.createDataFrame([("zzz-unseen",)], "token string"), cms
     ).collect()[0].cms_est
     assert unseen >= 0
+
+
+def test_kmv_estimate_accuracy_and_small_set_fallback(spark):
+    from trello_github_etl_spark.operators import sketch
+
+    # small set: exact fallback
+    small = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(40)], "token string"
+    )
+    row = sketch.kmv_distinct_estimate(small).collect()[0]
+    assert row.n_hashes_kept == 40 and row.kmv_est == 40.0
+    # large set: estimate within the k=256 sketch's expected error
+    # band (~1/sqrt(k) ≈ 6%; allow 20% for one draw)
+    big = spark.createDataFrame(
+        [(f"token-{i}",) for i in range(20_000)], "token string"
+    )
+    est = sketch.kmv_distinct_estimate(big).collect()[0].kmv_est
+    assert abs(est - 20_000) / 20_000 < 0.20
+    # duplicates don't move the estimate (distinct semantics)
+    dup = big.union(big)
+    est_dup = sketch.kmv_distinct_estimate(dup).collect()[0].kmv_est
+    assert est_dup == est

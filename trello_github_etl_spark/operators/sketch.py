@@ -96,3 +96,46 @@ def countmin_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+KMV_K = 256
+H60_SPAN = float(2**60)
+
+
+def kmv_distinct_estimate(
+    values_df: DataFrame, value_col: str = "token", k: int = KMV_K
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.,
+    RANDOM 2002): keep the k smallest DISTINCT 60-bit hashes; if the
+    k-th smallest is h, the hashes are uniform on [0, 2^60), so
+    distinct-count ≈ (k-1) * 2^60 / h.
+
+    Why not exact COUNT(DISTINCT) at 100 TB: exact needs a shuffle
+    keyed by every distinct value; the sketch's k-smallest pass is a
+    TopK — each partition forwards at most k candidates (partial
+    take-ordered), the driver-side state is k longs. Same md5
+    determinism contract as the Count-Min grid: the oracle reproduces
+    the estimate bit-for-bit (single IEEE division of exact
+    integers). Returns one row: (n_hashes_kept, kth_min, kmv_est).
+    For inputs with fewer than k distinct values the estimate is
+    replaced by the exact distinct count (the standard small-set
+    fallback)."""
+    hashed = values_df.select(
+        _h60(F.col(value_col)).alias("h")
+    ).distinct()
+    kmin = hashed.orderBy("h").limit(k)
+    agg = kmin.agg(
+        F.count("*").alias("n_hashes_kept"),
+        F.max("h").alias("kth_min"),
+    )
+    est = F.when(
+        F.col("n_hashes_kept") < k,
+        F.col("n_hashes_kept").cast("double"),
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(H60_SPAN)
+        / F.col("kth_min").cast("double")
+    )
+    return agg.select(
+        "n_hashes_kept", "kth_min", est.alias("kmv_est")
+    )

@@ -1341,3 +1341,44 @@ def t11_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sketch.countmin_estimate(top.select("token"), cms)
     return top.join(est, "token")
+
+
+@query(
+    "t12_kmv_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKENS.format(t='text')}) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT DISTINCT {SQL_H60.format(x='token')} AS h FROM toks
+    ),
+    kmin AS (SELECT h FROM hashed ORDER BY h LIMIT 256),
+    agg AS (
+      SELECT COUNT(*) AS n_hashes_kept, MAX(h) AS kth_min FROM kmin
+    ),
+    tru AS (SELECT COUNT(DISTINCT token) AS true_distinct FROM toks)
+    SELECT a.n_hashes_kept, a.kth_min,
+      CASE WHEN a.n_hashes_kept < 256 THEN CAST(a.n_hashes_kept AS DOUBLE)
+           ELSE 255.0 * 1152921504606846976.0 / CAST(a.kth_min AS DOUBLE)
+      END AS kmv_est,
+      t.true_distinct
+    FROM agg a CROSS JOIN tru t
+    """,
+)
+def t12_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-token estimate beside the exact
+    count: the sketch needs only a TopK over hashes (each partition
+    forwards <= k candidates; k longs of state), where the exact
+    distinct — included here purely to exhibit accuracy at gate
+    scale — shuffles the full key space. Deterministic both sides:
+    identical IEEE expression over exact integers (see
+    sketch.kmv_distinct_estimate)."""
+    from trello_github_etl_spark.operators import sketch
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(textstats.tokens(F.col("text"))).alias("token")
+    )
+    est = sketch.kmv_distinct_estimate(toks)
+    tru = toks.agg(F.countDistinct("token").alias("true_distinct"))
+    return est.crossJoin(F.broadcast(tru))
