@@ -903,3 +903,49 @@ def test_kmv_estimate_accuracy_and_small_set_fallback(spark):
     dup = big.union(big)
     est_dup = sketch.kmv_distinct_estimate(dup).collect()[0].kmv_est
     assert est_dup == est
+
+
+def test_sketches_merge_exactly(spark):
+    """Mergeability — the property that makes sketches incremental:
+    per-batch Count-Min grids summed cell-wise must equal the grid
+    built over the concatenated stream, and merged KMV k-mins must
+    equal the k-mins of the union. Exact equality, not approximate."""
+    from trello_github_etl_spark.operators import sketch
+
+    batches = [
+        [(f"tok{i % 40}",) for i in range(300)],
+        [(f"tok{i % 90}",) for i in range(200)],
+        [(f"other-{i}",) for i in range(250)],
+    ]
+    dfs = [
+        spark.createDataFrame(rows, "token string") for rows in batches
+    ]
+    full = dfs[0].union(dfs[1]).union(dfs[2])
+
+    merged_cms = sketch.merge_countmin(
+        dfs[0]
+        .transform(sketch.countmin_table)
+        .union(sketch.countmin_table(dfs[1]))
+        .union(sketch.countmin_table(dfs[2]))
+    )
+    batch_cms = sketch.countmin_table(full)
+    assert sorted(map(tuple, merged_cms.collect())) == sorted(
+        map(tuple, batch_cms.collect())
+    )
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def kmins(df):
+        return (
+            df.select(sketch._h60(F.col("token")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(sketch.KMV_K)
+        )
+
+    merged_kmv = sketch.merge_kmv(
+        kmins(dfs[0]).union(kmins(dfs[1])).union(kmins(dfs[2]))
+    )
+    assert sorted(r.h for r in merged_kmv.collect()) == sorted(
+        r.h for r in kmins(full).collect()
+    )

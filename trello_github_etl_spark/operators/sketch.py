@@ -139,3 +139,20 @@ def kmv_distinct_estimate(
     return agg.select(
         "n_hashes_kept", "kth_min", est.alias("kmv_est")
     )
+
+
+def merge_countmin(grids: DataFrame) -> DataFrame:
+    """Merge Count-Min grids by cell-wise sum — sketches are
+    MERGEABLE (union of streams = sum of grids), which is what makes
+    them the incremental/distributed answer: each day's batch builds
+    its grid independently, the running state is one grid of at most
+    depth*width rows, and merging never re-reads history. Input: a
+    union of (d, cell, cnt) frames."""
+    return grids.groupBy("d", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def merge_kmv(kmins: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge KMV sketches: union the kept hashes, dedup, re-take the
+    k smallest. Input: a union of (h) frames; output the merged
+    (h) frame — feed to the same estimate expression."""
+    return kmins.select("h").distinct().orderBy("h").limit(k)
