@@ -517,3 +517,50 @@ def test_stream_incremental_dedup_via_foreachbatch(spark, tmp_path):
     assert verdicts[3] == "dup_existing"  # canonical match of doc 1
     assert verdicts[1] == verdicts[2] == verdicts[4] == "kept"
     assert len(read_fps(spark, store).collect()) == 3
+
+
+def test_stream_sketch_incremental_equals_batch_and_skips_replay(
+    spark, tmp_path
+):
+    """Sketch maintenance loop: three batches merged incrementally
+    must equal the one-shot grid over the concatenation (mergeability
+    is exact); a replayed batch id must be skipped — SUM is not
+    idempotent, so the batch-id gate is what makes at-least-once
+    delivery exactly-once."""
+    from trello_github_etl_spark.operators.sketch import countmin_table
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.sketch_stream import (
+        apply_batch,
+        read_grid,
+    )
+
+    store = VersionedStateStore(str(tmp_path / "cms"))
+    batches = [
+        [(f"tok{i % 30}",) for i in range(200)],
+        [(f"tok{i % 75}",) for i in range(150)],
+        [(f"day3-{i % 10}",) for i in range(90)],
+    ]
+    dfs = [
+        spark.createDataFrame(rows, "token string") for rows in batches
+    ]
+    for bid, df in enumerate(dfs):
+        assert apply_batch(spark, store, df, bid) is True
+    # replay of batch 1: skipped, state untouched
+    v_before = store.latest_version()
+    assert apply_batch(spark, store, dfs[1], 1) is False
+    assert store.latest_version() == v_before
+
+    incremental = sorted(
+        map(tuple, read_grid(spark, store).collect())
+    )
+    batch_once = sorted(
+        map(
+            tuple,
+            countmin_table(dfs[0].union(dfs[1]).union(dfs[2]))
+            .selectExpr("CAST(d AS LONG) d", "CAST(cell AS LONG) cell", "cnt")
+            .collect(),
+        )
+    )
+    assert incremental == batch_once
