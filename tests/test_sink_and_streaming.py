@@ -564,3 +564,29 @@ def test_stream_sketch_incremental_equals_batch_and_skips_replay(
         )
     )
     assert incremental == batch_once
+
+
+def test_sketch_stream_tolerates_foreign_commits(spark, tmp_path):
+    """A store seeded by non-sketch commits must not crash the
+    batch-id gate (max over an empty filtered history)."""
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.sketch_stream import (
+        apply_batch,
+        last_applied_batch,
+    )
+
+    store = VersionedStateStore(str(tmp_path / "cms"))
+    # foreign seed commit (op='overwrite'), empty grid shape
+    store.commit(
+        spark.createDataFrame([], "d long, cell long, cnt long")
+    )
+    assert last_applied_batch(store) == -1
+    ok = apply_batch(
+        spark,
+        store,
+        spark.createDataFrame([("tok",)], "token string"),
+        0,
+    )
+    assert ok is True

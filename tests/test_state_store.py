@@ -132,3 +132,24 @@ def test_merge_threads_cas_through(spark, store, monkeypatch):
     monkeypatch.setattr(store, "read", read_then_interleave)
     with pytest.raises(ss.CommitConflictError):
         store.merge(_df(spark, [("b", "t9")]))
+
+
+def test_conflict_never_deletes_competitor_directory(spark, store):
+    """A claim conflict must be non-destructive: the competing
+    writer's version directory (with its data) survives, and the
+    loser gets CommitConflictError — never an rmtree of published
+    work."""
+    from trello_github_etl_spark.plans.state_store import CommitConflictError
+
+    store.commit(_df(spark, [("a", "t1")]))  # v1
+    # competing writer completed v2's directory (not yet published)
+    comp = os.path.join(store.root, "v00000002")
+    _df(spark, [("z", "competitor")]).write.parquet(comp)
+    assert os.path.exists(os.path.join(comp, "_SUCCESS"))
+    with pytest.raises(CommitConflictError):
+        store.commit(_df(spark, [("a", "t2")]))
+    # competitor's data intact
+    assert os.path.exists(os.path.join(comp, "_SUCCESS"))
+    assert [r.title for r in spark.read.parquet(comp).collect()] == [
+        "competitor"
+    ]

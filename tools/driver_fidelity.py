@@ -13,11 +13,16 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+# the checkout this file lives in, not a hardcoded path — running the
+# smoke from another clone must test THAT clone
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from trello_github_etl_spark.io import TABLES, table_path  # noqa: E402
 

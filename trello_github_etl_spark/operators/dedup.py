@@ -460,8 +460,11 @@ def incremental_dedup(
     ``corpus_fps`` carries one column ``fp`` (the fingerprint state a
     growing corpus maintains — 16 bytes/doc, the only thing the
     history contributes). Returns (doc_id, fp, verdict) with verdict
-    ∈ {'kept', 'dup_existing', 'dup_batch'}: corpus hit wins, then
-    min-doc_id keeper within the batch.
+    ∈ {'kept', 'dup_existing', 'dup_batch', 'no_text'}: NULL
+    fingerprints (no text) are flagged first, then corpus hit wins,
+    then min-doc_id keeper within the batch. 'no_text' docs are never
+    admissible — see the inline comment for why 'kept' would re-admit
+    one per batch forever.
 
     Scale shape: one join + one window, BOTH keyed on the same
     md5-uniform ``fp`` — the shuffle the join produces is reused by

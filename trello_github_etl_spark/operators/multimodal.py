@@ -61,6 +61,20 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def _wav_dtype(sampwidth: int):
+    """Numpy dtype for a PCM sample width — the shared capability
+    boundary for both audio paths, checked from the header BEFORE any
+    frame bytes are read."""
+    import numpy as np
+
+    if sampwidth not in (1, 2, 4):
+        raise NotImplementedError(
+            f"unsupported WAV sample width {sampwidth} bytes "
+            "(24-bit PCM needs byte repacking; 8/16/32-bit supported)"
+        )
+    return {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
+
+
 def _fake_decode_one(media_id: int, media_type: str, payload: bytes) -> tuple:
     """Deterministic stand-in for a real codec: dimensions and features
     derived from md5(payload) — reproducible in SQL for the oracle."""
@@ -115,14 +129,9 @@ def _real_decode_one(media_id: int, media_type: str, payload: bytes) -> tuple:
     if media_type == "audio" and payload[:4] == b"RIFF":
         with wave.open(io.BytesIO(payload)) as w:
             n_ch, sampwidth = w.getnchannels(), w.getsampwidth()
+            dtype = _wav_dtype(sampwidth)  # reject before reading frames
             n_frames = w.getnframes()
             raw = w.readframes(n_frames)
-        if sampwidth not in (1, 2, 4):
-            raise NotImplementedError(
-                f"unsupported WAV sample width {sampwidth} bytes "
-                "(24-bit PCM needs byte repacking; 8/16/32-bit supported)"
-            )
-        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
         sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         if sampwidth == 1:
             sig -= 128.0
@@ -255,14 +264,9 @@ def segment_audio(
 
         with wave.open(io.BytesIO(payload)) as w:
             rate, sampwidth = w.getframerate(), w.getsampwidth()
+            dtype = _wav_dtype(sampwidth)  # reject before reading frames
             n_samples = w.getnframes()
             raw = w.readframes(n_samples)
-        if sampwidth not in (1, 2, 4):
-            raise NotImplementedError(
-                f"unsupported WAV sample width {sampwidth} bytes "
-                "(24-bit PCM needs byte repacking; 8/16/32-bit supported)"
-            )
-        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
         sig = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         if sampwidth == 1:
             sig -= 128.0

@@ -21,13 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trello_github_etl_spark.operators.dedup import _token_hash60 as _h60
+
 CMS_DEPTH = 4
 CMS_WIDTH = 256
-
-
-def _h60(col):
-    """First 15 md5 hex chars as a 60-bit bigint (dedup's twin)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def countmin_table(

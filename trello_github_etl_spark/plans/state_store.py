@@ -138,11 +138,28 @@ class VersionedStateStore:
             )
         try:
             df.write.mode("errorifexists").parquet(path)
-        except Exception:
-            # OUR write failed (task error, disk full, execution-time
-            # expression error). Spark creates the directory at job
-            # setup, so without cleanup the partial orphan would wedge
-            # every retry into a bogus 'already claimed' conflict.
+        except Exception as e:
+            # Distinguish "a competitor took this version" from "OUR
+            # write failed". Deleting a competitor's directory would
+            # lose published data — exactly what this store promises
+            # never to do — so cleanup only runs when the directory is
+            # provably not a completed competing write: a finished
+            # parquet job leaves _SUCCESS, and a published one
+            # advances the manifest.
+            theirs = self._read_manifest()["current"] >= version or (
+                os.path.exists(os.path.join(path, "_SUCCESS"))
+            )
+            if theirs:
+                raise CommitConflictError(
+                    f"version directory v{version:08d} was claimed and "
+                    "completed by another writer during this commit"
+                ) from e
+            # our own partial orphan (task error, disk full): without
+            # cleanup it would wedge every retry into a bogus
+            # 'already claimed' conflict. (A competitor still MID-
+            # write could be caught here — the inherent TOCTOU of a
+            # directory claim, which is why the store is single-writer
+            # by design.)
             import shutil
 
             shutil.rmtree(path, ignore_errors=True)

@@ -181,19 +181,25 @@ def http_transport(
         "Authorization": f"token {token}",
     }
 
+    def _raise_for_status(resp, path: str) -> None:
+        """Shared non-2xx mapping: secondary-rate-limit responses →
+        RateLimited (run_sink's ST4 backoff owns the retry,
+        lib/gh.js:33-38), anything else fatal."""
+        if 200 <= resp.status_code < 300:
+            return
+        try:
+            msg = (resp.json() or {}).get("message", "")
+        except Exception:  # noqa: BLE001 - non-JSON error body
+            msg = ""
+        if "secondary rate limit" in str(msg):
+            raise RateLimited(msg)
+        raise RuntimeError(f"not ok: {resp.status_code} {path}")
+
     def _request(method: str, path: str, body: dict | None) -> dict:
         resp = session.request(
             method, f"{base_url}{path}", headers=headers, json=body
         )
-        ok = 200 <= resp.status_code < 300
-        if not ok:
-            try:
-                msg = (resp.json() or {}).get("message", "")
-            except Exception:  # noqa: BLE001 - non-JSON error body
-                msg = ""
-            if "secondary rate limit" in str(msg):
-                raise RateLimited(msg)
-            raise RuntimeError(f"not ok: {resp.status_code} {path}")
+        _raise_for_status(resp, path)
         return resp.json()
 
     def _graphql(query: str, variables: dict) -> dict:
@@ -262,17 +268,7 @@ def http_transport(
                     f"/orgs/{owner}/repos",
                     {"name": name, **payload.get("repo_opts", {})},
                 )
-            if not 200 <= resp.status_code < 300:
-                # same rate-limit mapping as _request: a 403 secondary
-                # limit must surface as RateLimited so run_sink's ST4
-                # backoff owns the retry, not a fatal task error
-                try:
-                    msg = (resp.json() or {}).get("message", "")
-                except Exception:  # noqa: BLE001 - non-JSON error body
-                    msg = ""
-                if "secondary rate limit" in str(msg):
-                    raise RateLimited(msg)
-                raise RuntimeError(f"not ok: {resp.status_code}")
+            _raise_for_status(resp, f"/repos/{owner}/{name}")
             return resp.json()
         raise ValueError(f"unknown op {op!r}")
 

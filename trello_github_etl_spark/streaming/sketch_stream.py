@@ -46,14 +46,15 @@ def read_grid(spark: SparkSession, store: VersionedStateStore) -> DataFrame:
 
 
 def last_applied_batch(store: VersionedStateStore) -> int:
-    hist = store.history()
-    if not hist:
-        return -1
-    # op encodes the batch id: "cms-batch:<id>"
+    # op encodes the batch id: "cms-batch:<id>"; default covers both
+    # an empty history and a store seeded by non-sketch commits
     return max(
-        int(c.op.split(":", 1)[1])
-        for c in hist
-        if c.op.startswith("cms-batch:")
+        (
+            int(c.op.split(":", 1)[1])
+            for c in store.history()
+            if c.op.startswith("cms-batch:")
+        ),
+        default=-1,
     )
 
 
