@@ -1382,3 +1382,61 @@ def t12_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sketch.kmv_distinct_estimate(toks)
     tru = toks.agg(F.countDistinct("token").alias("true_distinct"))
     return est.crossJoin(F.broadcast(tru))
+
+
+@query(
+    "t13_doclen_percentiles",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({SQL_TOKENS.format(t='text')}) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM toks
+    )
+    SELECT lang, MAX(n) AS n_docs,
+      MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+               THEN n_tokens END) AS p50,
+      MAX(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1
+               THEN n_tokens END) AS p90,
+      MAX(CASE WHEN rn = CAST(floor((n-1) * 0.99) AS BIGINT) + 1
+               THEN n_tokens END) AS p99
+    FROM r GROUP BY lang
+    """,
+)
+def t13_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles — the
+    sequence-length budgeting stat a packing config (pipe4/pipe5
+    budget, pipe3 chunk width) is tuned against. Element percentile
+    (type-1, pct1's proven pattern): picks an actual data value via
+    row_number against a window count, unique doc_id tie-break, no
+    interpolation arithmetic — integer outputs hash-match exactly."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.size(textstats.tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = toks.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def at(p: float) -> F.Column:
+        idx = F.floor((F.col("n") - 1) * p) + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("n_tokens")))
+
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        at(0.5).alias("p50"),
+        at(0.9).alias("p90"),
+        at(0.99).alias("p99"),
+    )
