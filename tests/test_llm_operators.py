@@ -139,6 +139,27 @@ def test_real_codec_decodes_wav_and_ppm(spark):
     assert aud.feat_1 == pytest.approx(220 / 4000, rel=0.05)
 
 
+def test_real_codec_ppm_16bit_and_truncated_fail_loudly():
+    """ADVICE r2: maxval > 255 means 2-byte samples — decoding as
+    uint8 would silently garble the stats, so it must raise the loud
+    capability boundary; a payload shorter than the header promises
+    must also fail rather than compute stats over a short buffer."""
+    import pytest as _pytest
+
+    from trello_github_etl_spark.operators.multimodal import (
+        _real_decode_one,
+    )
+
+    wide = (
+        b"P6\n2 2\n65535\n" + bytes([0, 100]) * (2 * 2 * 3)
+    )
+    with _pytest.raises(NotImplementedError, match="maxval"):
+        _real_decode_one(1, "image", wide)
+    truncated = b"P6\n8 4\n255\n" + bytes([100]) * 10
+    with _pytest.raises(ValueError, match="truncated"):
+        _real_decode_one(2, "image", truncated)
+
+
 def test_fake_codec_deterministic_batch_shape(spark):
     media = spark.createDataFrame(
         [(i, "video", f"payload{i}".encode(), "s") for i in range(10)],

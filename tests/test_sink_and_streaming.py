@@ -590,3 +590,35 @@ def test_sketch_stream_tolerates_foreign_commits(spark, tmp_path):
         0,
     )
     assert ok is True
+
+
+def test_sketch_gate_survives_vacuum_and_foreign_commits(spark, tmp_path):
+    """ADVICE r2: the replay gate must not regress when vacuum()
+    rewrites history. Sequence that broke the history-derived gate:
+    cms-batch commit → foreign commit → vacuum(keep_last=1) prunes the
+    cms-batch history entry → replay of the batch. The manifest-meta
+    gate must still report the applied batch and skip the replay."""
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.sketch_stream import (
+        apply_batch,
+        last_applied_batch,
+        read_grid,
+    )
+
+    store = VersionedStateStore(str(tmp_path / "cms"))
+    batch = spark.createDataFrame([("tok",), ("tok",)], "token string")
+    assert apply_batch(spark, store, batch, 0) is True
+    # a non-sketch commit lands after the cms-batch commit...
+    store.commit(read_grid(spark, store), op="compaction")
+    # ...and vacuum prunes everything but the latest version
+    store.vacuum(keep_last=1)
+    assert all(not c.op.startswith("cms-batch:") for c in store.history())
+    # gate persisted in manifest meta, not prunable history
+    assert last_applied_batch(store) == 0
+    grid_before = sorted(map(tuple, read_grid(spark, store).collect()))
+    assert apply_batch(spark, store, batch, 0) is False  # replay skipped
+    assert (
+        sorted(map(tuple, read_grid(spark, store).collect())) == grid_before
+    )

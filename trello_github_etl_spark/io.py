@@ -48,7 +48,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         try:
             df = spark.read.parquet(table_path(sf_dir, name))
-        except Exception:
+        except Exception as e:
+            # Only the nanos-timestamp rejection earns the retry; any
+            # other failure (missing path, corrupt file) must re-raise
+            # untouched so a session-wide legacy conf is never flipped
+            # by an unrelated error.
+            msg = str(e)
+            if not (
+                "Illegal Parquet type" in msg
+                or "PARQUET_TYPE_ILLEGAL" in msg
+                or "TIMESTAMP(NANOS" in msg
+            ):
+                raise
             # Older testdata ships events.ts as parquet
             # TIMESTAMP(NANOS), which the vectorized reader rejects
             # outright (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is

@@ -467,21 +467,39 @@ def incremental_dedup(
     one per batch forever.
 
     Scale shape: one join + one window, BOTH keyed on the same
-    md5-uniform ``fp`` — the shuffle the join produces is reused by
+    md5-uniform ``_wkey`` — the shuffle the join produces is reused by
     the window (no second Exchange when the join shuffles; when the
-    corpus side broadcasts, the single fp Exchange serves the
-    window). Day-N cost is O(batch + |corpus fingerprints|) and the
-    batch text is read once.
+    corpus side broadcasts, the single Exchange serves the window).
+    Day-N cost is O(batch + |corpus fingerprints|) and the batch text
+    is read once.
+
+    NULL-fp routing: a batch heavy in textless docs must not funnel
+    them into one window partition (NULL is a single partitioning
+    value), so the shared key is ``coalesce(fp, '~'||doc_id)`` — per
+    NULL doc a unique sentinel that can never equal a 32-hex-char md5
+    fingerprint (``~`` is not hex), keeping join semantics identical
+    (an fp equi-join never matches NULL anyway) while spreading
+    no-text rows uniformly.
     """
     from pyspark.sql.window import Window
 
     fps = new_batch.select(
         F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    ).withColumn(
+        "_wkey",
+        F.coalesce(
+            F.col("fp"), F.concat(F.lit("~"), F.col("doc_id").cast("string"))
+        ),
     )
-    corpus = corpus_fps.select("fp").distinct().withColumn("_hit", F.lit(1))
-    w = Window.partitionBy("fp")
+    corpus = (
+        corpus_fps.select(F.col("fp").alias("_wkey"))
+        .where(F.col("_wkey").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    w = Window.partitionBy("_wkey")
     return (
-        fps.join(corpus, "fp", "left")
+        fps.join(corpus, "_wkey", "left")
         .withColumn("_min_id", F.min("doc_id").over(w))
         .select(
             "doc_id",

@@ -118,7 +118,20 @@ def _real_decode_one(media_id: int, media_type: str, payload: bytes) -> tuple:
             while pos < len(payload) and not payload[pos : pos + 1].isspace():
                 pos += 1
             fields.append(int(payload[start:pos]))
-        width, height, _maxval = fields
+        width, height, maxval = fields
+        if maxval > 255:
+            # 2-byte samples: decoding them as uint8 would silently
+            # halve the pixel count and garble the stats — this is a
+            # capability boundary, so fail loudly like the other codecs
+            raise NotImplementedError(
+                f"PPM maxval {maxval} > 255 (16-bit samples) not "
+                "supported; 8-bit P6 only"
+            )
+        if len(payload) - (pos + 1) < width * height * 3:
+            raise ValueError(
+                f"truncated P6 payload: header promises {width}x{height}x3 "
+                f"bytes, got {len(payload) - (pos + 1)}"
+            )
         px = np.frombuffer(
             payload, dtype=np.uint8, count=width * height * 3, offset=pos + 1
         ).astype(np.float64)

@@ -84,7 +84,7 @@ class VersionedStateStore:
             with open(self._manifest_path()) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"current": 0, "history": []}
+            return {"current": 0, "history": [], "meta": {}}
 
     def _publish(self, manifest: dict) -> None:
         tmp = self._manifest_path() + ".tmp"
@@ -99,6 +99,13 @@ class VersionedStateStore:
     def history(self) -> list[CommitInfo]:
         return [CommitInfo(**h) for h in self._read_manifest()["history"]]
 
+    def get_meta(self, key: str, default=None):
+        """Top-level manifest metadata: survives ``vacuum`` (which only
+        rewrites ``history``), so it is the durable home for facts that
+        must outlive pruned commits — e.g. a streaming replay gate's
+        last-applied batch id."""
+        return self._read_manifest().get("meta", {}).get(key, default)
+
     def _dir(self, version: int) -> str:
         return os.path.join(self.root, f"v{version:08d}")
 
@@ -107,6 +114,7 @@ class VersionedStateStore:
         df: DataFrame,
         op: str = "overwrite",
         expected_version: int | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Write ``df`` as the next version and publish it.
 
@@ -117,6 +125,11 @@ class VersionedStateStore:
         published meanwhile. Without it, a same-version race still
         fails loudly via the directory claim; only the stale-base
         lost-update window needs the explicit expectation.
+
+        ``meta`` entries are merged into the manifest's top-level
+        ``meta`` dict in the SAME atomic publish as the version flip —
+        one ``os.replace``, so a reader can never observe the commit
+        without its metadata (or vice versa).
         """
         m = self._read_manifest()
         if expected_version is not None and m["current"] != expected_version:
@@ -180,6 +193,8 @@ class VersionedStateStore:
         m2["history"].append(
             {"version": version, "op": op, "n_rows": n, "ts": time.time()}
         )
+        if meta:
+            m2.setdefault("meta", {}).update(meta)
         self._publish(m2)
         return version
 

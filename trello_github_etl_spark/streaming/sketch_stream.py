@@ -46,8 +46,15 @@ def read_grid(spark: SparkSession, store: VersionedStateStore) -> DataFrame:
 
 
 def last_applied_batch(store: VersionedStateStore) -> int:
-    # op encodes the batch id: "cms-batch:<id>"; default covers both
-    # an empty history and a store seeded by non-sketch commits
+    # The gate lives in the manifest's top-level ``meta`` — published
+    # atomically with each commit and NOT rewritten by vacuum(), so the
+    # gate cannot regress when old history entries are pruned (the
+    # history-derived variant double-counted a replayed batch after a
+    # vacuum pruned the last cms-batch entry). History scan remains as
+    # the fallback for stores written before the meta field existed.
+    gate = store.get_meta("cms_last_batch")
+    if gate is not None:
+        return int(gate)
     return max(
         (
             int(c.op.split(":", 1)[1])
@@ -76,7 +83,10 @@ def apply_batch(
     )
     merged = merge_countmin(current.unionByName(batch_grid))
     store.commit(
-        merged, op=f"cms-batch:{batch_id}", expected_version=base
+        merged,
+        op=f"cms-batch:{batch_id}",
+        expected_version=base,
+        meta={"cms_last_batch": batch_id},
     )
     return True
 
