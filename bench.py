@@ -7,12 +7,20 @@ Each query is executed to completion via a noop-format write so the
 full plan runs with every output column materialized (a bare
 ``.count()`` would let Catalyst prune expensive projections); timings
 exclude session startup but include all shuffles/scans.
+
+Statistical honesty (VERDICT r2 #2): every query runs N times
+(default 3, env SPARK_GRAFT_BENCH_RUNS); ``queries`` reports the
+per-query MEDIAN and ``spread`` the [min, max] envelope, so a
+round-over-round delta inside the spread is identifiable as noise
+rather than a plan regression. r1→r2 showed ±30-57% swings on
+untouched queries under n=1; medians carry signal.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -81,23 +89,30 @@ def main() -> None:
     # Warm the JVM + parquet footers once with the cheapest query.
     registry.QUERIES["o4_top10_orders"](spark, SF_DIR).collect()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in registry.QUERIES:
             continue
-        # best of 2 runs: JIT/worker-pool warmup makes single shots
-        # ±30% noisy; the min is the steady-state cost. Build INSIDE
-        # the timer: iterative operators (e.g. connected components)
-        # do real work during plan construction.
-        best = None
-        for _ in range(2):
+        # n runs, report the median: single shots are ±30% noisy
+        # (JIT/worker-pool warmup, GC); the median is robust to one
+        # outlier in either direction. Build INSIDE the timer:
+        # iterative operators (e.g. connected components) do real
+        # work during plan construction.
+        runs = []
+        for _ in range(n_runs):
             t0 = time.time()
             df = registry.QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        print(
+            f"# {name}: median {timings[name]}s "
+            f"(min {spread[name][0]}, max {spread[name][1]}, n={n_runs})",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -107,6 +122,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
