@@ -970,3 +970,63 @@ def test_sketches_merge_exactly(spark):
     assert sorted(r.h for r in merged_kmv.collect()) == sorted(
         r.h for r in kmins(full).collect()
     )
+
+
+def test_semantic_dedup_recall_vs_brute_force(spark):
+    """dd14 recall check (VERDICT r2 #4): the cluster-blocked pair set
+    must catch the pairs a brute-force all-pairs cosine scan finds at
+    the same threshold. Exact re-embeddings co-locate by construction
+    (identical vector => identical argmax cell), so the injected-dup
+    subset must be caught at recall 1.0; overall pair recall floors at
+    0.9 (measured 1.0 at sf0.01 — the synthetic corpus has no
+    borderline cross-cell pairs at 0.92)."""
+    from trello_github_etl_spark.queries.llm_q import SEMDEDUP_THRESHOLD
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.unionByName(dups)
+    cents = emb.filter(
+        F.col("vec_id") < similarity.NUM_CENTROIDS
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+
+    bn = base.withColumn("_n", similarity.norm(F.col("embedding")))
+    x, y = bn.alias("x"), bn.alias("y")
+    truth = {
+        (r.a, r.b)
+        for r in (
+            x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))
+            .withColumn(
+                "cos",
+                similarity.cosine_prenormed(
+                    F.col("x.embedding"),
+                    F.col("y.embedding"),
+                    F.col("x._n"),
+                    F.col("y._n"),
+                ),
+            )
+            .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+            .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+            .collect()
+        )
+    }
+    assert truth, "fixture must produce ground-truth near-dup pairs"
+
+    verdicts = dedup.semantic_dedup(base, cents, SEMDEDUP_THRESHOLD)
+    grouped = {
+        r.vec_id: r.group_id for r in verdicts.collect()
+    }
+    caught = {
+        (a, b) for (a, b) in truth if grouped[a] == grouped[b]
+    }
+    injected = {(v, v + 100000) for (v, _) in [
+        (r.vec_id, None)
+        for r in emb.filter(F.col("vec_id") % 50 == 0).collect()
+    ]}
+    assert (injected & truth) <= caught  # exact dups: recall 1.0
+    assert len(caught) / len(truth) >= 0.9

@@ -171,3 +171,33 @@ def test_end_to_end_pipeline_is_one_scan_two_shuffles(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Window") == 2
     assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_pair_join_is_cell_equi_join(spark):
+    """dd14's within-cluster pairing must be an equi-join on the cell
+    key — never a cartesian/nested-loop all-pairs scan of the corpus
+    (the entire point of clustering first)."""
+    from trello_github_etl_spark.io import load_table
+    from trello_github_etl_spark.operators import dedup, similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(
+        F.col("vec_id") < similarity.NUM_CENTROIDS
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    # plan-shape check on the pair stage: build it directly (the full
+    # operator's connected_components is iterative, so its final plan
+    # reflects label joins, not the pairing)
+    cells = similarity.ivf_assign(emb, cents, 1)
+    x, y = cells.alias("x"), cells.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.cell") == F.col("y.cell"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -702,3 +702,92 @@ def winnow_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the corpus,
+    find within-cluster pairs above a cosine threshold, consolidate
+    them into semantic groups, keep one exemplar (min id) per group.
+
+    Returns (id, cell, group_id, verdict) for EVERY input vector:
+    verdict 'kept' for exemplars and singletons, 'dup_semantic' for
+    members whose group exemplar is another vector. group_id is the
+    min reachable id within the group (singletons: the id itself), so
+    ``filter(verdict='kept')`` is the deduplicated corpus and
+    group_id the lineage key.
+
+    Scale shape — the whole point of clustering first:
+    - cell assignment is ivf_assign's narrow codegen pass (centroid
+      literals inlined, no join, no shuffle; one scan of the corpus);
+    - the pair join is an EQUI-join on cell (+ id inequality), so
+      candidates are within-cluster only — O(Σ|cell|²), never the
+      O(n²) corpus cross product, and cells are capacity-bounded by
+      the k-means balance (skew lever: raise k);
+    - grouping reuses connected_components (per-round shuffle on the
+      candidate graph only — pairs, not vectors);
+    - cosine uses the strict-fold double contract (similarity.dot),
+      so a DuckDB oracle reproduces every score bit-for-bit.
+
+    Recall caveat (tested, not hidden): a near-dup pair straddling a
+    cell boundary is missed — the standard SemDeDup trade. Identical
+    vectors always co-locate (same argmax), so exact-duplicate recall
+    is 1.0 by construction; raise recall on borderline pairs with
+    more Lloyd rounds on the centroids (s9) or a secondary probe.
+    """
+    from trello_github_etl_spark.operators.similarity import (
+        cosine_prenormed,
+        ivf_assign,
+    )
+
+    cells = ivf_assign(
+        embeddings, centroids, 1, vec_col, id_col, cache_key
+    )
+    x, y = cells.alias("x"), cells.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col(f"x.{vec_col}"),
+                F.col(f"y.{vec_col}"),
+                F.col("x._norm"),
+                F.col("y._norm"),
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+    )
+    groups = connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("group_id")
+    )
+    return (
+        cells.select(id_col, "cell")
+        .join(groups, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("group_id", F.col(id_col)).alias("group_id"),
+            F.when(
+                F.col("group_id").isNotNull()
+                & (F.col("group_id") != F.col(id_col)),
+                F.lit("dup_semantic"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )

@@ -1449,3 +1449,79 @@ def t13_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.9).alias("p90"),
         at(0.99).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style, VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.92
+
+
+def _semdedup_oracle() -> str:
+    k = similarity.NUM_CENTROIDS
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
+      WHERE vec_id < {k}
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {_sql_cosine('t.embedding', 'c.c_vec')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM base t, cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT x.vec_id AS u, y.vec_id AS v
+      FROM cells x JOIN cells y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {_sql_cosine('x.embedding', 'y.embedding')} >= {SEMDEDUP_THRESHOLD}
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS vec_id, LEAST(MIN(v), u) AS group_id FROM reach GROUP BY u
+    )
+    SELECT c.vec_id, c.cell,
+           COALESCE(g.group_id, c.vec_id) AS group_id,
+           CASE WHEN g.group_id IS NOT NULL AND g.group_id != c.vec_id
+                THEN 'dup_semantic' ELSE 'kept' END AS verdict
+    FROM cells c LEFT JOIN comp g ON g.vec_id = c.vec_id
+    """
+
+
+@query("dd14_semantic_dedup", oracle=_semdedup_oracle())
+def dd14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus plus injected exact
+    re-embeddings (every %50 vector again at id+100000, the s3
+    fixture): coarse-cluster into the 16 IVF seed cells, connect
+    within-cell pairs with cosine >= 0.92 into semantic groups, keep
+    the min-id exemplar. Oracle replays cell assignment + pair
+    predicate exactly and closes groups with a recursive CTE (dd6's
+    transitive-closure pattern). No cross-cluster all-pairs join:
+    the only join on vectors is the cell equi-join."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    return dedup.semantic_dedup(
+        ensure_parallelism(emb.unionByName(dups)),
+        cents,
+        threshold=SEMDEDUP_THRESHOLD,
+        cache_key=f"ivf16|{sf_dir}",
+    )
