@@ -201,3 +201,13 @@ def test_semantic_dedup_pair_join_is_cell_equi_join(spark):
     plan = _plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipe8_single_scan_no_udf(spark):
+    """pipe8's pitch: the whole Gopher/C4 rule stack — quality,
+    repetition, PII, winnow dedup — reads the corpus exactly once
+    (dup planting is an in-plan explode, not a self-union) and stays
+    entirely JVM-side."""
+    plan = _plan(_q(spark, "pipe8_quality_filter"))
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -640,23 +640,29 @@ def winnow_fingerprints(
         "doc_id",
         F.transform(ngrams(F.col("_tk"), k), _token_hash60).alias("_h"),
     )
-    n_windows = F.size(F.col("_h")) - F.lit(w - 1)
+    wins = hashed.select(
+        "doc_id", winnow_window_mins(F.col("_h"), w).alias("_w")
+    )
+    return wins.select(
+        "doc_id", F.explode(F.col("_w")).alias("wfp")
+    )
+
+
+def winnow_window_mins(h: F.Column, w: int = WINNOW_WINDOW) -> F.Column:
+    """Winnowing's selection step as a pure column expression: the
+    DISTINCT sliding-window minima of a positional hash array.
+
+    ``h`` is referenced several times, so callers must materialize it
+    in its own projection first (lambda bodies get no CSE — SCALE.md);
+    both winnow_fingerprints and pipe8 do."""
+    n_windows = F.size(h) - F.lit(w - 1)
     # sequence(1, 0) DESCENDS in Spark (yielding an invalid slice
     # start of 0) — short docs must produce an empty window list
     idx = F.when(
         n_windows >= 1, F.sequence(F.lit(1), n_windows)
     ).otherwise(F.array().cast("array<int>"))
-    wins = hashed.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
-            )
-        ).alias("_w"),
-    )
-    return wins.select(
-        "doc_id", F.explode(F.col("_w")).alias("wfp")
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(h, i, w)))
     )
 
 

@@ -567,3 +567,227 @@ def pipe7_clean_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="_k",
         shard_col="_shard",
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe8 — the full Gopher/C4 keep/drop rule stack in one plan (VERDICT r2 #6)
+# ---------------------------------------------------------------------------
+PIPE8_QUALITY_MIN = 0.39
+PIPE8_DUP2_MAX = 0.09
+PIPE8_TOPW_MAX = 0.18
+
+
+def _pipe8_oracle() -> str:
+    from trello_github_etl_spark.queries.llm_q import (
+        PII_TAIL,
+        RE_EMAIL,
+        RE_PHONE,
+        SQL_H60,
+    )
+
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN text || '{PII_TAIL}' ELSE text END AS text
+      FROM documents
+    ),
+    fan AS (
+      SELECT doc_id, text FROM aug
+      UNION ALL
+      SELECT doc_id + 100000, text FROM aug WHERE doc_id % 50 = 0
+    ),
+    toks AS (
+      SELECT doc_id, text, {SQL_TOKENS.format(t='text')} AS tk FROM fan
+    ),
+    parts AS (
+      SELECT doc_id, text, tk,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+        END AS stop_ratio,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+        END / 10.0 AS len_term,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+        END AS punct_ratio,
+        list_transform(range(1, greatest(len(tk)-1, 0)+1),
+                       i -> array_to_string(list_slice(tk, i, i+1), ' ')) AS g2,
+        list_transform(
+          list_transform(range(1, greatest(len(tk)-4, 0)+1),
+                         i -> array_to_string(list_slice(tk, i, i+4), ' ')),
+          s -> {SQL_H60.format(x='s')}) AS h
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id,
+        0.4 * stop_ratio
+          + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
+          + 0.2 * (1.0 - punct_ratio) AS quality,
+        CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        END AS dup_2gram_ratio,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(tk),
+                  w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk)
+        END AS top_word_ratio,
+        len(regexp_extract_all(text, '{RE_EMAIL}'))
+          + len(regexp_extract_all(text, '{RE_PHONE}')) AS n_pii,
+        list_distinct(list_transform(
+          range(1, greatest(len(h) - 7, 0) + 1),
+          i -> list_min(list_slice(h, i, i + 7)))) AS wf
+      FROM parts
+    ),
+    fps AS (SELECT doc_id, unnest(wf) AS wfp FROM feats),
+    fpmin AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY wfp) AS fp_min FROM fps
+    ),
+    dupd AS (
+      SELECT doc_id, MIN(fp_min) AS dup_min FROM fpmin GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.quality, f.dup_2gram_ratio, f.top_word_ratio,
+           CAST(f.n_pii AS BIGINT) AS n_pii,
+           COALESCE(d.dup_min, f.doc_id) < f.doc_id AS is_near_dup,
+           f.quality >= {PIPE8_QUALITY_MIN}
+             AND f.dup_2gram_ratio <= {PIPE8_DUP2_MAX}
+             AND f.top_word_ratio <= {PIPE8_TOPW_MAX}
+             AND f.n_pii = 0
+             AND NOT (COALESCE(d.dup_min, f.doc_id) < f.doc_id) AS keep,
+           concat_ws(',',
+             CASE WHEN f.quality < {PIPE8_QUALITY_MIN} THEN 'low_quality' END,
+             CASE WHEN f.dup_2gram_ratio > {PIPE8_DUP2_MAX} THEN 'repetitive_2gram' END,
+             CASE WHEN f.top_word_ratio > {PIPE8_TOPW_MAX} THEN 'top_word_concentration' END,
+             CASE WHEN f.n_pii > 0 THEN 'pii' END,
+             CASE WHEN COALESCE(d.dup_min, f.doc_id) < f.doc_id THEN 'near_dup' END
+           ) AS drop_reasons
+    FROM feats f LEFT JOIN dupd d ON d.doc_id = f.doc_id
+    """
+
+
+@query("pipe8_quality_filter", oracle=_pipe8_oracle())
+def pipe8_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data keep/drop rule stack — t3 quality score,
+    t8 repetition signals, t7 PII counts, dd12 winnowing near-dup
+    verdict — composed as ONE declarative plan over ONE scan of
+    ``documents`` (plan-pinned).
+
+    Fixture mirrors t7 + s3: every %11 doc gains a PII tail, every
+    %50 doc is re-crawled verbatim at id+100000 — planted via an
+    IN-PLAN conditional explode (per-row array fan-out), not a
+    self-union, which is what keeps the scan count at one.
+
+    Scale shape: every scalar signal (quality, repetition, PII) fuses
+    into the scan stage; winnowing fingerprints explode into the one
+    shuffle (window over the md5-uniform fingerprint key, NULL-fp
+    rows routed to per-doc sentinels exactly like incremental_dedup),
+    then one group-back to doc granularity. At 100 TB: one corpus
+    read, two fp-keyed exchanges, zero UDFs, no text through the
+    shuffle — only 60-bit fingerprints and the per-doc doubles.
+
+    A doc is dropped for: low quality (< {Q}), duplicate-2gram ratio
+    (> {D2}), top-word concentration (> {TW}), any PII hit, or
+    sharing a winnow fingerprint with a lower-id doc (greedy
+    keep-first dedup). ``drop_reasons`` lists every failed rule.
+    """.format(Q=PIPE8_QUALITY_MIN, D2=PIPE8_DUP2_MAX, TW=PIPE8_TOPW_MAX)
+    from trello_github_etl_spark.operators.dedup import (
+        WINNOW_SHINGLE,
+        _token_hash60,
+        winnow_window_mins,
+    )
+    from trello_github_etl_spark.queries.llm_q import (
+        PII_TAIL,
+        RE_EMAIL,
+        RE_PHONE,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    text2 = F.when(
+        F.col("doc_id") % 11 == 0, F.concat("text", F.lit(PII_TAIL))
+    ).otherwise(F.col("text"))
+    one = F.struct(F.col("doc_id").alias("doc_id"), text2.alias("text"))
+    copy = F.struct(
+        (F.col("doc_id") + 100000).alias("doc_id"), text2.alias("text")
+    )
+    fan = docs.select(
+        F.explode(
+            F.when(F.col("doc_id") % 50 == 0, F.array(one, copy)).otherwise(
+                F.array(one)
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
+
+    # materialize multi-referenced arrays in their own projections
+    # (lambda bodies get no CSE — SCALE.md)
+    s0 = fan.select("doc_id", "text", textstats.tokens(F.col("text")).alias("_tk"))
+    s1 = s0.select(
+        "doc_id",
+        "text",
+        "_tk",
+        textstats.ngrams(F.col("_tk"), 2).alias("_g2"),
+        F.transform(
+            textstats.ngrams(F.col("_tk"), WINNOW_SHINGLE), _token_hash60
+        ).alias("_h"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        textstats.quality_score(F.col("text")).alias("quality"),
+        textstats.duplicate_fraction(F.col("_g2")).alias("dup_2gram_ratio"),
+        textstats.top_element_ratio(F.col("_tk")).alias("top_word_ratio"),
+        (
+            F.regexp_count(F.col("text"), F.lit(RE_EMAIL))
+            + F.regexp_count(F.col("text"), F.lit(RE_PHONE))
+        ).cast("long").alias("n_pii"),
+        winnow_window_mins(F.col("_h")).alias("_w"),
+    )
+    # explode_outer: fingerprint-less (short) docs must keep a row;
+    # the sentinel key routes them around the window partition so a
+    # shard of short docs can't funnel into one task
+    s3 = s2.select(
+        "doc_id",
+        "quality",
+        "dup_2gram_ratio",
+        "top_word_ratio",
+        "n_pii",
+        F.explode_outer("_w").alias("wfp"),
+    ).withColumn(
+        "_wkey",
+        F.coalesce(
+            F.col("wfp").cast("string"),
+            F.concat(F.lit("~"), F.col("doc_id").cast("string")),
+        ),
+    )
+    s4 = s3.withColumn(
+        "_fp_min", F.min("doc_id").over(Window.partitionBy("_wkey"))
+    )
+    s5 = s4.groupBy(
+        "doc_id", "quality", "dup_2gram_ratio", "top_word_ratio", "n_pii"
+    ).agg(F.min("_fp_min").alias("_dup_min"))
+    is_dup = F.col("_dup_min") < F.col("doc_id")
+    return s5.select(
+        "doc_id",
+        "quality",
+        "dup_2gram_ratio",
+        "top_word_ratio",
+        "n_pii",
+        is_dup.alias("is_near_dup"),
+        (
+            (F.col("quality") >= PIPE8_QUALITY_MIN)
+            & (F.col("dup_2gram_ratio") <= PIPE8_DUP2_MAX)
+            & (F.col("top_word_ratio") <= PIPE8_TOPW_MAX)
+            & (F.col("n_pii") == 0)
+            & ~is_dup
+        ).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("quality") < PIPE8_QUALITY_MIN, F.lit("low_quality")),
+            F.when(
+                F.col("dup_2gram_ratio") > PIPE8_DUP2_MAX,
+                F.lit("repetitive_2gram"),
+            ),
+            F.when(
+                F.col("top_word_ratio") > PIPE8_TOPW_MAX,
+                F.lit("top_word_concentration"),
+            ),
+            F.when(F.col("n_pii") > 0, F.lit("pii")),
+            F.when(is_dup, F.lit("near_dup")),
+        ).alias("drop_reasons"),
+    )
