@@ -44,6 +44,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from trello_github_etl_spark.queries import (  # noqa: F401
         advanced_q,
+        board_q,
         cdc_q,
         ivm_q,
         llm_q,
