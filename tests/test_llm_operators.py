@@ -1030,3 +1030,42 @@ def test_semantic_dedup_recall_vs_brute_force(spark):
     ]}
     assert (injected & truth) <= caught  # exact dups: recall 1.0
     assert len(caught) / len(truth) >= 0.9
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """VERDICT r2 #5: with checkpoint_dir set, the iterative loops use
+    a RELIABLE checkpoint (files in the shared dir — survives executor
+    loss on a cluster) instead of localCheckpoint, and produce the
+    identical labeling."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    expect = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == expect
+    # reliable checkpoints actually landed on the shared dir
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert files, "no reliable checkpoint files written"
+    got2 = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_twostar(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt2")
+        ).collect()
+    }
+    assert got2 == expect

@@ -250,11 +250,36 @@ def jaccard_pairs(
     )
 
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage truncation for iterative operators.
+
+    With ``checkpoint_dir`` set, uses a RELIABLE checkpoint (parquet
+    to the shared dir): on a real cluster the iteration state
+    survives executor loss and cached-partition eviction, which
+    localCheckpoint does not (its blocks live in executor storage —
+    lose one mid-algorithm and the round recomputes from scratch,
+    exactly what truncation was meant to prevent). Default stays
+    local: the sandbox has no shared FS, and local mode has no
+    executor loss to survive.
+
+    ``setCheckpointDir`` is SparkContext-global; setting it here is
+    idempotent and last-writer-wins, which is safe because the dir
+    only namespaces where checkpoint files land.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, cluster_id=min reachable node) from an undirected edge
     list — the consolidation step that turns near-dup PAIRS into
@@ -278,10 +303,10 @@ def connected_components(
     ).cache()
     # labels keeps a distinct column name ("node") so joins against
     # edge endpoints are never ambiguous self-joins
-    labels = (
+    labels = _truncate_lineage(
         edges.select("u").distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("label"))
-        .localCheckpoint(eager=True)
+        .select(F.col("u").alias("node"), F.col("u").alias("label")),
+        checkpoint_dir,
     )
 
     for _ in range(max_iter):
@@ -294,14 +319,14 @@ def connected_components(
         # one join carries both the updated label and the old one, so
         # convergence is a single aggregate over the materialized
         # frame — not a second labels⋈labels join per round.
-        # localCheckpoint (vs cache) TRUNCATES LINEAGE each round:
+        # _truncate_lineage (vs cache) TRUNCATES LINEAGE each round:
         # with cache alone the logical plan nests every prior round,
         # so planning time grows per iteration and losing a cached
         # partition recomputes from round 0. Checkpointed labels are
-        # one row per node — tiny next to the edge list. (On a real
-        # cluster, swap for reliable checkpoint() + checkpoint dir if
-        # executor loss mid-algorithm must be survivable.)
-        joined = (
+        # one row per node — tiny next to the edge list. Pass
+        # ``checkpoint_dir`` on a real cluster for a RELIABLE
+        # checkpoint that survives executor loss mid-algorithm.
+        joined = _truncate_lineage(
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["nbr_node"], "left"
             )
@@ -311,8 +336,8 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
         changed = joined.filter(F.col("label") != F.col("old_label")).count()
         labels = joined.select("node", "label")
@@ -329,6 +354,7 @@ def connected_components_twostar(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, cluster_id=min reachable node) via alternating
     large-star/small-star rounds (Kiveris et al., "Connected
@@ -362,17 +388,20 @@ def connected_components_twostar(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
-    all_nodes = (
+    all_nodes = _truncate_lineage(
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     # start from big→small orientation so round 1's large-star sees
     # the same canonical form every later round produces
-    edges = e.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct().localCheckpoint(eager=True)
+    edges = _truncate_lineage(
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct(),
+        checkpoint_dir,
+    )
 
     def signature(df: DataFrame):
         # decimal sum: ANSI mode overflows a plain long sum of
@@ -408,10 +437,9 @@ def connected_components_twostar(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         hang_self = smins.select("u", F.col("m").alias("v"))
-        edges = (
-            hang_neighbors.unionByName(hang_self)
-            .distinct()
-            .localCheckpoint(eager=True)
+        edges = _truncate_lineage(
+            hang_neighbors.unionByName(hang_self).distinct(),
+            checkpoint_dir,
         )
         new_sig = signature(edges)
         if new_sig == sig:
@@ -437,15 +465,27 @@ def connected_components_twostar(
     )
 
 
-def dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """MinHash-LSH candidate pairs → connected duplicate clusters."""
-    return connected_components(minhash_lsh_pairs(docs, text_col))
+    return connected_components(
+        minhash_lsh_pairs(docs, text_col), checkpoint_dir=checkpoint_dir
+    )
 
 
-def dup_clusters_twostar(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def dup_clusters_twostar(
+    docs: DataFrame,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """MinHash-LSH pairs → clusters via large-star/small-star (the
     giant-component-safe path)."""
-    return connected_components_twostar(minhash_lsh_pairs(docs, text_col))
+    return connected_components_twostar(
+        minhash_lsh_pairs(docs, text_col), checkpoint_dir=checkpoint_dir
+    )
 
 
 def incremental_dedup(
@@ -717,6 +757,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the corpus,
@@ -778,7 +819,7 @@ def semantic_dedup(
             F.col(f"y.{id_col}").alias("doc_b"),
         )
     )
-    groups = connected_components(pairs).select(
+    groups = connected_components(pairs, checkpoint_dir=checkpoint_dir).select(
         F.col("doc_id").alias(id_col), F.col("cluster_id").alias("group_id")
     )
     return (
