@@ -723,29 +723,39 @@ def winnow_pairs(
     ``max_fp_df`` is the skew lever (dd7's analog): a fingerprint in
     d docs — site boilerplate, license headers — contributes O(d²)
     candidate pairs while carrying no near-dup signal. The cap drops
-    fingerprints with document frequency above it BEFORE the
-    self-join, so ``n_shared`` counts only sub-cap fingerprints (the
-    oracle replicates the same HAVING filter)."""
+    fingerprints with document frequency above it BEFORE pair
+    expansion, so ``n_shared`` counts only sub-cap fingerprints (the
+    oracle replicates the same HAVING filter).
+
+    Pair expansion uses dd5's grouped-HOF shape, not a self-join: one
+    shuffle of fingerprint rows keyed by the md5-uniform wfp, then
+    in-group array expansion (sort_array guarantees doc_a < doc_b).
+    The sf1 sweep measured the self-join formulation at 687 s on 50k
+    synthesized docs (hot template fingerprints → a 3-task sort-merge
+    tail); the grouped shape halves the shuffled volume and keeps the
+    O(d²) blowup visible as group-array length, where ``max_fp_df``
+    caps it."""
     fps = winnow_fingerprints(docs, text_col, k, w)
+    grouped = (
+        fps.groupBy("wfp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     if max_fp_df is not None:
-        rare = (
-            fps.groupBy("wfp")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_fp_df)
-            .select("wfp")
+        grouped = grouped.filter(F.size("ds") <= max_fp_df)
+    ds = F.col("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        fps = fps.join(rare, "wfp")
-    a, b = fps.alias("a"), fps.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.wfp") == F.col("b.wfp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
     )
 
