@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trello_github_etl_spark.operators.gen import exploded
 from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.operators.textstats import (
     fingerprint,
@@ -70,8 +71,8 @@ def minhash_signatures(
     *strings* falls back to SortAggregate (sort both sides of the
     shuffle), which loses map-side combine efficiency at scale.
     """
-    sh = ensure_parallelism(docs).select(
-        F.col("doc_id"), F.explode(shingles(F.col(text_col))).alias("shingle")
+    sh = exploded(
+        ensure_parallelism(docs), ["doc_id"], shingles(F.col(text_col)), "shingle"
     )
     mins = [
         F.min(
@@ -116,7 +117,7 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    banded = exploded(sigs, ["doc_id"], band_keys, "band_key")
     # Kept as a self-join (unlike jaccard_pairs' grouped-pair
     # expansion): banded rows are only `bands` per doc and the
     # signature subtree dominates cost, so the reused exchange on the
@@ -150,8 +151,11 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     one aggregate with `bits` sum expressions; signature reassembled
     as Σ 2^b.
     """
-    tok = ensure_parallelism(docs).select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    tok = exploded(
+        ensure_parallelism(docs),
+        ["doc_id"],
+        F.array_distinct(tokens(F.col(text_col))),
+        "tok",
     ).withColumn("h", _token_hash60(F.col("tok")))
     votes = [
         F.sum(
@@ -190,10 +194,11 @@ def jaccard_pairs(
     then count capped shingles too (semantics = jaccard over the
     df-filtered shingle sets, which the oracle replicates exactly).
     """
-    sh = ensure_parallelism(docs).select(
-        "doc_id",
-        F.col(block_col).alias("_blk"),
-        F.explode(shingles(F.col(text_col))).alias("shingle"),
+    sh = exploded(
+        ensure_parallelism(docs),
+        ["doc_id", F.col(block_col).alias("_blk")],
+        shingles(F.col(text_col)),
+        "shingle",
     )
     if max_shingle_df is not None:
         rare = (
@@ -231,7 +236,7 @@ def jaccard_pairs(
         )
     )
     common = (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        exploded(grouped, [], pair_structs, "p")
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -585,11 +590,11 @@ def decontaminate(
     one shuffle on doc_id. (The obvious sizes⋈hits formulation costs
     two extra exchanges; measured 1.8 s → 1.1 s at sf0.1.)
     """
-    corpus_sh = ensure_parallelism(corpus).select(
-        "doc_id", F.explode(shingles(F.col(text_col))).alias("shingle")
+    corpus_sh = exploded(
+        ensure_parallelism(corpus), ["doc_id"], shingles(F.col(text_col)), "shingle"
     )
     bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col))).alias("shingle"))
+        exploded(benchmark, [], shingles(F.col(text_col)), "shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -683,9 +688,7 @@ def winnow_fingerprints(
     wins = hashed.select(
         "doc_id", winnow_window_mins(F.col("_h"), w).alias("_w")
     )
-    return wins.select(
-        "doc_id", F.explode(F.col("_w")).alias("wfp")
-    )
+    return exploded(wins, ["doc_id"], F.col("_w"), "wfp")
 
 
 def winnow_window_mins(h: F.Column, w: int = WINNOW_WINDOW) -> F.Column:
@@ -754,7 +757,7 @@ def winnow_pairs(
         )
     )
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        exploded(grouped, [], pair_structs, "p")
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
     )

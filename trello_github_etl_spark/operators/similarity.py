@@ -270,12 +270,11 @@ def ivf_assign(
         "slice(array_sort(transform({scores}, x ->"
         " named_struct('negs', -x.s, 'cid', x.cid))), 1, {np})"
     ).format(scores=scores, np=nprobe)
+    from trello_github_etl_spark.operators.gen import pos_exploded
+
     return (
-        vn.select(
-            id_col,
-            vec_col,
-            "_norm",
-            F.posexplode(F.expr(ranked)),
+        pos_exploded(
+            vn, [id_col, vec_col, "_norm"], F.expr(ranked), "pos", "col"
         )
         .select(
             id_col,

@@ -172,7 +172,9 @@ def top_element_ratio_grouped(df, id_col: str, toks_col: str):
     a 0.0 default if full coverage is needed."""
     from pyspark.sql import functions as F  # noqa: PLC0415 (match module style)
 
-    t = df.select(id_col, F.explode(F.col(toks_col)).alias("_w"))
+    from trello_github_etl_spark.operators.gen import exploded  # noqa: PLC0415
+
+    t = exploded(df, [id_col], F.col(toks_col), "_w")
     cnt = t.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
     return cnt.groupBy(id_col).agg(
         (F.max("_c").cast("double") / F.sum("_c")).alias("top_element_ratio")
@@ -226,11 +228,10 @@ def top_element_ratio_adaptive(
             w.alias("w"), F.lit(None).cast("double").alias("r")
         ),
     )
-    rows = df.select(
-        id_col,
-        F.explode(
-            F.when(n <= threshold, marker).otherwise(token_rows)
-        ).alias("_e"),
+    from trello_github_etl_spark.operators.gen import exploded  # noqa: PLC0415
+
+    rows = exploded(
+        df, [id_col], F.when(n <= threshold, marker).otherwise(token_rows), "_e"
     )
     cnt = rows.groupBy(id_col, F.col("_e.w").alias("_w")).agg(
         F.count("*").alias("_c"), F.max("_e.r").alias("_r")

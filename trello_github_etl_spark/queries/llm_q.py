@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from trello_github_etl_spark.io import load_table
 from trello_github_etl_spark.operators import dedup, similarity, textstats
+from trello_github_etl_spark.operators.gen import exploded
 from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.registry import query
 
@@ -722,9 +723,7 @@ def t5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.explode(textstats.tokens(F.col("text"))).alias("term")
-    )
+    toks = exploded(docs, ["doc_id"], textstats.tokens(F.col("text")), "term")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1338,9 +1337,7 @@ def t11_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trello_github_etl_spark.operators import sketch
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        F.explode(textstats.tokens(F.col("text"))).alias("token")
-    )
+    toks = exploded(docs, [], textstats.tokens(F.col("text")), "token")
     cms = sketch.countmin_table(toks)
     top = (
         toks.groupBy("token")
@@ -1385,9 +1382,7 @@ def t12_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trello_github_etl_spark.operators import sketch
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        F.explode(textstats.tokens(F.col("text"))).alias("token")
-    )
+    toks = exploded(docs, [], textstats.tokens(F.col("text")), "token")
     est = sketch.kmv_distinct_estimate(toks)
     tru = toks.agg(F.countDistinct("token").alias("true_distinct"))
     return est.crossJoin(F.broadcast(tru))

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from trello_github_etl_spark.io import load_table
 from trello_github_etl_spark.operators import packing, textstats
+from trello_github_etl_spark.operators.gen import exploded
 from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.queries.llm_q import SQL_STOPLIST, SQL_TOKENS
 from trello_github_etl_spark.registry import query
@@ -339,14 +340,12 @@ def pipe3_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CHUNK_S),
         ).alias("_starts"),
     )
-    exploded = with_starts.select(
-        "doc_id", "_tk", F.explode("_starts").alias("st")
-    ).select(
+    chunked = exploded(with_starts, ["doc_id", "_tk"], F.col("_starts"), "st").select(
         "doc_id",
         ((F.col("st") - 1) / CHUNK_S).cast("long").alias("chunk_idx"),
         F.slice("_tk", F.col("st"), F.lit(CHUNK_W)).alias("_chunk"),
     )
-    return exploded.select(
+    return chunked.select(
         "doc_id",
         "chunk_idx",
         F.size("_chunk").alias("n_tokens"),
@@ -707,12 +706,13 @@ def pipe8_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy = F.struct(
         (F.col("doc_id") + 100000).alias("doc_id"), text2.alias("text")
     )
-    fan = docs.select(
-        F.explode(
-            F.when(F.col("doc_id") % 50 == 0, F.array(one, copy)).otherwise(
-                F.array(one)
-            )
-        ).alias("r")
+    fan = exploded(
+        docs,
+        [],
+        F.when(F.col("doc_id") % 50 == 0, F.array(one, copy)).otherwise(
+            F.array(one)
+        ),
+        "r",
     ).select("r.doc_id", "r.text")
 
     # materialize multi-referenced arrays in their own projections
