@@ -1069,3 +1069,32 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got2 == expect
+
+
+def test_bigram_novelty_semantics(spark, tmp_path):
+    """Duplicated text scores 0 novelty (every bigram has outside
+    evidence); text whose bigrams exist nowhere else scores 1; short
+    docs (<2 tokens) stay visible with NULL novelty."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "the quick brown fox jumps", "en", "web"),
+        (2, "the quick brown fox jumps", "en", "web"),
+        (3, "zxqv wplk mnbt rrsd qqae", "en", "web"),
+        (4, "single", "en", "web"),
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in entry.queries()["t14_bigram_novelty"](spark, sf).collect()
+    }
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert out[4].novelty is None and out[4].n_bigrams == 0
+    assert out[1].n_bigrams == 4

@@ -1447,6 +1447,111 @@ def t13_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t14 — leave-one-out bigram novelty (LM-perplexity proxy)
+# ---------------------------------------------------------------------------
+@query(
+    "t14_bigram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ),
+    own AS (
+      SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c_own
+      FROM bg GROUP BY doc_id, bigram
+    ),
+    allc AS (
+      SELECT bigram, CAST(SUM(c_own) AS BIGINT) AS c_all
+      FROM own GROUP BY bigram
+    ),
+    per AS (
+      SELECT o.doc_id,
+             CAST(SUM(o.c_own) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN a.c_all - o.c_own = 0 THEN o.c_own
+                           ELSE 0 END) AS BIGINT) AS novel_instances,
+             CAST(SUM((a.c_all - o.c_own) * o.c_own) AS BIGINT)
+               AS loo_evidence
+      FROM own o JOIN allc a USING (bigram) GROUP BY o.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.novel_instances, 0) AS novel_instances,
+           COALESCE(p.loo_evidence, 0) AS loo_evidence,
+           CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN NULL
+                ELSE CAST(p.novel_instances AS DOUBLE)
+                     / CAST(p.n_bigrams AS DOUBLE) END AS novelty
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def t14_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring without the LM: how familiar is
+    each doc's word-pair stream given the REST of the corpus? For
+    every bigram instance, the leave-one-out evidence is the corpus
+    count minus the doc's own count; instances with zero outside
+    evidence are "novel". novelty = novel/total is the perplexity
+    proxy — boilerplate scores ~0, unique/garbled text scores ~1.
+    Leave-one-out matters: trained on the full corpus every bigram
+    trivially has evidence >= its own occurrences and the signal
+    collapses.
+
+    FP determinism is the t10 pattern: every aggregate is exact
+    BIGINT arithmetic; `novelty` is ONE IEEE division of exact ints
+    (bit-identical across engines). Scale shape: bigram keys are
+    near-uniform text — two hash-agg shuffles (own counts, corpus
+    counts) + one equi-join on the bigram, then a doc_id agg; the
+    corpus count table derives from `own`, so raw bigram instances
+    are shuffled once, never twice. Docs with < 2 tokens stay
+    visible with NULL novelty (left join back to documents).
+    """
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk")
+    )
+    grams = base.select(
+        "doc_id", textstats.ngrams(F.col("_tk"), 2).alias("_bg")
+    )
+    bg = exploded(grams, ["doc_id"], F.col("_bg"), "bigram")
+    own = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c_own"))
+    allc = own.groupBy("bigram").agg(F.sum("c_own").alias("c_all"))
+    loo = F.col("c_all") - F.col("c_own")
+    per = (
+        own.join(allc, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_own").alias("n_bigrams"),
+            F.sum(F.when(loo == 0, F.col("c_own")).otherwise(F.lit(0))).alias(
+                "novel_instances"
+            ),
+            F.sum(loo * F.col("c_own")).alias("loo_evidence"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("novel_instances", F.lit(0)).alias("novel_instances"),
+            F.coalesce("loo_evidence", F.lit(0)).alias("loo_evidence"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.col("novel_instances").cast("double")
+                / F.col("n_bigrams").cast("double")
+            )
+            .alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style, VERDICT r2 #4)
 # ---------------------------------------------------------------------------
 SEMDEDUP_THRESHOLD = 0.92
