@@ -162,6 +162,76 @@ def samp2_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMP3_CAP = 10
+
+
+@query(
+    "samp3_temperature_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM documents GROUP BY source
+    ),
+    rated AS (
+      SELECT source, n_source,
+             least(CAST(1 AS DOUBLE),
+                   sqrt(CAST({SAMP3_CAP} AS DOUBLE)
+                        / CAST(n_source AS DOUBLE))) AS keep_rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.source, r.n_source, r.keep_rate,
+           CASE WHEN {_sql_hash_bucket('temp|', 1000000)}
+                     < CAST(floor(r.keep_rate * 1000000.0) AS BIGINT)
+                THEN 1 ELSE 0 END AS kept
+    FROM documents d JOIN rated r USING (source)
+    """,
+)
+def samp3_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style source rebalancing (the XLM-R / multilingual
+    pretraining move): over-represented sources are down-sampled
+    toward sqrt proportions — keep_rate = min(1, sqrt(cap/n_s)) — so
+    head sources shrink by the square root of their excess while tail
+    sources are kept whole. The keep decision is a salted hash of the
+    stable doc_id against floor(rate*1e6): repeatable across runs,
+    partitionings and cluster sizes, no RNG.
+
+    Cross-engine FP determinism: the rate chain is division → sqrt →
+    multiply → floor, all IEEE correctly-rounded operations on exact
+    integer inputs, so Spark and DuckDB agree bitwise (the reason the
+    exponent is 1/2 and not a free temperature parameter: pow() makes
+    no cross-platform rounding promise; sqrt does). Scale shape: one
+    tiny per-source count agg broadcast back onto the scan — the
+    verdict is a narrow map over the corpus, no row shuffle.
+    """
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    rate = F.least(
+        F.lit(1.0),
+        F.sqrt(F.lit(float(SAMP3_CAP)) / F.col("n_source").cast("double")),
+    )
+    rated = counts.select(
+        "source",
+        "n_source",
+        rate.alias("keep_rate"),
+        F.floor(rate * F.lit(1000000.0)).cast("bigint").alias("_thr"),
+    )
+    return (
+        docs.join(F.broadcast(rated), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_source",
+            "keep_rate",
+            (
+                _hash_bucket("temp|", F.col("doc_id"), 1000000)
+                < F.col("_thr")
+            )
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 @query(
     "pipe1_clean_corpus",
     oracle=f"""
