@@ -78,6 +78,13 @@ HEADLINE = [
     "s4_ivf_topk",
     "mm1_decode_features",
     "mm4_audio_segments",
+    # round-3 additions
+    "dd12_winnow_pairs",
+    "dd14_semantic_dedup",
+    "t14_bigram_novelty",
+    "samp3_temperature_rebalance",
+    "pipe8_quality_filter",
+    "bp1_quickview_rows",
 ]
 
 

@@ -211,3 +211,28 @@ def test_pipe8_single_scan_no_udf(spark):
     plan = _plan(_q(spark, "pipe8_quality_filter"))
     assert plan.count("Scan parquet") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_inferred_filter_duplicates_generator_input(spark):
+    """InferFiltersFromGenerate puts size(e)>0 below explode(e); when
+    e aliases an expensive expression, pushdown inlines the WHOLE
+    subtree into a pre-shuffle interpreted Filter (SCALE.md lesson
+    22 — a measured 100x on the winnow stream at sf1). gen.exploded
+    dodges it; this pin fails if a refactor reverts to plain explode
+    over a computed array in the hot document operators."""
+    from trello_github_etl_spark.io import load_table
+    from trello_github_etl_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        dedup.winnow_fingerprints(docs),
+        dedup.jaccard_pairs(docs),
+        dedup.minhash_signatures(docs),
+    ):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in optimized.splitlines():
+            if line.strip().startswith("Filter"):
+                assert "md5" not in line, (
+                    "expensive expression duplicated into an inferred "
+                    "filter:\n" + line[:300]
+                )
