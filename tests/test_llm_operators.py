@@ -1098,3 +1098,101 @@ def test_bigram_novelty_semantics(spark, tmp_path):
     assert out[3].novelty == 1.0
     assert out[4].novelty is None and out[4].n_bigrams == 0
     assert out[1].n_bigrams == 4
+
+
+def test_samp3_bounds_and_partition_invariance(spark, tmp_path):
+    """keep_rate in (0,1]; kept is 0/1; verdicts identical under any
+    repartitioning (the membership hash sees only doc_id)."""
+    import os
+
+    import __spark_entry__ as entry
+
+    rows = [(i, f"w{i} " * 5, "en", f"src{i % 3}") for i in range(60)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    q = entry.queries()["samp3_temperature_rebalance"]
+    out = {r.doc_id: (r.keep_rate, r.kept) for r in q(spark, sf).collect()}
+    assert all(0.0 < kr <= 1.0 and k in (0, 1) for kr, k in out.values())
+    # 20 docs per source, cap 10 -> sqrt(0.5): the rate must bind
+    assert any(k == 0 for _, k in out.values())
+    again = {r.doc_id: (r.keep_rate, r.kept) for r in q(spark, sf).collect()}
+    assert out == again
+
+
+def test_t14_novelty_bounds(spark, tmp_path):
+    """novelty in [0,1] wherever defined; evidence columns
+    non-negative; instance accounting sums to the bigram total."""
+    import os
+
+    import __spark_entry__ as entry
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rows = [(i, f"alpha beta w{i} gamma delta", "en", "web") for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    for r in entry.queries()["t14_bigram_novelty"](spark, sf).collect():
+        assert r.n_bigrams >= 0 and r.novel_instances >= 0
+        assert r.loo_evidence >= 0
+        assert r.novel_instances <= r.n_bigrams
+        if r.n_bigrams:
+            assert 0.0 <= r.novelty <= 1.0
+        else:
+            assert r.novelty is None
+
+
+def test_pq_encode_properties(spark):
+    """Codes are in [0, K); identical vectors get identical codes; a
+    codebook seed vector's own code in every subspace is itself (its
+    subspace distance to its own centroid is exactly 0, the unique
+    minimum unless another seed ties)."""
+    from trello_github_etl_spark.io import load_table
+    from trello_github_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seeds = emb.filter(F.col("vec_id") < similarity.PQ_CODEBOOK)
+    codes = {
+        r.vec_id: list(r.pq_code)
+        for r in similarity.pq_encode(emb, seeds).collect()
+    }
+    K = similarity.PQ_CODEBOOK
+    assert all(
+        0 <= c < K for code in codes.values() for c in code
+    )
+    assert all(
+        len(code) == similarity.PQ_SUBSPACES for code in codes.values()
+    )
+    # seed self-coding: seed c encodes to [c]*m barring exact ties
+    for c in range(K):
+        assert codes[c] == [c] * similarity.PQ_SUBSPACES
+
+
+def test_pq_topk_ranks_self_first(spark):
+    """ADC with the query's own vector in the corpus: the query's
+    code-identical twin (itself) must receive the minimal
+    approximate distance, so rank 1 is the query vector unless an
+    exact approx-distance tie with a lower vec_id exists."""
+    from trello_github_etl_spark.io import load_table
+    from trello_github_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seeds = emb.filter(F.col("vec_id") < similarity.PQ_CODEBOOK)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = similarity.pq_topk(q, emb, seeds).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows in by_q.items():
+        best = min(r.approx_d2 for r in rows)
+        self_rows = [r for r in rows if r.vec_id == q_id]
+        assert self_rows and self_rows[0].approx_d2 == best

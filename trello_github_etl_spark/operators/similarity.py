@@ -700,3 +700,144 @@ def random_projection(
             (folded.cast("double") / F.lit(RP_FIX)).alias(f"y{j}")
         )
     return ensure_parallelism(xf).select(id_col, *cols)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's fine-grained half; FAISS's PQ/ADC)
+# ---------------------------------------------------------------------------
+PQ_SUBSPACES = 8
+PQ_CODEBOOK = 16
+
+
+def _pq_codebooks(
+    seeds: DataFrame,
+    m: int,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    cache_key: str | None,
+) -> list[list[list[float]]]:
+    """codebooks[m][c] = the 8-float subvector of seed vector c in
+    subspace m. Seeds are the lowest-id vectors (the deterministic
+    seeding s4/dd14 use); KBs of data, collected once and memoized
+    like the IVF centroid catalog."""
+    ck = None if cache_key is None else f"pq|{cache_key}"
+    if ck is not None and ck in _CENTROID_CACHE:
+        return _CENTROID_CACHE[ck]
+    rows = seeds.orderBy(id_col).limit(k).collect()
+    dsub = len(rows[0][vec_col]) // m
+    books = [
+        [
+            [float(v) for v in r[vec_col][mm * dsub : (mm + 1) * dsub]]
+            for r in rows
+        ]
+        for mm in range(m)
+    ]
+    if ck is not None:
+        _CENTROID_CACHE[ck] = books
+    return books
+
+
+def _d2_to_lit(sub: Column, cvals: list[float]) -> Column:
+    """Squared L2 distance between a subvector column and a literal
+    centroid, as the strict left fold both engines replay exactly."""
+    lits = F.array(*[F.lit(v) for v in cvals])
+    diffs = F.zip_with(
+        sub, lits, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Product-quantize each vector to ``m`` 4-bit codes: split into
+    ``m`` subspaces, store the index of the nearest codebook entry
+    per subspace (argmin of squared L2, strict ``<`` fold ⇒ ties keep
+    the lowest code — the IVF argmax convention mirrored). 64 floats
+    become 8 nibbles: 64x compression against the float corpus, vs
+    int8's 4x (quantize_int8) — the memory-bandwidth regime where
+    100 TB embedding stores actually serve.
+
+    Codebook literals are inlined, so encoding is one NARROW pass
+    over the corpus — no join, no shuffle, same plan family as
+    ivf_assign."""
+    books = _pq_codebooks(seeds, m, k, vec_col, id_col, cache_key)
+    code_cols = []
+    for mm in range(m):
+        dsub = len(books[mm][0])
+        sub = F.slice(F.col(vec_col), mm * dsub + 1, dsub)
+        scores = F.array(*[_d2_to_lit(sub, books[mm][c]) for c in range(k)])
+        idx = F.aggregate(
+            F.zip_with(
+                scores,
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+            ),
+            F.struct(
+                F.lit(float("inf")).alias("s"), F.lit(-1).alias("i")
+            ),
+            lambda acc, x: F.when(x["s"] < acc["s"], x).otherwise(acc),
+        )["i"]
+        code_cols.append(idx)
+    return ensure_parallelism(vectors).select(
+        id_col, F.array(*code_cols).alias("pq_code")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    seeds: DataFrame,
+    topk: int = 5,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) serving over the PQ codes: each
+    query precomputes its m×k lookup table of subspace distances
+    (flattened, KBs), broadcasts with it, and every corpus code
+    scores with m table probes + one fixed-order fold — the float
+    corpus is never touched. Plan = broadcast queries × one narrow
+    pass over the (tiny) code table; ranking ascends approximate
+    distance with the vec_id tie-break."""
+    from pyspark.sql.window import Window
+
+    books = _pq_codebooks(seeds, m, k, target_vec, "vec_id", cache_key)
+    lut_entries = []
+    for mm in range(m):
+        dsub = len(books[mm][0])
+        sub = F.slice(F.col(query_vec), mm * dsub + 1, dsub)
+        lut_entries.extend(
+            _d2_to_lit(sub, books[mm][c]) for c in range(k)
+        )
+    q = queries.select("q_id", F.array(*lut_entries).alias("_lut"))
+    codes = pq_encode(
+        targets, seeds, m, k, target_vec, "vec_id", cache_key
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, mm: acc
+        + F.element_at(
+            F.col("_lut"),
+            mm * k + F.element_at(F.col("pq_code"), mm + 1) + 1,
+        ),
+    )
+    scored = codes.join(F.broadcast(q)).withColumn("approx_d2", approx)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "vec_id", "approx_d2", "rank")
+    )

@@ -1084,6 +1084,90 @@ def s11_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_projection(emb, d_in=64)
 
 
+_SQL_SUBD2 = (
+    "list_reduce(list_transform("
+    "list_zip(list_slice({a}, {m}*8+1, {m}*8+8),"
+    " list_slice({b}, {m}*8+1, {m}*8+8)),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+    " (x, y) -> x + y)"
+)
+
+
+@query(
+    "s12_pq_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_vec
+      FROM embeddings WHERE vec_id < {similarity.PQ_CODEBOOK}
+    ),
+    enc AS (
+      SELECT t.vec_id, mm.m, c.cent_id,
+             {_SQL_SUBD2.format(a='t.embedding', b='c.c_vec', m='mm.m')} AS d2
+      FROM embeddings t, range(0, {similarity.PQ_SUBSPACES}) mm(m), cents c
+    ),
+    best AS (
+      SELECT vec_id, m, cent_id AS code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2 ASC, cent_id ASC) AS rn
+      FROM enc
+    ),
+    codes AS (
+      SELECT vec_id, list(code ORDER BY m) AS pq_code
+      FROM best WHERE rn = 1 GROUP BY vec_id
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    lutrows AS (
+      SELECT q.q_id, mm.m, c.cent_id,
+             {_SQL_SUBD2.format(a='q.q_vec', b='c.c_vec', m='mm.m')} AS d2
+      FROM q, range(0, {similarity.PQ_SUBSPACES}) mm(m), cents c
+    ),
+    lut AS (
+      SELECT q_id, list(d2 ORDER BY m, cent_id) AS lut
+      FROM lutrows GROUP BY q_id
+    ),
+    scored AS (
+      SELECT l.q_id, cd.vec_id,
+             list_reduce(list_transform(
+               range(0, {similarity.PQ_SUBSPACES}),
+               mm -> l.lut[mm * {similarity.PQ_CODEBOOK}
+                           + cd.pq_code[mm + 1] + 1]),
+               (x, y) -> x + y) AS approx_d2
+      FROM codes cd, lut l
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, approx_d2,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY approx_d2 ASC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, approx_d2, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def s12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serving (FAISS's PQ/ADC): the corpus
+    is stored as 8 nibble codes per vector (64x smaller than float),
+    each query broadcasts its per-subspace distance lookup table, and
+    scoring is m table probes + one fixed-order fold — the float
+    corpus is never read at serve time. Complements the family: s2
+    prunes candidates (LSH), s4/s10 route them (IVF), s7/s8 compress
+    4x (int8); PQ is the aggressive-compression endpoint. Codebooks
+    are the deterministic lowest-id seeds (s4/dd14's convention);
+    every distance is a strict left fold, so DuckDB replays the
+    encode → LUT → ADC chain bit-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < similarity.PQ_CODEBOOK)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.pq_topk(
+        q, emb, seeds, cache_key=f"s12|{sf_dir}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dd11 — triangle counts in the near-dup candidate graph
 # ---------------------------------------------------------------------------
