@@ -85,6 +85,7 @@ HEADLINE = [
     "samp3_temperature_rebalance",
     "pipe8_quality_filter",
     "bp1_quickview_rows",
+    "s12_pq_topk",
 ]
 
 

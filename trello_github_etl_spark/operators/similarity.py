@@ -738,14 +738,40 @@ def _pq_codebooks(
     return books
 
 
-def _d2_to_lit(sub: Column, cvals: list[float]) -> Column:
-    """Squared L2 distance between a subvector column and a literal
-    centroid, as the strict left fold both engines replay exactly."""
-    lits = F.array(*[F.lit(v) for v in cvals])
-    diffs = F.zip_with(
-        sub, lits, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+# PQ expressions are built as SQL TEXT and parsed with one F.expr per
+# output column, for two measured reasons (sf0.1, 16x8 codebooks):
+# (a) materializing 16 separate literal-fold d2 expressions per
+#     subspace put ~10k nodes in the tree — Catalyst analysis alone
+#     cost more than the data pass (7.75 s median); a transform over
+#     ONE nested-array codebook literal shares a single d2 lambda.
+# (b) building that literal from F.lit/F.array costs a py4j driver
+#     RPC per element (~1,100 round-trips, 2.4 s of pure DataFrame
+#     construction); one parsed string is a single RPC. repr() doubles
+#     round-trip exactly through Spark's decimal parser. This is the
+#     same trick ivf_assign uses for its inlined centroids.
+def _book_sql(book: list[list[float]]) -> str:
+    """One subspace's codebook as a nested-array SQL literal."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in cvals) + ")"
+            for cvals in book
+        )
+        + ")"
     )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _scores_sql(vec_col: str, mm: int, dsub: int, book: list[list[float]]) -> str:
+    """transform(codebook, c -> squared-L2(subvector, c)) — the d2 is
+    the strict left fold both engines replay exactly."""
+    sub = f"slice({vec_col}, {mm * dsub + 1}, {dsub})"
+    d2 = (
+        f"aggregate(zip_with({sub}, c, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    return f"transform({_book_sql(book)}, c -> {d2})"
 
 
 def pq_encode(
@@ -769,25 +795,19 @@ def pq_encode(
     over the corpus — no join, no shuffle, same plan family as
     ivf_assign."""
     books = _pq_codebooks(seeds, m, k, vec_col, id_col, cache_key)
-    code_cols = []
+    code_sqls = []
     for mm in range(m):
         dsub = len(books[mm][0])
-        sub = F.slice(F.col(vec_col), mm * dsub + 1, dsub)
-        scores = F.array(*[_d2_to_lit(sub, books[mm][c]) for c in range(k)])
-        idx = F.aggregate(
-            F.zip_with(
-                scores,
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
-            ),
-            F.struct(
-                F.lit(float("inf")).alias("s"), F.lit(-1).alias("i")
-            ),
-            lambda acc, x: F.when(x["s"] < acc["s"], x).otherwise(acc),
-        )["i"]
-        code_cols.append(idx)
+        scores = _scores_sql(vec_col, mm, dsub, books[mm])
+        # strict < keeps the FIRST min ⇒ lowest code on ties
+        code_sqls.append(
+            f"(aggregate(zip_with({scores}, sequence(0, {k - 1}),"
+            " (s, i) -> named_struct('s', s, 'i', i)),"
+            " named_struct('s', CAST('Infinity' AS DOUBLE), 'i', -1),"
+            " (acc, x) -> IF(x.s < acc.s, x, acc))).i"
+        )
     return ensure_parallelism(vectors).select(
-        id_col, F.array(*code_cols).alias("pq_code")
+        id_col, F.expr("array(" + ", ".join(code_sqls) + ")").alias("pq_code")
     )
 
 
@@ -812,25 +832,20 @@ def pq_topk(
     from pyspark.sql.window import Window
 
     books = _pq_codebooks(seeds, m, k, target_vec, "vec_id", cache_key)
-    lut_entries = []
-    for mm in range(m):
-        dsub = len(books[mm][0])
-        sub = F.slice(F.col(query_vec), mm * dsub + 1, dsub)
-        lut_entries.extend(
-            _d2_to_lit(sub, books[mm][c]) for c in range(k)
-        )
-    q = queries.select("q_id", F.array(*lut_entries).alias("_lut"))
+    lut_parts = [
+        _scores_sql(query_vec, mm, len(books[mm][0]), books[mm])
+        for mm in range(m)
+    ]
+    q = queries.select(
+        "q_id",
+        F.expr("flatten(array(" + ", ".join(lut_parts) + "))").alias("_lut"),
+    )
     codes = pq_encode(
         targets, seeds, m, k, target_vec, "vec_id", cache_key
     )
-    approx = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, mm: acc
-        + F.element_at(
-            F.col("_lut"),
-            mm * k + F.element_at(F.col("pq_code"), mm + 1) + 1,
-        ),
+    approx = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, mm) -> acc"
+        f" + element_at(_lut, mm * {k} + element_at(pq_code, mm + 1) + 1))"
     )
     scored = codes.join(F.broadcast(q)).withColumn("approx_d2", approx)
     w = Window.partitionBy("q_id").orderBy(
