@@ -12,7 +12,9 @@ from trello_github_etl_spark.sources.catalog import (
     REQUIRED_FIELD_SETTINGS,
     CatalogResolutionError,
     ResolvedCatalog,
+    UnsupportedFieldError,
     parse_board_lists_dsl,
+    prepare_field_update,
     resolve_catalog,
 )
 
@@ -39,18 +41,32 @@ STATUS_SETTINGS = {
 }
 
 
+TRELLO_LABELS_SETTINGS = {
+    # "Should be an enum (single select) with Meta, Completed, Paused"
+    # (reference tests/set-field-value.js:19)
+    "options": [
+        {"id": "tl1", "name": "Meta"},
+        {"id": "tl2", "name": "Completed"},
+        {"id": "tl3", "name": "Paused"},
+    ]
+}
+
+
 def _fields_payload():
+    def settings(name):
+        if name == "Status":
+            return json.dumps(STATUS_SETTINGS)
+        if name == "Trello Labels":
+            return json.dumps(TRELLO_LABELS_SETTINGS)
+        return "null"
+
     nodes = [
-        {
-            "id": f"F{i}",
-            "name": name,
-            # 'settings' is ALWAYS at least 'null' (lib/gh.js:65)
-            "settings": json.dumps(STATUS_SETTINGS)
-            if name == "Status"
-            else "null",
-        }
+        {"id": f"F{i}", "name": name, "settings": settings(name)}
         for i, name in enumerate(FIELD_NAMES.values())
     ]
+    # the project also exposes GitHub's built-in Labels field — present
+    # in the fields listing, but not writable via the item mutation
+    nodes.append({"id": "FLABELS", "name": "Labels", "settings": "null"})
     return {"data": {"node": {"fields": {"nodes": nodes}}}}
 
 
@@ -150,6 +166,45 @@ def test_malformed_dsl_pair_is_diagnostic():
         parse_board_lists_dsl("In Progress:Doing")  # space-split DSL limit
     with pytest.raises(CatalogResolutionError, match="malformed"):
         parse_board_lists_dsl("A:B:C")
+
+
+def test_set_field_value_sequence_mirrors_reference():
+    """The reference's live test sequence (tests/set-field-value.js):
+    custom single-select writes resolve option names to ids; the
+    plain "Status" write works; writing the BUILT-IN "Labels" field
+    must FAIL (lines 22-32: 'Labels are not implemented')."""
+    cat = resolve_catalog(_transport([]), "My Board", "acme", FIELD_NAMES, "")
+
+    # "Trello Labels" → "Meta": option name resolved to its id
+    p = prepare_field_update(cat, "ITEM1", "Trello Labels", "Meta")
+    assert p["op"] == "set_field_value" and p["value"] == "tl1"
+    assert p["field_id"] == cat.fields_by_name["Trello Labels"]["id"]
+    assert p["project_id"] == "PROJ" and p["item_id"] == "ITEM1"
+
+    # "Status" → "Done"
+    assert prepare_field_update(cat, "ITEM1", "Status", "Done")["value"] == "opt3"
+
+    # field addressable by id too (dual-keyed cache, lib/gh.js:436-437)
+    fid = cat.fields_by_name["Owner"]["id"]
+    assert prepare_field_update(cat, "ITEM1", fid, "alice")["value"] == "alice"
+
+    # non-string values stringified (lib/gh.js:493)
+    assert prepare_field_update(cat, "ITEM1", "Dash Bounty", 50)["value"] == "50"
+
+    # built-in "Labels" write fails loudly — the negative assertion
+    with pytest.raises(UnsupportedFieldError, match="Labels"):
+        prepare_field_update(cat, "ITEM1", "Labels", "bug")
+    # ...also when addressed by id
+    with pytest.raises(UnsupportedFieldError, match="Labels"):
+        prepare_field_update(cat, "ITEM1", "FLABELS", "bug")
+
+    # unknown field: the reference's fieldsCache KeyError (lib/gh.js:434)
+    with pytest.raises(KeyError, match="not found in catalog"):
+        prepare_field_update(cat, "ITEM1", "No Such Field", "x")
+
+    # unknown option for a single-select: available options in the error
+    with pytest.raises(KeyError, match="Completed"):
+        prepare_field_update(cat, "ITEM1", "Trello Labels", "Nope")
 
 
 def test_status_options_follow_configured_field_name():

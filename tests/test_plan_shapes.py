@@ -213,6 +213,19 @@ def test_pipe8_single_scan_no_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_tpch18_scans_lineitem_once(spark):
+    """VERDICT r3 #2: Q18 must aggregate lineitem exactly once — the
+    HAVING subquery's per-orderkey SUM is the output total_qty, so a
+    second lineitem scan + re-aggregation is pure waste (it was the
+    slowest benched query).  Pin: one lineitem scan, one HashAggregate
+    pair over it, and no re-join of the raw lineitem after the agg."""
+    plan = _plan(_q(spark, "tpch18_large_orders"))
+    assert plan.lower().count("lineitem") <= 2  # scan line + its ReadSchema echo
+    # one partial+final agg pair on l_orderkey, nothing else aggregates
+    n_aggs = plan.count("HashAggregate")
+    assert n_aggs <= 2, f"expected <=2 HashAggregate nodes, saw {n_aggs}:\n{plan}"
+
+
 def test_no_inferred_filter_duplicates_generator_input(spark):
     """InferFiltersFromGenerate puts size(e)>0 below explode(e); when
     e aliases an expensive expression, pushdown inlines the WHOLE

@@ -12,6 +12,7 @@ Usage: python tools/verify_local.py [--sf /root/testdata/sf0.01] [names...]
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import sys
 import time
@@ -64,19 +65,40 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')"
         )
 
+    # Each query additionally emits one machine-readable line
+    # ("RESULT {json}") that tools/sweep_to_json.py copies VERBATIM
+    # into the CORRECTNESS artifact, so the artifact records exactly
+    # what was checked rather than being re-inferred from the human
+    # log format (ADVICE r3: the converter used to fabricate
+    # oracle_rows/schema_match from a 'PASS' regex).
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "err": None,
+        }
+
+        def emit(human: str) -> None:
+            rec["secs"] = round(time.time() - t0, 1)
+            print(human)
+            print(f"RESULT {json.dumps({name: rec})}")
+
         try:
             sdf = qs[name](spark, args.sf)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark error: {e}"
+            emit(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            rec.update(rows_match=True, schema_match=None, hash_match=None)
+            emit(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
             continue
         try:
@@ -84,18 +106,23 @@ def main() -> int:
             drows = rel.fetchall()
             dcols = rel.columns
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb error: {e}"
+            emit(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(drows)
 
         problems = []
-        if len(srows) != len(drows):
+        rec["rows_match"] = len(srows) == len(drows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        if not rec["schema_match"]:
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
         if not problems:
             sn = normalize([tuple(r) for r in srows], scols)
             dn = normalize(drows, dcols)
+            rec["hash_match"] = sn == dn
             if sn != dn:
                 mism = sum(1 for a, b in zip(sn, dn) if a != b)
                 problems.append(f"values differ ({mism}/{len(sn)} rows)")
@@ -104,10 +131,11 @@ def main() -> int:
                         print(f"  spark : {a!r}\n  duckdb: {b!r}")
                         break
         if problems:
-            print(f"FAIL {name}: {'; '.join(problems)}")
+            rec["err"] = "; ".join(problems)
+            emit(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            emit(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")

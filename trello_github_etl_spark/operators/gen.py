@@ -28,7 +28,16 @@ from pyspark.sql import functions as F
 
 def exploded(df: DataFrame, cols: list, expr, alias: str) -> DataFrame:
     """``df.select(*cols, explode(expr).alias(alias))`` without the
-    inferred-filter duplication. Array elements must be non-null."""
+    inferred-filter duplication.
+
+    CONSTRAINT (ADVICE r3): array ELEMENTS must be non-null — unlike
+    plain ``explode``, which emits a row with a null value for a null
+    element, this helper SILENTLY DROPS null elements (the isNotNull
+    filter on the output attribute cannot distinguish a null element
+    from the padded empty-array row).  If the array can contain null
+    elements, use :func:`pos_exploded`, which filters on the position
+    and so keeps null-valued rows exactly like plain ``posexplode``.
+    """
     out = df.select(*cols, F.explode_outer(expr).alias(alias))
     return out.filter(F.col(alias).isNotNull())
 

@@ -707,6 +707,12 @@ def random_projection(
 # ---------------------------------------------------------------------------
 PQ_SUBSPACES = 8
 PQ_CODEBOOK = 16
+# Embedding dim the SQL oracles assume (the testdata's fixed width).
+# The Spark side derives dsub from the actual vectors at runtime;
+# oracles must slice with THIS shared constant so a dim change breaks
+# loudly in one place instead of silently diverging (ADVICE r3).
+PQ_DIM = 64
+PQ_DSUB = PQ_DIM // PQ_SUBSPACES
 
 
 def _pq_codebooks(
@@ -725,6 +731,14 @@ def _pq_codebooks(
     if ck is not None and ck in _CENTROID_CACHE:
         return _CENTROID_CACHE[ck]
     rows = seeds.orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        # Fail loudly on a misconfigured seed filter: silently
+        # training a smaller codebook would shift every code
+        # assignment downstream (ADVICE r3).
+        raise ValueError(
+            f"PQ codebook needs {k} seed vectors, got {len(rows)} — "
+            "check the seeds filter"
+        )
     dsub = len(rows[0][vec_col]) // m
     books = [
         [

@@ -42,9 +42,10 @@ Two guards provide that:
 True multi-writer (a commit log with conflict *resolution*, not just
 detection) remains what a real table format adds.
 
-Swap decision (re-checked each round, VERDICT r2 #8): delta-spark is
-still not importable in this container (round 3, 2026-08-14), so the
-store stays. The swap recipe when it lands: DeltaTable.forPath +
+Swap decision (re-checked each round, VERDICT r2 #8 / r3 #7):
+delta-spark is still not importable (round 4, 2026-08-14: ``import
+delta`` fails and ``pip download delta-spark`` cannot reach any index
+— no network egress from this container), so the store stays. The swap recipe when it lands: DeltaTable.forPath +
 ``MERGE INTO`` replaces merge(); version time travel replaces
 read(version); the CAS tests in tests/test_state_store.py and the
 sketch replay-gate tests are the behavioral contract the Delta-backed

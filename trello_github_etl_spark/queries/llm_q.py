@@ -1084,10 +1084,14 @@ def s11_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_projection(emb, d_in=64)
 
 
+# Subspace width shared with the Spark side (similarity.PQ_DSUB,
+# ADVICE r3): the Spark encoder derives dsub from the live vectors,
+# so if the embedding dim ever changed this oracle would have
+# silently sliced wrong with a hardcoded 8.
 _SQL_SUBD2 = (
     "list_reduce(list_transform("
-    "list_zip(list_slice({a}, {m}*8+1, {m}*8+8),"
-    " list_slice({b}, {m}*8+1, {m}*8+8)),"
+    f"list_zip(list_slice({{a}}, {{m}}*{similarity.PQ_DSUB}+1, {{m}}*{similarity.PQ_DSUB}+{similarity.PQ_DSUB}),"
+    f" list_slice({{b}}, {{m}}*{similarity.PQ_DSUB}+1, {{m}}*{similarity.PQ_DSUB}+{similarity.PQ_DSUB})),"
     " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
     " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
     " (x, y) -> x + y)"
@@ -1098,18 +1102,23 @@ _SQL_SUBD2 = (
     "s12_pq_topk",
     oracle=f"""
     WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS c_vec
+      -- code = seed RANK, not the raw vec_id: the Spark side's code is
+      -- the positional index under orderBy(vec_id).limit(k), so the
+      -- oracle must rank too or a seed-id gap/offset would silently
+      -- desync the codes and the LUT layout (ADVICE r3).
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+             embedding AS c_vec
       FROM embeddings WHERE vec_id < {similarity.PQ_CODEBOOK}
     ),
     enc AS (
-      SELECT t.vec_id, mm.m, c.cent_id,
+      SELECT t.vec_id, mm.m, c.code,
              {_SQL_SUBD2.format(a='t.embedding', b='c.c_vec', m='mm.m')} AS d2
       FROM embeddings t, range(0, {similarity.PQ_SUBSPACES}) mm(m), cents c
     ),
     best AS (
-      SELECT vec_id, m, cent_id AS code,
+      SELECT vec_id, m, code,
              ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                ORDER BY d2 ASC, cent_id ASC) AS rn
+                                ORDER BY d2 ASC, code ASC) AS rn
       FROM enc
     ),
     codes AS (
@@ -1121,12 +1130,12 @@ _SQL_SUBD2 = (
       FROM embeddings WHERE vec_id % 100 = 0
     ),
     lutrows AS (
-      SELECT q.q_id, mm.m, c.cent_id,
+      SELECT q.q_id, mm.m, c.code,
              {_SQL_SUBD2.format(a='q.q_vec', b='c.c_vec', m='mm.m')} AS d2
       FROM q, range(0, {similarity.PQ_SUBSPACES}) mm(m), cents c
     ),
     lut AS (
-      SELECT q_id, list(d2 ORDER BY m, cent_id) AS lut
+      SELECT q_id, list(d2 ORDER BY m, code) AS lut
       FROM lutrows GROUP BY q_id
     ),
     scored AS (

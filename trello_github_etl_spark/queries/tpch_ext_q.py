@@ -410,9 +410,21 @@ def tpch17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18: customers with bulk orders (total quantity > 200) — the
-    HAVING subquery is an agg-then-semi-join on orderkey; the outer
-    agg re-derives the quantity for the surviving orders."""
+    """Q18: customers with bulk orders (total quantity > 200).
+
+    ONE lineitem aggregation (VERDICT r3 #2): the HAVING subquery's
+    per-orderkey SUM *is* the output ``total_qty``, so we keep ``_q``
+    from the filtered agg and inner-join it to orders — the previous
+    shape semi-joined, re-joined the full lineitem, and re-computed
+    the identical sum (a second lineitem scan + shuffle for nothing).
+    orderkey is unique in orders, so no outer GROUP BY is needed
+    either: the row grain after the joins is already one-per-order.
+    At 100 TB the ``> 200`` filter keeps a few percent of orders —
+    too big to broadcast blindly, so this stays a shuffle join and
+    AQE may downgrade it to broadcast when the filtered side is
+    small enough.  Plan pinned single-lineitem-scan in
+    tests/test_plan_shapes.py.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -420,17 +432,17 @@ def tpch18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
         .filter(F.col("_q") > 200)
-        .select("l_orderkey")
     )
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_qty")
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_q").cast("double").alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)

@@ -75,6 +75,30 @@ class CatalogResolutionError(RuntimeError):
     lib/gh.js:144-176)."""
 
 
+class UnsupportedFieldError(RuntimeError):
+    """Writing a built-in ProjectNext field that the
+    updateProjectNextItemField mutation cannot set.
+
+    The reference's only negative behavioral test
+    (tests/set-field-value.js:22-32) asserts that writing the
+    built-in "Labels" field FAILS — there it fails server-side with a
+    GraphQL error; here the engine rejects it client-side, before any
+    mutation is attempted, with the same outcome (a loud error) and a
+    better message.  The custom "Trello Labels" field remains fully
+    writable (same test, line 20).
+    """
+
+
+# Built-in ProjectNext fields updateProjectNextItemField cannot write
+# (they are views over issue state, not project item columns).  The
+# reference discovers this via a live server error; we reject up
+# front so a 10M-row sink job fails in planning, not mid-write.
+UNSUPPORTED_BUILTIN_FIELDS = frozenset(
+    {"Labels", "Assignees", "Milestone", "Repository", "Reviewers",
+     "Linked Pull Requests"}
+)
+
+
 @dataclass(frozen=True)
 class ResolvedCatalog:
     """Broadcast-ready resolution result: tiny (KBs) by construction."""
@@ -220,3 +244,46 @@ def resolve_catalog(
         status_options=tuple(options),
         option_ids=option_ids,
     )
+
+
+def prepare_field_update(
+    catalog: ResolvedCatalog,
+    item_id: str,
+    field_name_or_id: str,
+    value: object,
+) -> dict:
+    """Driver-side analog of ``GH.projects.setFieldValue``
+    (lib/gh.js:430-452): resolve a field by NAME OR ID through the
+    dual-keyed cache, resolve single-select option names to option
+    ids, and return the ``set_field_value`` transport payload.
+
+    Raises:
+    - ``UnsupportedFieldError`` for built-in fields the mutation
+      cannot write ("Labels" et al., tests/set-field-value.js:22-32).
+    - ``KeyError`` if the field is not in the catalog (the
+      reference's "'<id>' not found in fieldsCache", lib/gh.js:434).
+    - ``KeyError`` with the available options if a single-select
+      value has no matching option (lib/gh.js:445-450).
+    """
+    f = catalog.fields_by_name.get(field_name_or_id) or catalog.fields_by_id.get(
+        field_name_or_id
+    )
+    if f is None:
+        raise KeyError(f"{field_name_or_id!r} not found in catalog fields")
+    if f["name"] in UNSUPPORTED_BUILTIN_FIELDS:
+        raise UnsupportedFieldError(
+            f"built-in field {f['name']!r} cannot be written via "
+            "updateProjectNextItemField; set it through the issue "
+            "REST payload instead (labels/assignees on the issue)"
+        )
+    value = str(value)  # lib/gh.js:493 — always stringified
+    options = (f.get("settings") or {}).get("options")
+    if options:
+        value = catalog.option_id(f["name"], value)
+    return {
+        "op": "set_field_value",
+        "project_id": catalog.project_id,
+        "item_id": item_id,
+        "field_id": f["id"],
+        "value": value,
+    }
