@@ -1650,8 +1650,7 @@ def t14_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.92
 
 
-def _semdedup_oracle() -> str:
-    k = similarity.NUM_CENTROIDS
+def _semdedup_oracle(k: int = similarity.NUM_CENTROIDS) -> str:
     return f"""
     WITH RECURSIVE base AS (
       SELECT vec_id, embedding FROM embeddings
@@ -1717,4 +1716,32 @@ def dd14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         threshold=SEMDEDUP_THRESHOLD,
         cache_key=f"ivf16|{sf_dir}",
+    )
+
+
+@query("dd15_semantic_dedup_nlist64", oracle=_semdedup_oracle(64))
+def dd15_semantic_dedup_nlist64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd14 with 4x the coarse cells (nlist 64 vs 16) — the measured
+    receipt for SCALE.md lesson 25's claim that SemDeDup's cell count
+    is THE scale lever.  Within-cell pair work is O(Σ|cell|²): with a
+    fixed nlist, per-cell population grows linearly in the corpus and
+    dd14 scaled ~linearly sf0.1→sf1 (2.46→24.7 s); quadrupling nlist
+    cuts expected pair work ~16x while the narrow assignment pass
+    only pays 4x more centroid comparisons.  FAISS's nlist≈√N rule,
+    demonstrated rather than asserted — BENCH_sf1.json carries both
+    numbers.  Recall trade is the standard one (more cells = more
+    boundary pairs missed); exact re-embeddings still co-locate by
+    construction, so injected-duplicate recall stays 1.0."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    return dedup.semantic_dedup(
+        ensure_parallelism(emb.unionByName(dups)),
+        cents,
+        threshold=SEMDEDUP_THRESHOLD,
+        cache_key=f"ivf64|{sf_dir}",
     )
