@@ -92,6 +92,9 @@ HEADLINE = [
     "pipe8_quality_filter",
     "bp1_quickview_rows",
     "s12_pq_topk",
+    # round-4 additions
+    "dd15_semantic_dedup_nlist64",
+    "s13_pq_rerank_topk",
 ]
 
 

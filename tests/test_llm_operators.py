@@ -183,6 +183,34 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_pq_rerank_full_shortlist_equals_brute_force(spark):
+    """The refine contract: with the shortlist as wide as the corpus,
+    stage 1 cannot drop a true neighbor, so the exact re-rank must
+    reproduce brute force bit-for-bit (ids AND cosines)."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    seeds = emb.filter(F.col("vec_id") < similarity.PQ_CODEBOOK)
+    truth = {
+        (r.q_id, r.vec_id, r.rank, r.cos)
+        for r in similarity.brute_force_topk(qs, emb).collect()
+    }
+    refined = {
+        (r.q_id, r.vec_id, r.rank, r.cos)
+        for r in similarity.pq_rerank_topk(qs, emb, seeds, shortlist=n).collect()
+    }
+    assert refined == truth
+    # and the default narrow shortlist still re-ranks with EXACT
+    # cosines: every emitted (q,vec) pair scores identically to truth
+    narrow = similarity.pq_rerank_topk(qs, emb, seeds).collect()
+    truth_cos = {(t[0], t[1]): t[3] for t in truth}
+    for r in narrow:
+        if (r.q_id, r.vec_id) in truth_cos:
+            assert r.cos == truth_cos[(r.q_id, r.vec_id)]
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(

@@ -213,6 +213,16 @@ def test_pipe8_single_scan_no_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pq_rerank_fetch_is_broadcast(spark):
+    """s13: the exact-rerank stage may touch the float corpus ONLY
+    via a broadcast candidate fetch — if the Q×shortlist id list ever
+    shuffles the corpus (SortMergeJoin) the whole two-stage design
+    degrades to a full-corpus exchange."""
+    plan = _plan(_q(spark, "s13_pq_rerank_topk"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_tpch18_scans_lineitem_once(spark):
     """VERDICT r3 #2: Q18 must aggregate lineitem exactly once — the
     HAVING subquery's per-orderkey SUM is the output total_qty, so a

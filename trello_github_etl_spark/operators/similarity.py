@@ -870,3 +870,54 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
         .select("q_id", "vec_id", "approx_d2", "rank")
     )
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    seeds: DataFrame,
+    topk: int = 5,
+    shortlist: int = 25,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Two-stage ANN serving: PQ/ADC shortlist, then EXACT re-rank —
+    the standard production retrieval shape (FAISS's
+    ``IndexRefineFlat``; every IVF-PQ deployment re-ranks its
+    shortlist against the float vectors).
+
+    Stage 1 (:func:`pq_topk`) scores the whole corpus from 8-nibble
+    codes — cheap but lossy — and keeps ``shortlist`` candidates per
+    query (deterministic: approx distance, vec_id tie-break).  Stage
+    2 fetches ONLY those candidates' float vectors (a broadcast
+    semi-style equi-join: Q×shortlist ids, KBs, against the corpus —
+    the single selective touch of the float store) and re-ranks by
+    exact strict-fold cosine.  At 100 TB the float corpus is read
+    once filtered-by-broadcast rather than streamed in full
+    (brute_force_topk) — the bandwidth win PQ exists for, with exact
+    final ordering on the shortlist.
+
+    Accuracy contract: top-``topk`` equals brute force whenever the
+    true top-k survive the PQ shortlist — the standard refine trade;
+    widen ``shortlist`` to raise recall.
+    """
+    from pyspark.sql.window import Window
+
+    cand = pq_topk(
+        queries, targets, seeds, shortlist, m, k, query_vec, target_vec, cache_key
+    ).select("q_id", "vec_id")
+    fetched = ensure_parallelism(targets).join(F.broadcast(cand), "vec_id")
+    scored = fetched.join(
+        F.broadcast(queries), "q_id"
+    ).withColumn("cos", cosine(F.col(query_vec), F.col(target_vec)))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "vec_id", "cos", "rank")
+    )

@@ -1098,9 +1098,11 @@ _SQL_SUBD2 = (
 )
 
 
-@query(
-    "s12_pq_topk",
-    oracle=f"""
+# Shared CTE chain for the PQ family (s12 serve, s13 re-rank): encode
+# the corpus, build per-query LUTs, ADC-score, rank by approx
+# distance.  Ends with the `ranked` CTE; callers append their final
+# stage.
+_PQ_ORACLE_CHAIN = f"""
     WITH cents AS (
       -- code = seed RANK, not the raw vec_id: the Spark side's code is
       -- the positional index under orderBy(vec_id).limit(k), so the
@@ -1153,8 +1155,13 @@ _SQL_SUBD2 = (
                                 ORDER BY approx_d2 ASC, vec_id ASC) AS rank
       FROM scored
     )
-    SELECT q_id, vec_id, approx_d2, rank FROM ranked WHERE rank <= 5
-    """,
+"""
+
+
+@query(
+    "s12_pq_topk",
+    oracle=_PQ_ORACLE_CHAIN
+    + "SELECT q_id, vec_id, approx_d2, rank FROM ranked WHERE rank <= 5",
 )
 def s12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN serving (FAISS's PQ/ADC): the corpus
@@ -1173,6 +1180,47 @@ def s12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return similarity.pq_topk(
+        q, emb, seeds, cache_key=f"s12|{sf_dir}"
+    )
+
+
+@query(
+    "s13_pq_rerank_topk",
+    oracle=_PQ_ORACLE_CHAIN
+    + f""", cand AS (
+      SELECT q_id, vec_id FROM ranked WHERE rank <= 25
+    ),
+    exact AS (
+      SELECT c.q_id, c.vec_id,
+             {_sql_cosine('t.embedding', 'qq.q_vec')} AS cos
+      FROM cand c
+      JOIN embeddings t ON t.vec_id = c.vec_id
+      JOIN q qq ON qq.q_id = c.q_id
+    ),
+    rr AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM exact
+    )
+    SELECT q_id, vec_id, cos, rank FROM rr WHERE rank <= 5
+    """,
+)
+def s13_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (FAISS IndexRefineFlat shape): PQ/ADC
+    shortlist of 25 per query from the nibble codes, exact
+    strict-fold cosine re-rank of only those candidates, final top-5.
+    Completes the serving family: s12 shows the compressed store
+    alone, s13 shows the production pattern where the float corpus is
+    touched only through a broadcast candidate fetch — the oracle
+    replays shortlist AND refine bit-for-bit (same ADC chain, same
+    fold order)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < similarity.PQ_CODEBOOK)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.pq_rerank_topk(
         q, emb, seeds, cache_key=f"s12|{sf_dir}"
     )
 
