@@ -84,6 +84,42 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def sentence_count(text: Column) -> Column:
+    """Terminator-run count, floored at 1 (unterminated text is one
+    sentence) — the denominator convention readability formulas use."""
+    return F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0))
+    )
+
+
+def syllable_count(text: Column) -> Column:
+    """Σ per-token max(1, vowel-group runs) — the standard cheap
+    syllable estimator (every word has ≥1 syllable; consecutive
+    vowels count once). Exact integer, so both engines agree."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+        ).cast("long"),
+    )
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words); NULL for token-less docs. All inputs are
+    exact BIGINT counts and the formula is two IEEE divisions and a
+    fixed-order linear combination, so a SQL oracle reproduces it
+    bit-for-bit."""
+    w = token_count(text).cast("double")
+    s = sentence_count(text).cast("double")
+    sy = syllable_count(text).cast("double")
+    return F.when(
+        token_count(text) == 0, F.lit(None).cast("double")
+    ).otherwise(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w))
+
+
 def normalize_text(text: Column) -> Column:
     """Dedup canonical form: lower, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -1588,6 +1588,51 @@ def t13_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t15 — Flesch reading ease (readability quality signal)
+# ---------------------------------------------------------------------------
+@query(
+    "t15_readability",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+          AS n_sentences,
+        CAST(COALESCE(list_sum(list_transform(tk,
+          t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))), 0)
+          AS BIGINT) AS n_syllables
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, n_sentences, n_syllables,
+      CASE WHEN n_tokens = 0 THEN NULL
+           ELSE 206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences)
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens)
+      END AS flesch
+    FROM counts
+    """,
+)
+def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document — the classic readability
+    quality signal (C4/Gopher-style filters gate on it alongside t3's
+    composite).  Sentence = terminator-run floored at 1; syllable =
+    per-token vowel-group runs floored at 1 (the cheap standard
+    estimator).  One narrow pass, exact BIGINT counts, a fixed-order
+    double formula — bit-reproducible in the oracle like t3."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(t).cast("long").alias("n_tokens"),
+        textstats.sentence_count(t).cast("long").alias("n_sentences"),
+        textstats.syllable_count(t).alias("n_syllables"),
+        textstats.flesch_reading_ease(t).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # t14 — leave-one-out bigram novelty (LM-perplexity proxy)
 # ---------------------------------------------------------------------------
 @query(
