@@ -43,6 +43,10 @@ REPRESENTATIVE = [
     "dd11_triangle_counts", "t8a_top_word_adaptive",
     "t10_source_lang_chisq", "s11_random_projection",
     "pipe4_concat_packing", "pipe5_greedy_pack", "pipe6_corpus_shuffle",
+    # round-4: readability (narrow pass) and scaled-cell SemDeDup
+    # (ivf_assign scores an inlined — possibly empty — centroid
+    # literal per row, so zero centroids just yields zero rows).
+    "t15_readability", "dd15_semantic_dedup_nlist64",
 ]
 
 
@@ -64,3 +68,16 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     n = df.count()
     assert n >= 0
     df.limit(5).collect()  # execution, not just planning
+
+
+@pytest.mark.parametrize("name", ["s12_pq_topk", "s13_pq_rerank_topk"])
+def test_pq_family_empty_corpus_is_loud(spark, empty_sf_dir, name):
+    """PQ operators cannot train a codebook on an empty corpus; the
+    failure must be the explicit undersized-seed error (ADVICE r3),
+    not an IndexError from rows[0]."""
+    qs = entrymod.queries()
+    with pytest.raises(Exception) as ei:
+        qs[name](spark, empty_sf_dir).count()
+    msg = str(ei.value)
+    assert "IndexError" not in msg
+    assert "seed" in msg or "centroid" in msg.lower()
