@@ -1150,6 +1150,37 @@ def test_samp3_bounds_and_partition_invariance(spark, tmp_path):
     assert out == again
 
 
+def test_samp4_exact_k_per_source_and_determinism(spark, tmp_path):
+    """Every source yields exactly min(k, n_source) rows; ranks are
+    1..k dense; the sample is identical on re-run and under a
+    different partitioning (hash sees only doc_id); small sources
+    are returned whole."""
+    import os
+
+    import __spark_entry__ as entry
+    from trello_github_etl_spark.queries.pipeline_q import SAMP4_K
+
+    rows = [(i, f"text {i}", "en", "big") for i in range(500)]
+    rows += [(1000 + i, f"text {i}", "en", "tiny") for i in range(5)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    q = entry.queries()["samp4_per_source_sample"]
+    out = q(spark, sf).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["big"]) == SAMP4_K
+    assert sorted(r.samp_rank for r in by_src["big"]) == list(
+        range(1, SAMP4_K + 1)
+    )
+    assert {r.doc_id for r in by_src["tiny"]} == {1000 + i for i in range(5)}
+    again = {(r.source, r.doc_id, r.samp_rank) for r in q(spark, sf).collect()}
+    assert {(r.source, r.doc_id, r.samp_rank) for r in out} == again
+
+
 def test_t14_novelty_bounds(spark, tmp_path):
     """novelty in [0,1] wherever defined; evidence columns
     non-negative; instance accounting sums to the bigram total."""

@@ -232,6 +232,88 @@ def samp3_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMP4_K = 20  # sample size per source
+SAMP4_MARGIN = 4  # survivor head-room multiple over k
+SAMP4_MOD = 1_000_000
+
+
+@query(
+    "samp4_per_source_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source
+    ),
+    thr AS (
+      SELECT source, n_source,
+             least({SAMP4_MOD},
+                   ({SAMP4_MARGIN * SAMP4_K} * {SAMP4_MOD} + n_source - 1)
+                     // n_source) AS _thr
+      FROM counts
+    ),
+    survivors AS (
+      SELECT d.source, d.doc_id,
+             {_sql_hash_bucket('samp4|', SAMP4_MOD)} AS h
+      FROM documents d JOIN thr ON thr.source = d.source
+      WHERE {_sql_hash_bucket('samp4|', SAMP4_MOD)} < thr._thr
+    ),
+    ranked AS (
+      SELECT source, doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY h ASC, doc_id ASC) AS samp_rank
+      FROM survivors
+    )
+    SELECT source, doc_id, h, samp_rank
+    FROM ranked WHERE samp_rank <= {SAMP4_K}
+    """,
+)
+def samp4_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source sample (the 'show me 20 docs from
+    every source of a 100 TB corpus' op) — top-k by salted hash of
+    the stable doc_id, so the sample is repeatable across runs,
+    partitionings and cluster sizes, and statistically uniform.
+
+    Scale shape — the window never sees the corpus: per-source counts
+    (tiny agg) broadcast back as hash thresholds ceil(margin·k·MOD /
+    n_source), the scan keeps ~margin·k survivors per source (exact
+    integer arithmetic, replayed by the oracle), and only that
+    KB-sized survivor set is shuffled and rank-windowed.  A plain
+    ROW_NUMBER-over-source would sort every row of the biggest
+    source in one task — the single-partition-sort trap (SCALE.md
+    lesson 19) this two-phase shape exists to dodge.
+
+    The margin is the under-sample guard: a source yields fewer than
+    k survivors only if its k-th-smallest hash exceeds margin·k
+    expectations — P < e^(-k(margin-ln margin-1)) by Chernoff, ~1e-15
+    at k=20, margin=4.  The oracle replays the same prefilter, so the
+    correctness gate compares like-for-like at any data size."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    numer = F.lit(SAMP4_MARGIN * SAMP4_K * SAMP4_MOD)
+    thr = counts.select(
+        "source",
+        F.least(
+            F.lit(SAMP4_MOD),
+            ((numer + F.col("n_source") - F.lit(1)) / F.col("n_source")).cast(
+                "bigint"
+            ),
+        ).alias("_thr"),
+    )
+    h = _hash_bucket("samp4|", F.col("doc_id"), SAMP4_MOD)
+    survivors = (
+        docs.join(F.broadcast(thr), "source")
+        .withColumn("h", h)
+        .filter(F.col("h") < F.col("_thr"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= SAMP4_K)
+        .select("source", "doc_id", "h", "samp_rank")
+    )
+
+
 @query(
     "pipe1_clean_corpus",
     oracle=f"""
