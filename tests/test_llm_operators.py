@@ -1181,6 +1181,39 @@ def test_samp4_exact_k_per_source_and_determinism(spark, tmp_path):
     assert {(r.source, r.doc_id, r.samp_rank) for r in out} == again
 
 
+def test_samp5_budget_boundary_and_coverage(spark, tmp_path):
+    """Kept chars reach the budget for every source with the mass
+    (boundary doc included exactly once); sources under budget are
+    kept whole; cum_chars is a consistent running sum."""
+    import os
+
+    import __spark_entry__ as entry
+    from trello_github_etl_spark.queries.pipeline_q import SAMP5_BUDGET
+
+    rows = [(i, "x" * 100, "en", "big", 100) for i in range(200)]
+    rows += [(1000 + i, "x" * 50, "en", "tiny", 50) for i in range(4)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = entry.queries()["samp5_source_char_budget"](spark, sf).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    big_total = sum(r.n_chars for r in by_src["big"])
+    # crossed the budget, by at most one doc's worth
+    assert SAMP5_BUDGET <= big_total < SAMP5_BUDGET + 100
+    assert {r.doc_id for r in by_src["tiny"]} == {1000 + i for i in range(4)}
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r.cum_chars)
+        run = 0
+        for r in rs:
+            run += r.n_chars
+            assert r.cum_chars == run
+            assert r.cum_chars - r.n_chars < SAMP5_BUDGET  # admission rule
+
+
 def test_t14_novelty_bounds(spark, tmp_path):
     """novelty in [0,1] wherever defined; evidence columns
     non-negative; instance accounting sums to the bigram total."""

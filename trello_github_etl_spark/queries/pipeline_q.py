@@ -314,6 +314,105 @@ def samp4_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMP5_BUDGET = 2000  # per-source char budget
+SAMP5_MARGIN = 4
+
+
+@query(
+    "samp5_source_char_budget",
+    oracle=f"""
+    WITH tots AS (
+      SELECT source, SUM(CAST(n_chars AS BIGINT)) AS t_chars
+      FROM documents GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             least({SAMP4_MOD},
+                   ({SAMP5_MARGIN * SAMP5_BUDGET * SAMP4_MOD} + t_chars - 1)
+                     // t_chars) AS _thr
+      FROM tots
+    ),
+    survivors AS (
+      SELECT d.source, d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+             {_sql_hash_bucket('samp5|', SAMP4_MOD)} AS h
+      FROM documents d JOIN thr ON thr.source = d.source
+      WHERE {_sql_hash_bucket('samp5|', SAMP4_MOD)} < thr._thr
+    ),
+    cum AS (
+      SELECT source, doc_id, h, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY h ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM survivors
+    )
+    SELECT source, doc_id, h, n_chars,
+           cum_before + n_chars AS cum_chars
+    FROM cum WHERE cum_before < {SAMP5_BUDGET}
+    """,
+)
+def samp5_source_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at a fixed DATA budget (chars here; the same
+    shape serves token budgets) — the 'mix sources to a recipe' op
+    of a pretraining pipeline, where the unit that matters is tokens
+    contributed, not document count (samp2/samp3's unit).  Docs are
+    admitted in salted-hash order until the budget is crossed; the
+    doc that crosses it is kept (standard boundary convention), so
+    every source contributes ≥ its budget once it has the mass.
+
+    Scale shape — samp4's pre-window pruning extended to prefix
+    sums: a salted hash is UNIFORM and independent of doc length, so
+    the token mass under hash < t is ~ (t/MOD)·T_s; broadcasting
+    thresholds ceil(margin·B·MOD / T_s) back onto the scan keeps
+    ~margin·B worth of chars per source, and only that sliver pays
+    the ordered cumulative-sum window.  The budget boundary falls
+    outside the survivor set only if the survivors carry < B chars —
+    P < e^(-Θ(margin)) per source, same Chernoff family as samp4.
+    All threshold arithmetic is exact BIGINT, the cumsum is an exact
+    BIGINT window, and the oracle replays both."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tots = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("bigint")).alias("t_chars")
+    )
+    numer = F.lit(SAMP5_MARGIN * SAMP5_BUDGET * SAMP4_MOD)
+    thr = tots.select(
+        "source",
+        F.least(
+            F.lit(SAMP4_MOD),
+            ((numer + F.col("t_chars") - F.lit(1)) / F.col("t_chars")).cast(
+                "bigint"
+            ),
+        ).alias("_thr"),
+    )
+    h = _hash_bucket("samp5|", F.col("doc_id"), SAMP4_MOD)
+    survivors = (
+        docs.select(
+            "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+        )
+        .join(F.broadcast(thr), "source")
+        .withColumn("h", h)
+        .filter(F.col("h") < F.col("_thr"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        survivors.withColumn(
+            "cum_before", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        )
+        .filter(F.col("cum_before") < SAMP5_BUDGET)
+        .select(
+            "source",
+            "doc_id",
+            "h",
+            "n_chars",
+            (F.col("cum_before") + F.col("n_chars")).alias("cum_chars"),
+        )
+    )
+
+
 @query(
     "pipe1_clean_corpus",
     oracle=f"""
