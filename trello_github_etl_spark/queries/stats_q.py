@@ -411,3 +411,110 @@ def hof1_quantity_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "prof3_mad_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+                      THEN price END) AS med
+      FROM r GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT r.o_orderpriority, r.o_orderkey, r.price, m.med,
+             abs(r.price - m.med) AS adev,
+             ROW_NUMBER() OVER (
+               PARTITION BY r.o_orderpriority
+               ORDER BY abs(r.price - m.med), r.o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY r.o_orderpriority) AS n
+      FROM r JOIN med m ON m.o_orderpriority = r.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+                      THEN adev END) AS mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(MAX(d.med) AS DOUBLE) AS med,
+           CAST(MAX(md.mad) AS DOUBLE) AS mad,
+           SUM(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END) AS n_outliers,
+           SUM(CASE WHEN 2 * d.adev > 3 * md.mad THEN 1 ELSE 0 END) AS n_mild
+    FROM dev d JOIN mad md ON md.o_orderpriority = d.o_orderpriority
+    GROUP BY d.o_orderpriority
+    """,
+)
+def prof3_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: flag orders with
+    |price − median| > 3·MAD — the median/MAD rule that survives the
+    heavy tails that wreck mean/stddev z-scores (prof2's moments).
+    Both the median and the MAD are EXACT element percentiles (t13's
+    type-1 pattern, unique-key tie-breaks) computed on decimal(18,2),
+    so every comparison is exact decimal arithmetic and the only
+    doubles are the output casts.  Two segment-keyed window passes +
+    one broadcast-back of the 5-row median/MAD tables; per-segment
+    sort is the price of exactness (same lever discussion as t13 —
+    shard giant segments or switch to approx_percentile when exact
+    isn't the contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_orderpriority").orderBy(price, F.col("o_orderkey"))
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        price.alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = F.floor((F.col("n") - 1) * F.lit(0.5)).cast("bigint") + 1
+    med = r.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") == pick, F.col("price"))).alias("med")
+    )
+    dev = r.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "price",
+        "med",
+        F.abs(F.col("price") - F.col("med")).alias("adev"),
+    )
+    wd = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("adev"), F.col("o_orderkey")
+    )
+    d2 = dev.select(
+        "*",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mad = d2.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") == pick, F.col("adev"))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("med").cast("double").alias("med"),
+            F.max("mad").cast("double").alias("mad"),
+            F.sum(
+                (F.col("adev") > F.lit(3) * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+            F.sum(
+                (F.lit(2) * F.col("adev") > F.lit(3) * F.col("mad")).cast(
+                    "bigint"
+                )
+            ).alias("n_mild"),
+        )
+    )

@@ -408,3 +408,52 @@ def w9_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "new_users",
         F.sum("new_users").over(w).alias("cum_distinct_users"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "ev3_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n AS DOUBLE) / t.n_from AS p_transition
+    FROM pairs p JOIN tot t ON t.from_type = p.from_type
+    """,
+)
+def ev3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (the user-path / Sankey staple):
+    per-user ordered LEAD pairs, counted globally, with row-normalized
+    transition probabilities. One shuffle on user_id for the sequence
+    window, one hash agg on the (from,to) pair — the per-from totals
+    re-aggregate the TINY pair matrix (|types|² rows), never the
+    event stream, and the single division is the only IEEE op."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
+    )
