@@ -1150,6 +1150,23 @@ def test_samp3_bounds_and_partition_invariance(spark, tmp_path):
     assert out == again
 
 
+def test_pagerank_star_hub_dominates_and_is_deterministic(spark):
+    """On a star graph the hub out-ranks every leaf; leaves tie
+    exactly (integer grid — not approximately); floor damping keeps
+    every rank >= the 0.15 base and total mass <= n."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.pr_nano for r in dedup.pagerank(pairs).collect()}
+    leaves = {out[i] for i in range(1, 9)}
+    assert len(leaves) == 1  # exact tie on the integer grid
+    assert out[0] > leaves.pop()
+    assert all(v >= 150_000_000 for v in out.values())
+    assert sum(out.values()) <= 9 * 1_000_000_000
+    again = {r.doc_id: r.pr_nano for r in dedup.pagerank(pairs).collect()}
+    assert out == again
+
+
 def test_samp4_exact_k_per_source_and_determinism(spark, tmp_path):
     """Every source yields exactly min(k, n_source) rows; ranks are
     1..k dense; the sample is identical on re-run and under a

@@ -354,6 +354,68 @@ def connected_components(
     )
 
 
+def pagerank(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    rounds: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-round PageRank (damping 0.85) over an undirected edge
+    list — centrality on the near-dup candidate graph, the signal for
+    choosing a cluster's EXEMPLAR by how connected it is to the rest
+    of its family (vs the arbitrary min-id rule) and for ranking
+    template hubs (cf. dd11's triangle density).
+
+    Bit-reproducible by construction: ranks live on an integer
+    nano-grid (1.0 → 10⁹), every contribution is BIGINT floor
+    division rank DIV degree, and the damping step is
+    150000000 + (85·Σ) DIV 100 — no floats anywhere, so any engine
+    replays the identical trajectory (the s9/s11 fixed-point
+    contract applied to an iterative graph algorithm; a DuckDB
+    recursive CTE is the oracle).  Every node has degree ≥ 1 (it
+    came from an edge), so there is no dangling-mass term.
+
+    Scale shape: per round one join edges⋈ranks + one sum shuffle on
+    the destination — the components round structure with a value
+    aggregate instead of a min; lineage truncated per round
+    (localCheckpoint / reliable with ``checkpoint_dir``)."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    deg = edges.groupBy("v").agg(F.count("*").alias("deg"))
+    ranks = _truncate_lineage(
+        deg.select(
+            F.col("v").alias("node"),
+            F.lit(1_000_000_000).cast("bigint").alias("rank"),
+        ),
+        checkpoint_dir,
+    )
+    for _ in range(rounds):
+        contribs = (
+            edges.join(ranks, edges["v"] == ranks["node"])
+            .join(deg, "v")
+            .select("u", F.expr("rank DIV deg").alias("_c"))
+        )
+        ranks = _truncate_lineage(
+            contribs.groupBy("u")
+            .agg(F.sum("_c").alias("_s"))
+            .select(
+                F.col("u").alias("node"),
+                (
+                    F.lit(150_000_000).cast("bigint")
+                    + F.expr("(85 * _s) DIV 100")
+                ).alias("rank"),
+            ),
+            checkpoint_dir,
+        )
+    edges.unpersist()
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("pr_nano")
+    )
+
+
 def connected_components_twostar(
     pairs: DataFrame,
     src: str = "doc_a",

@@ -358,8 +358,15 @@ def dd2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd3_minhash_lsh_pairs",
-    oracle=f"""
-    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    oracle=None,  # assigned below from the shared chain
+)
+def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_augmented_docs(spark, sf_dir))
+
+
+# The LSH candidate-pair chain, shared by dd3 (emits the pairs) and
+# dd16 (runs PageRank over them).
+_LSH_PAIRS_CHAIN = f"""docs AS ({SQL_AUGMENTED_DOCS}),
     toks AS (
       SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
     ),
@@ -375,15 +382,53 @@ def dd2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, b.band,
              g[b.band*2 + 1] AS k1, g[b.band*2 + 2] AS k2
       FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    )"""
+
+from trello_github_etl_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLES["dd3_minhash_lsh_pairs"] = (
+    "WITH " + _LSH_PAIRS_CHAIN + "\n    SELECT doc_a, doc_b FROM cand_pairs"
+)
+
+
+@query(
+    "dd16_pagerank_dup_graph",
+    oracle="WITH RECURSIVE " + _LSH_PAIRS_CHAIN + """,
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand_pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM cand_pairs
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM edges GROUP BY v),
+    pr AS (
+      SELECT v AS node, CAST(1000000000 AS BIGINT) AS rank, 0 AS it
+      FROM deg
+      UNION ALL
+      SELECT e.u, 150000000 + (85 * SUM(p.rank // d.deg)) // 100, p.it + 1
+      FROM pr p
+      JOIN edges e ON e.v = p.node
+      JOIN deg d ON d.v = p.node
+      WHERE p.it < 10
+      GROUP BY e.u, p.it
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-     AND a.doc_id < b.doc_id
+    SELECT node AS doc_id, rank AS pr_nano FROM pr WHERE it = 10
     """,
 )
-def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_augmented_docs(spark, sf_dir))
+def dd16_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH candidate graph
+    (10 damped rounds on an integer nano-grid — no floats, so the
+    DuckDB recursive CTE replays the exact trajectory): ranks the
+    hub documents of near-dup families, the centrality alternative
+    to min-id exemplar choice and the template-hub signal dd11's
+    triangles approximate locally."""
+    pairs = dedup.minhash_lsh_pairs(_augmented_docs(spark, sf_dir))
+    return dedup.pagerank(pairs)
 
 
 def _simhash_oracle() -> str:
