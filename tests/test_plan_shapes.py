@@ -146,6 +146,12 @@ def test_corpus_shuffle_has_no_single_partition_sort(spark):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(bucket" in plan
     assert "row_number()" in plan
+    # pipe9's curriculum order: same guarantee one level deeper —
+    # the window partitions on the composite (stage, hex-bucket) key
+    plan9 = _plan(_q(spark, "pipe9_curriculum_order"))
+    assert "SinglePartition" not in plan9
+    assert "hashpartitioning(stage" in plan9
+    assert "row_number()" in plan9
 
 
 def test_incremental_dedup_single_fp_exchange_on_probe_path(spark):

@@ -146,6 +146,63 @@ def deterministic_shuffle(
     )
 
 
+def curriculum_order(
+    docs: DataFrame,
+    stage_col: str = "stage",
+    id_col: str = "doc_id",
+    salt: str = "curriculum-0",
+) -> DataFrame:
+    """Curriculum training order: a dense global position ordered by
+    (stage DESC, md5 key) — highest-stage (e.g. highest-quality
+    decile) documents first, deterministically shuffled WITHIN each
+    stage (same epoch-reseed contract as deterministic_shuffle).
+
+    Same no-single-partition-sort construction, one level deeper:
+    the composite (stage, first-hex-byte) key range-buckets the
+    corpus into |stages|×256 balanced cells; per-cell counts (KBs)
+    become a broadcast prefix-sum offset map laid out in
+    stage-descending, bucket-ascending order, and a window ranks
+    within each cell in parallel.  ``stage`` must be a
+    deterministically derived small int (callers clamp; the map
+    key packs stage*256+bucket).
+
+    Returns (doc_id, stage, curriculum_pos), 1-based dense order.
+    """
+    iid = F.col(id_col)
+    key = F.md5(F.concat(F.lit(salt + "|"), iid.cast("string")))
+    keyed = docs.select(
+        iid.alias("doc_id"),
+        F.col(stage_col).cast("int").alias("stage"),
+        key.alias("_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bkt"),
+    ).localCheckpoint(eager=True)
+    counts = {
+        (r["stage"], r["_bkt"]): r["n"]
+        for r in keyed.groupBy("stage", "_bkt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    stages = sorted({s for s, _ in counts}, reverse=True)
+    offsets, acc = {}, 0
+    for s in stages:
+        for b in range(SHUFFLE_BUCKETS):
+            if (s, b) in counts:
+                offsets[s * SHUFFLE_BUCKETS + b] = acc
+                acc += counts[(s, b)]
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for k, v in offsets.items() for x in (k, v)]),
+        F.col("stage") * SHUFFLE_BUCKETS + F.col("_bkt"),
+    )
+    w = Window.partitionBy("stage", "_bkt").orderBy("_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "stage",
+        (offset_col + F.row_number().over(w)).cast("long").alias(
+            "curriculum_pos"
+        ),
+    )
+
+
 def greedy_pack(
     docs: DataFrame,
     budget: int,

@@ -1042,3 +1042,63 @@ def pipe8_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_dup, F.lit("near_dup")),
         ).alias("drop_reasons"),
     )
+
+
+@query(
+    "pipe9_curriculum_order",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk, text FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+        END AS stop_ratio,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+        END / 10.0 AS len_term,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+        END AS punct_ratio
+      FROM toks
+    ),
+    q AS (
+      SELECT doc_id,
+        0.4 * stop_ratio
+        + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
+        + 0.2 * (1.0 - punct_ratio) AS quality
+      FROM parts
+    ),
+    staged AS (
+      SELECT doc_id,
+             least(9, greatest(0, CAST(floor(quality * 10) AS INTEGER)))
+               AS stage,
+             md5('curriculum-0|' || CAST(doc_id AS VARCHAR)) AS k
+      FROM q
+    )
+    SELECT doc_id, stage,
+           ROW_NUMBER() OVER (ORDER BY stage DESC, k, doc_id)
+             AS curriculum_pos
+    FROM staged
+    """,
+)
+def pipe9_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: quality deciles (t3's score, an
+    identical-expression derivation on both engines, so the floor
+    bucketing agrees exactly) descending, deterministically shuffled
+    within each decile — easy/high-quality data first, the curriculum
+    schedule knob of a pretraining run.  The oracle ranks with one
+    global window; the engine computes the identical total order via
+    (stage x hex-byte) composite buckets + broadcast prefix sums
+    (packing.curriculum_order) — no single-partition sort."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    stage = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0),
+            F.floor(textstats.quality_score(F.col("text")) * 10).cast("int"),
+        ),
+    )
+    staged = docs.select("doc_id", stage.alias("stage"))
+    return packing.curriculum_order(staged)
