@@ -457,3 +457,59 @@ def ev3_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
     )
+
+
+@query(
+    "w10_ohlc_buckets",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bucket,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+           CAST(MAX(v) AS DOUBLE) AS high,
+           CAST(MIN(v) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS volume
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def w10_ohlc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick aggregation per event type and hour — the
+    time-series downsampling staple (open/close = first/last by the
+    unique (ts, event_id) order, high/low/volume as plain aggregates).
+    One shuffle on the (type, bucket) key carries both the ordering
+    windows and the final aggregation; values stay decimal(18,2)
+    until the output casts, so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    v = F.col("value").cast("decimal(18,2)")
+    wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "event_type",
+        bucket.alias("bucket"),
+        v.alias("v"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("v"))).cast("double").alias("open"),
+        F.max("v").cast("double").alias("high"),
+        F.min("v").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v"))).cast("double").alias("close"),
+        F.count("*").alias("n_events"),
+        F.sum("v").cast("double").alias("volume"),
+    )
