@@ -904,11 +904,26 @@ def pq_rerank_topk(
     true top-k survive the PQ shortlist — the standard refine trade;
     widen ``shortlist`` to raise recall.
     """
-    from pyspark.sql.window import Window
-
     cand = pq_topk(
         queries, targets, seeds, shortlist, m, k, query_vec, target_vec, cache_key
     ).select("q_id", "vec_id")
+    return _exact_rerank(cand, queries, targets, topk, query_vec, target_vec)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    targets: DataFrame,
+    topk: int,
+    query_vec: str,
+    target_vec: str,
+) -> DataFrame:
+    """Shared refine stage: fetch ONLY the shortlist's float vectors
+    (broadcast Q×shortlist ids against the corpus — the single
+    selective touch of the float store) and re-rank by exact
+    strict-fold cosine."""
+    from pyspark.sql.window import Window
+
     fetched = ensure_parallelism(targets).join(F.broadcast(cand), "vec_id")
     scored = fetched.join(
         F.broadcast(queries), "q_id"
@@ -921,3 +936,33 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= topk)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+def matryoshka_rerank_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    topk: int = 5,
+    shortlist: int = 25,
+    prefix_dim: int = 16,
+    query_vec: str = "q_vec",
+    target_vec: str = "embedding",
+) -> DataFrame:
+    """Two-stage serving on Matryoshka-style embeddings (Kusupati et
+    al. 2022): stage 1 scores cosine on the first ``prefix_dim``
+    coordinates only — with MRL-trained vectors the prefix is itself
+    a valid low-dim embedding, and a columnar store can lay the
+    prefix out separately so the shortlist pass reads prefix_dim/dim
+    of the bytes (4× here) — then stage 2 re-ranks the shortlist
+    with exact full-dimension cosine via the shared refine stage.
+    Same accuracy contract as pq_rerank_topk: exact whenever the
+    true top-k survive the prefix shortlist."""
+    qp = queries.select(
+        "q_id", F.slice(F.col(query_vec), 1, prefix_dim).alias(query_vec)
+    )
+    tp = targets.select(
+        "vec_id", F.slice(F.col(target_vec), 1, prefix_dim).alias(target_vec)
+    )
+    cand = brute_force_topk(qp, tp, shortlist, query_vec, target_vec).select(
+        "q_id", "vec_id"
+    )
+    return _exact_rerank(cand, queries, targets, topk, query_vec, target_vec)

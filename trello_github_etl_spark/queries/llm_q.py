@@ -1883,3 +1883,53 @@ def dd15_semantic_dedup_nlist64(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEMDEDUP_THRESHOLD,
         cache_key=f"ivf64|{sf_dir}",
     )
+
+
+@query(
+    "s14_matryoshka_rerank",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c16 AS (
+      SELECT q.q_id, t.vec_id,
+             {_sql_cosine('list_slice(q.q_vec, 1, 16)',
+                          'list_slice(t.embedding, 1, 16)')} AS cos16
+      FROM embeddings t, q
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos16 DESC, vec_id ASC) AS rk
+      FROM c16
+    ),
+    exact AS (
+      SELECT s.q_id, s.vec_id,
+             {_sql_cosine('t.embedding', 'qq.q_vec')} AS cos
+      FROM shortlist s
+      JOIN embeddings t ON t.vec_id = s.vec_id
+      JOIN q qq ON qq.q_id = s.q_id
+      WHERE s.rk <= 25
+    ),
+    rr AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM exact
+    )
+    SELECT q_id, vec_id, cos, rank FROM rr WHERE rank <= 5
+    """,
+)
+def s14_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: 16-dim prefix cosine shortlist
+    (reads a quarter of the vector bytes when the prefix is laid out
+    columnar), exact 64-dim re-rank of the 25 candidates — the MRL
+    serving pattern alongside s13's PQ variant, both on the shared
+    refine stage.  Oracle replays prefix scoring and refine with the
+    same strict folds."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.matryoshka_rerank_topk(q, emb)
