@@ -38,6 +38,8 @@ DEFAULT_SAMPLE = [
     "cdc_scd2_history",  # state/CDC
     "sql5_recursive_month_spine",  # WITH RECURSIVE front door
     "j7_owner_resolution",  # fuzzy-owner family
+    "pipe9_curriculum_order",  # composite-bucket prefix sums (r4)
+    "s13_pq_rerank_topk",  # codebook collect + broadcast refine (r4)
 ]
 
 
