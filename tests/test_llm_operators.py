@@ -1150,6 +1150,28 @@ def test_samp3_bounds_and_partition_invariance(spark, tmp_path):
     assert out == again
 
 
+def test_simhash_hamming_pairs_find_planted_near_copies(spark):
+    """The Hamming-ball pair stage must (a) recall every planted
+    near-verbatim copy — tiny token-set edits move few signature bits
+    — and (b) respect the ball: no emitted pair above max_hamming,
+    doc_a < doc_b throughout."""
+    from trello_github_etl_spark.queries.llm_q import _augmented_docs
+    from tests.conftest import SF_DIR as _SF
+
+    docs = _augmented_docs(spark, _SF)
+    planted = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in docs.filter(F.col("doc_id") < 100000)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    pairs = dedup.simhash_hamming_pairs(docs, bits=60).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert planted <= got
+    assert all(0 <= r.hamming <= 3 and r.doc_a < r.doc_b for r in pairs)
+
+
 def test_pagerank_star_hub_dominates_and_is_deterministic(spark):
     """On a star graph the hub out-ranks every leaf; leaves tie
     exactly (integer grid — not approximately); floor damping keeps

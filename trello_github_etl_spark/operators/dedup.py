@@ -173,6 +173,72 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming ball (Manku/Jain/
+    Sarma, WWW'07 — Google's web near-dup detector): candidates are
+    docs sharing at least ONE of ``bands`` signature bands (by
+    pigeonhole, Hamming distance ≤ bands−1 guarantees an identical
+    band, so with 4 bands the ≤3 ball has recall 1.0 by
+    construction), verified by exact popcount of the XOR.
+
+    Scale shape = the LSH band pattern on integer keys: one narrow
+    signature pass (dd4), a band equi-join (never all-pairs), DISTINCT
+    over (pair, its ≤4 band hits), and a popcount filter — all
+    integer codegen ops, no HOF folds.  Hot bands (boilerplate
+    signatures) inflate candidates exactly like hot shingles; the
+    same df-cap lever applies if a corpus needs it."""
+    w = bits // bands
+    mask = (1 << w) - 1
+    sig = simhash(docs, text_col, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

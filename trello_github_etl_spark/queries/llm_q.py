@@ -431,19 +431,22 @@ def dd16_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pagerank(pairs)
 
 
-def _simhash_oracle() -> str:
+def _simhash_chain(src: str, bits: int = dedup.SIMHASH_BITS) -> str:
+    """CTE chain ending in sigt(doc_id, simhash), over source ``src``
+    (dd4 signs the plain corpus at 32 bits; dd17 the augmented one at
+    the full 60-bit hash width — 32 bits collides massively on this
+    vocab-uniform corpus, 1890 Hamming-0 pairs at sf0.01)."""
     votes = ",\n      ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(dedup.SIMHASH_BITS)
+        for b in range(bits)
     )
     sig = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
-        for b in range(dedup.SIMHASH_BITS)
+        for b in range(bits)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest(list_distinct({SQL_TOKENS.format(t='text')})) AS tok
-      FROM documents
+      FROM {src}
     ),
     hashed AS (
       SELECT doc_id, TRY_CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS h
@@ -453,14 +456,55 @@ def _simhash_oracle() -> str:
       SELECT doc_id,
       {votes}
       FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, {sig} AS simhash FROM votes
-    """
+    ),
+    sigt AS (SELECT doc_id, {sig} AS simhash FROM votes)"""
 
 
-@query("dd4_simhash", oracle=_simhash_oracle())
+@query(
+    "dd4_simhash",
+    oracle="WITH "
+    + _simhash_chain("documents")
+    + "\n    SELECT doc_id, simhash FROM sigt",
+)
 def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dd17_simhash_hamming_pairs",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    """
+    + _simhash_chain("docs", 60)
+    + """,
+    banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * 15)) & 32767 AS key
+      FROM sigt, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dd17_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (Manku et al., WWW'07 —
+    the Google web-dedup algorithm): 4 15-bit signature bands as
+    candidate keys (pigeonhole ⇒ recall 1.0 inside Hamming ≤ 3),
+    exact popcount verify, at the full 60-bit hash width (the dd4
+    default of 32 bits yields 1890 Hamming-0 collisions on this
+    vocab-uniform corpus — signature width is the precision knob).
+    Pure integer band keys and popcounts — no HOF folds anywhere —
+    so the whole pair stage is codegen'd; complements dd3
+    (MinHash≈Jaccard) with the bit-signature family over the same
+    augmented corpus."""
+    return dedup.simhash_hamming_pairs(_augmented_docs(spark, sf_dir), bits=60)
 
 
 @query(
