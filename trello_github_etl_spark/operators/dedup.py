@@ -179,6 +179,7 @@ def simhash_hamming_pairs(
     bits: int = SIMHASH_BITS,
     max_hamming: int = 3,
     bands: int = 4,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming ball (Manku/Jain/
     Sarma, WWW'07 — Google's web near-dup detector): candidates are
@@ -190,9 +191,18 @@ def simhash_hamming_pairs(
     Scale shape = the LSH band pattern on integer keys: one narrow
     signature pass (dd4), a band equi-join (never all-pairs), DISTINCT
     over (pair, its ≤4 band hits), and a popcount filter — all
-    integer codegen ops, no HOF folds.  Hot bands (boilerplate
-    signatures) inflate candidates exactly like hot shingles; the
-    same df-cap lever applies if a corpus needs it."""
+    integer codegen ops, no HOF folds.
+
+    ``max_band_df`` is the candidate-inflation lever (dd13's df-cap on
+    band keys): a (band, key) bucket with d members contributes
+    O(d²) candidates, and on a self-similar corpus signature buckets
+    concentrate — MEASURED on the vocab-uniform testdata at sf1,
+    the uncapped ≤3-ball holds 41.2M pairs (3% of ALL pairs), which
+    no pair-emitting contract survives.  Capping drops only the
+    candidate generation of hot buckets; a pair straddling a capped
+    bucket can still surface through any of its other bands (planted
+    near-verbatim copies share all 4), the standard recall trade,
+    and it bounds candidates to O(cap·|buckets|)."""
     w = bits // bands
     mask = (1 << w) - 1
     sig = simhash(docs, text_col, bits)
@@ -213,6 +223,14 @@ def simhash_hamming_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_band_df is not None:
+        rare = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_band_df)
+            .select("band", "key")
+        )
+        banded = banded.join(rare, ["band", "key"])
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

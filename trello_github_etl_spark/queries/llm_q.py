@@ -477,10 +477,17 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     + _simhash_chain("docs", 60)
     + """,
-    banded AS (
+    banded0 AS (
       SELECT doc_id, simhash, b.band,
              (simhash >> (b.band * 15)) & 32767 AS key
       FROM sigt, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    rare AS (
+      SELECT band, key FROM banded0 GROUP BY band, key
+      HAVING COUNT(*) <= 20
+    ),
+    banded AS (
+      SELECT b0.* FROM banded0 b0 JOIN rare USING (band, key)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -503,8 +510,14 @@ def dd17_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer band keys and popcounts — no HOF folds anywhere —
     so the whole pair stage is codegen'd; complements dd3
     (MinHash≈Jaccard) with the bit-signature family over the same
-    augmented corpus."""
-    return dedup.simhash_hamming_pairs(_augmented_docs(spark, sf_dir), bits=60)
+    augmented corpus.  Registered WITH the band-df cap engaged
+    (max_band_df=20): uncapped, this corpus's signature buckets
+    concentrate until the ≤3 ball holds 41M pairs at sf1 — the cap
+    is what makes a pair-emitting contract survive scale (see the
+    operator docstring's measured numbers)."""
+    return dedup.simhash_hamming_pairs(
+        _augmented_docs(spark, sf_dir), bits=60, max_band_df=20
+    )
 
 
 @query(
