@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from trello_github_etl_spark.io import load_table
-from trello_github_etl_spark.operators import dedup, multimodal, similarity
+from trello_github_etl_spark.operators import dedup, multimodal, similarity, textstats
 
 
 def test_exact_dup_finds_planted_copies(spark):
@@ -1148,6 +1148,40 @@ def test_samp3_bounds_and_partition_invariance(spark, tmp_path):
     assert any(k == 0 for _, k in out.values())
     again = {r.doc_id: (r.keep_rate, r.kept) for r in q(spark, sf).collect()}
     assert out == again
+
+
+def test_t15_readability_invariants(spark):
+    """Syllables >= tokens (every token contributes >=1); sentences
+    >= 1 always; flesch NULL iff tokenless; punctuation-only and
+    empty docs behave."""
+    import os
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "The quick brown fox. It jumps!", "en", "web"),
+        (2, "", "en", "web"),
+        (3, "?!... ---", "en", "web"),
+        (4, "one two three four five", "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.sentence_count(F.col("text")).alias("n_sentences"),
+        textstats.syllable_count(F.col("text")).alias("n_syllables"),
+        textstats.flesch_reading_ease(F.col("text")).alias("flesch"),
+    ).collect()}
+    for r in out.values():
+        assert r.n_sentences >= 1
+        assert r.n_syllables >= r.n_tokens
+        assert (r.flesch is None) == (r.n_tokens == 0)
+    assert out[1].n_sentences == 2
+    assert out[2].n_tokens == 0 and out[2].flesch is None
+    assert out[3].n_tokens == 0
+    assert out[4].n_sentences == 1  # unterminated floor
 
 
 def test_simhash_hamming_pairs_find_planted_near_copies(spark):
