@@ -1361,3 +1361,30 @@ def test_pq_topk_ranks_self_first(spark):
         best = min(r.approx_d2 for r in rows)
         self_rows = [r for r in rows if r.vec_id == q_id]
         assert self_rows and self_rows[0].approx_d2 == best
+
+
+def test_image_ahash_locality_and_exact_collision(spark):
+    """Exact payload copies hash identically (Hamming 0); a
+    length-preserving single-char edit moves only its slice's cell
+    (plus any borderline mean flips) — Hamming small; a different
+    payload lands far."""
+    from trello_github_etl_spark.operators.multimodal import image_ahash
+
+    base = ("word%04d " % 0) * 0 + " ".join(f"w{i:04d}" for i in range(60))
+    edited = base[:150] + ("X" if base[150] != "X" else "Y") + base[151:]
+    other = " ".join(f"z{i:04d}" for i in range(60, 120))
+    media = spark.createDataFrame(
+        [(1, base.encode()), (2, base.encode()), (3, edited.encode()),
+         (4, other.encode())],
+        "media_id long, payload binary",
+    )
+    fp = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 60) - 1)).count("1")
+
+    assert fp[1] == fp[2]
+    # one slice changed: at most that bit plus borderline mean flips
+    # (zero when the new cell value stays on the same side of the mean)
+    assert ham(fp[1], fp[3]) <= 8
+    assert ham(fp[1], fp[4]) > 8

@@ -203,18 +203,37 @@ def simhash_hamming_pairs(
     bucket can still surface through any of its other bands (planted
     near-verbatim copies share all 4), the standard recall trade,
     and it bounds candidates to O(cap·|buckets|)."""
+    sig = simhash(docs, text_col, bits)
+    return hamming_pairs(
+        sig, "simhash", bits, "doc_id", max_hamming, bands, max_band_df
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    bits: int,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Generic Hamming-ball pairing over any integer signature column
+    (text SimHash dd17, image aHash mm5): band equi-join candidates,
+    exact popcount verify, optional band-key df-cap (SCALE.md lesson
+    27 — a pair operator ships with its inflation lever)."""
     w = bits // bands
     mask = (1 << w) - 1
-    sig = simhash(docs, text_col, bits)
+    sig = sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("_sig"))
     banded = sig.select(
         "doc_id",
-        "simhash",
+        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * w)
+                        F.shiftright(F.col("_sig"), b * w)
                         .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
@@ -222,7 +241,7 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_band_df is not None:
         rare = (
             banded.groupBy("band", "key")
@@ -242,8 +261,8 @@ def simhash_hamming_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
         )
         .distinct()
     )

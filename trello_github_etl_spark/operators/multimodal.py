@@ -188,6 +188,53 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     return media.mapInPandas(decode_batches, FEATURES_SCHEMA)
 
 
+AHASH_CELLS = 60  # fingerprint bits; 60 keeps Σ2^b inside BIGINT
+
+
+def image_ahash(media: DataFrame, cells: int = AHASH_CELLS) -> DataFrame:
+    """Average-hash perceptual fingerprint per image: decode to a
+    ``cells``-cell brightness grid, bit b = cell_b brighter than the
+    grid mean, fingerprint = Σ 2^b — the aHash near-dup detector of
+    an image-dedup pipeline (pair it with dedup.hamming_pairs).
+
+    The fake decode is LOCALITY-SENSITIVE by construction: cell b's
+    brightness is md5 of the b-th equal slice of the payload, so
+    images (payloads) differing in one region differ in few cells
+    and land Hamming-close — the property a real pixel-grid decode
+    has and a whole-payload md5 (the mm1 feature path) deliberately
+    destroys.  The brighter-than-mean test is the exact integer
+    cross-multiply cell*cells > Σcells — no division, so the SQL
+    oracle replays every bit.  Real-codec path: decode pixels (PPM
+    via _real_decode_one's parser), average-pool to the grid —
+    same downstream contract, gated like every real codec here.
+    """
+
+    def ahash_one(media_id: int, payload: bytes) -> tuple:
+        p = payload if payload is not None else b""
+        n = len(p)
+        vals = []
+        for b in range(cells):
+            lo, hi = (b * n) // cells, ((b + 1) * n) // cells
+            h = hashlib.md5(p[lo:hi]).hexdigest()
+            vals.append(int(h[:8], 16))
+        total = sum(vals)
+        fp = 0
+        for b, v in enumerate(vals):
+            if v * cells > total:
+                fp |= 1 << b
+        return media_id, fp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                ahash_one(m, p)
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(batches, "media_id long, ahash long")
+
+
 def frame_sample_plan(features: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame index.
 

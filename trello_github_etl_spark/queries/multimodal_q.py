@@ -17,6 +17,7 @@ from trello_github_etl_spark.operators.multimodal import (
     frame_sample_plan,
     resize_spec,
 )
+from trello_github_etl_spark.queries.llm_q import SQL_AUGMENTED_DOCS
 from trello_github_etl_spark.registry import query
 
 SQL_MEDIA = """
@@ -141,4 +142,87 @@ def mm4_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return segment_audio(_media_table(spark, sf_dir)).orderBy(
         "media_id", "seg_idx"
+    )
+
+
+AHASH = 60
+
+
+def _ahash_cell_sql(b: int) -> str:
+    lo = f"({b} * length(text)) // {AHASH}"
+    hi = f"({b + 1} * length(text)) // {AHASH}"
+    return (
+        f"CAST(TRY_CAST('0x' || substr(md5(substr(text, {lo} + 1, {hi} - {lo})),"
+        f" 1, 8) AS UBIGINT) AS BIGINT)"
+    )
+
+
+_AHASH_CELLS_SQL = ", ".join(_ahash_cell_sql(b) for b in range(AHASH))
+_AHASH_FP_SQL = " + ".join(
+    f"(CASE WHEN c[{b + 1}] * {AHASH} > tot THEN CAST({2 ** b} AS BIGINT)"
+    " ELSE 0 END)"
+    for b in range(AHASH)
+)
+
+
+@query(
+    "mm5_image_ahash_pairs",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    cells AS (
+      SELECT doc_id AS media_id, [{_AHASH_CELLS_SQL}] AS c FROM docs
+    ),
+    fps AS (
+      SELECT media_id, list_sum(c) AS tot, c FROM cells
+    ),
+    sigs AS (
+      SELECT media_id, {_AHASH_FP_SQL} AS ahash FROM fps
+    ),
+    banded0 AS (
+      SELECT media_id, ahash, b.band,
+             (ahash >> (b.band * 15)) & 32767 AS key
+      FROM sigs, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    rare AS (
+      SELECT band, key FROM banded0 GROUP BY band, key
+      HAVING COUNT(*) <= 20
+    ),
+    banded AS (SELECT b0.* FROM banded0 b0 JOIN rare USING (band, key)),
+    cand AS (
+      SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+             a.ahash AS sa, b.ahash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def mm5_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash fingerprints from
+    the locality-sensitive fake decode (multimodal.image_ahash — cell
+    brightness per payload slice, brighter-than-mean bits) paired by
+    dedup.hamming_pairs (4x15-bit bands, popcount <= 3, band-df cap
+    20 per SCALE.md lesson 27).  The image-dedup stage of a
+    multimodal pipeline: exact payload copies collide on every band
+    (Hamming 0), and LENGTH-PRESERVING edits move only the touched
+    slices (property-tested).  Honest divergence from a real pixel
+    decode: a length-CHANGING edit shifts every slice boundary and
+    scrambles the grid (the +200000 suffix near-copies do NOT pair),
+    whereas real aHash average-pools a resized pixel grid and
+    absorbs such shifts — the pairing contract downstream of the
+    decode is what this query exercises.  Corpus = the augmented
+    doc payloads as an image store."""
+    from trello_github_etl_spark.operators import dedup as _dedup
+    from trello_github_etl_spark.operators.multimodal import image_ahash
+    from trello_github_etl_spark.queries.llm_q import _augmented_docs
+
+    media = _augmented_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    fps = image_ahash(media)
+    return _dedup.hamming_pairs(
+        fps, "ahash", 60, id_col="media_id", max_band_df=20
     )
