@@ -81,3 +81,116 @@ def prof1_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "dq1_expectations",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_orderkey) AS nn_key,
+             COUNT(DISTINCT o_orderkey) AS d_key,
+             COUNT(o_custkey) AS nn_cust,
+             SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS pos_price,
+             SUM(CASE WHEN o_orderdate >= DATE '1992-01-01'
+                       AND o_orderdate < DATE '1999-01-01'
+                      THEN 1 ELSE 0 END) AS in_range_date,
+             SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+               AS valid_status
+      FROM orders
+    ),
+    orphans AS (
+      SELECT COUNT(*) AS n_orphans
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT c.constraint, c.metric, c.threshold,
+           c.metric >= c.threshold AS pass
+    FROM (
+      SELECT 'orderkey_not_null' AS constraint,
+             CAST(nn_key AS DOUBLE) / n AS metric, 1.0 AS threshold FROM m
+      UNION ALL
+      SELECT 'orderkey_unique', CAST(d_key AS DOUBLE) / nn_key, 1.0 FROM m
+      UNION ALL
+      SELECT 'custkey_not_null', CAST(nn_cust AS DOUBLE) / n, 1.0 FROM m
+      UNION ALL
+      SELECT 'price_positive', CAST(pos_price AS DOUBLE) / n, 1.0 FROM m
+      UNION ALL
+      SELECT 'orderdate_in_range', CAST(in_range_date AS DOUBLE) / n, 1.0 FROM m
+      UNION ALL
+      SELECT 'status_in_domain', CAST(valid_status AS DOUBLE) / n, 1.0 FROM m
+      UNION ALL
+      SELECT 'custkey_references_customer',
+             1.0 - CAST(n_orphans AS DOUBLE) / (SELECT n FROM m), 1.0
+      FROM orphans
+    ) c
+    """,
+)
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ /
+    Great-Expectations operator shape): completeness, uniqueness,
+    domain, range, and referential-integrity constraints over
+    ``orders``, each reported as (constraint, metric, threshold,
+    pass).  Scale shape: every scan-local constraint folds into ONE
+    conditional-aggregate pass (a 1-row frame), and the single
+    cross-table constraint is one anti-join count — at 100 TB the
+    suite costs one corpus scan plus one RI join, not one job per
+    constraint (Deequ's own batching insight).  Ratios are exact
+    integer counts with one IEEE division each, replayed by the
+    oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    m = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("d_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.sum((F.col("o_totalprice") > 0).cast("bigint")).alias("pos_price"),
+        F.sum(
+            (
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+            ).cast("bigint")
+        ).alias("in_range_date"),
+        F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("bigint")
+        ).alias("valid_status"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    row = m.crossJoin(F.broadcast(orphans))
+
+    def metric(name: str, expr) -> DataFrame:
+        return row.select(
+            F.lit(name).alias("constraint"),
+            expr.alias("metric"),
+            F.lit(1.0).alias("threshold"),
+        )
+
+    n = F.col("n").cast("double")
+    parts = [
+        metric("orderkey_not_null", F.col("nn_key").cast("double") / n),
+        metric(
+            "orderkey_unique",
+            F.col("d_key").cast("double") / F.col("nn_key").cast("double"),
+        ),
+        metric("custkey_not_null", F.col("nn_cust").cast("double") / n),
+        metric("price_positive", F.col("pos_price").cast("double") / n),
+        metric("orderdate_in_range", F.col("in_range_date").cast("double") / n),
+        metric("status_in_domain", F.col("valid_status").cast("double") / n),
+        metric(
+            "custkey_references_customer",
+            F.lit(1.0) - F.col("n_orphans").cast("double") / n,
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "constraint",
+        "metric",
+        "threshold",
+        (F.col("metric") >= F.col("threshold")).alias("pass"),
+    )
