@@ -95,6 +95,10 @@ HEADLINE = [
     # round-4 additions
     "dd15_semantic_dedup_nlist64",
     "s13_pq_rerank_topk",
+    "dd17_simhash_hamming_pairs",
+    "pipe9_curriculum_order",
+    "mm5_image_ahash_pairs",
+    "dq1_expectations",
 ]
 
 
