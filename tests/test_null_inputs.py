@@ -100,3 +100,31 @@ def test_round2_ops_on_null_text_and_ids(spark):
     assert set(ratios) == {1, 2, 3}
     assert ratios[1] is not None
     assert ratios[2] is None and ratios[3] is None
+
+
+def test_round4_text_ops_on_null_text(spark):
+    """t15 readability and simhash Hamming pairing on NULL/empty
+    text: null-propagate or contribute nothing, never raise."""
+    from trello_github_etl_spark.operators import dedup, textstats
+
+    docs = _docs(
+        spark,
+        [(1, "the quick brown fox. it jumps!", "en"), (2, None, "en"),
+         (3, "", "en")],
+    )
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            textstats.sentence_count(F.col("text")).alias("s"),
+            textstats.syllable_count(F.col("text")).alias("sy"),
+            textstats.flesch_reading_ease(F.col("text")).alias("fl"),
+        ).collect()
+    }
+    assert rows[1].s == 2 and rows[1].sy >= rows[1].s
+    assert rows[2].sy is None and rows[2].fl is None
+    assert rows[3].sy == 0 and rows[3].fl is None
+    # null text drops out of the signature stream entirely: no pair
+    # can involve doc 2, and the call never raises
+    pairs = dedup.simhash_hamming_pairs(docs, bits=60).collect()
+    assert all(2 not in (r.doc_a, r.doc_b) for r in pairs)
