@@ -1388,3 +1388,26 @@ def test_image_ahash_locality_and_exact_collision(spark):
     # (zero when the new cell value stays on the same side of the mean)
     assert ham(fp[1], fp[3]) <= 8
     assert ham(fp[1], fp[4]) > 8
+
+
+def test_components_auto_matches_iterative_on_both_paths(spark):
+    """The small-graph union-find shortcut must produce byte-identical
+    labels to the iterative operator — exercised on BOTH sides of the
+    cutoff with the same graph."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (5, 99), (99, 4)],
+        "doc_a long, doc_b long",
+    )
+    expected = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    small = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_auto(pairs).collect()
+    }
+    forced_iter = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_auto(pairs, small_edges=0).collect()
+    }
+    assert small == expected == forced_iter
