@@ -219,9 +219,19 @@ def hamming_pairs(
     max_band_df: int | None = None,
 ) -> DataFrame:
     """Generic Hamming-ball pairing over any integer signature column
-    (text SimHash dd17, image aHash mm5): band equi-join candidates,
-    exact popcount verify, optional band-key df-cap (SCALE.md lesson
-    27 — a pair operator ships with its inflation lever)."""
+    (text SimHash dd17, image aHash mm5): banded candidates, exact
+    popcount verify, optional band-key df-cap (SCALE.md lesson 27 —
+    a pair operator ships with its inflation lever).
+
+    Candidate generation is the GROUPED-ARRAY shape (lesson 23), not
+    a self-join: a band self-join evaluates the whole signature
+    subtree on BOTH sort-merge sides (measured at sf0.1: the 60-vote
+    signature pass alone is 2.7 s and the self-join paid it twice),
+    while grouping computes signatures once, shuffles once on the
+    band key, and expands pairs with JVM array transforms.  The
+    df-cap collapses to a filter on the group-array length — no
+    second aggregation, and the O(d²) blowup is visible as array
+    size before it happens."""
     w = bits // bands
     mask = (1 << w) - 1
     sig = sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("_sig"))
@@ -242,28 +252,35 @@ def hamming_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ds = F.col("ds")
+    grouped = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "_sig"))
+            ).alias("ds")
+        )
+        .filter(F.size(ds) > 1)
+    )
     if max_band_df is not None:
-        rare = (
-            banded.groupBy("band", "key")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_band_df)
-            .select("band", "key")
+        grouped = grouped.filter(F.size(ds) <= max_band_df)
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["_sig"].alias("sig_a"),
+                    y["_sig"].alias("sig_b"),
+                ),
+            ),
         )
-        banded = banded.join(rare, ["band", "key"])
-    a, b_ = banded.alias("a"), banded.alias("b")
+    )
     cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
-        )
+        exploded(grouped, [], pair_structs, "p")
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )
     ham = F.bit_count(
