@@ -157,18 +157,19 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         F.array_distinct(tokens(F.col(text_col))),
         "tok",
     ).withColumn("h", _token_hash60(F.col("tok")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # bit b's ±1 vote sum v_b equals 2·(set-bit count) − n, so the
+    # sign test v_b > 0 is 2·cnt_b > n — plain bit-extract sums plus
+    # one COUNT instead of `bits` CASE expressions in the aggregate.
+    counts = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1)).alias(f"c{b}")
         for b in range(bits)
     ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("_n"), *counts)
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            F.lit(2) * F.col(f"c{b}") > F.col("_n"), F.lit(2 ** b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         sig = term if sig is None else sig + term
     return agg.select("doc_id", sig.alias("simhash"))
 
