@@ -148,7 +148,9 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        # [min, max, n]: n records the ACTUAL sample count (sub-second
+        # queries take extra runs), not the configured n_runs
+        spread[name] = [round(min(runs), 3), round(max(runs), 3), len(runs)]
         print(
             f"# {name}: median {timings[name]}s "
             f"(min {spread[name][0]}, max {spread[name][1]}, n={len(runs)})",
@@ -160,15 +162,19 @@ def main() -> None:
     # JSON line (the driver tail-captures stdout; keep that line small).
     detail = {"spread": spread, "runs": n_runs}
     print(f"# spread: {json.dumps(detail)}", file=sys.stderr)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_spread.json"),
-            "w",
-        ) as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: stderr copy above still has it
+    # Only a FULL headline run may overwrite the sibling artifact — a
+    # SPARK_GRAFT_BENCH_QUERIES subset run would silently clobber it
+    # with partial data.
+    if names_env is None:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_spread.json"),
+                "w",
+            ) as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: stderr copy above still has it
     print(
         json.dumps(
             {

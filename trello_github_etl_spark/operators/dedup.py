@@ -33,6 +33,13 @@ from trello_github_etl_spark.operators.textstats import (
 NUM_MINHASHES = 8
 LSH_BANDS = 4  # 2 rows per band
 SIMHASH_BITS = 32
+# Hamming-ball pairing defaults shared by the dd17/mm5 queries AND
+# their oracle SQL builders (single source — ADVICE r3's PQ_DSUB
+# lesson): signature width, band count, candidate df-cap.
+HAMMING_SIG_BITS = 60
+HAMMING_BANDS = 4
+HAMMING_BAND_DF = 20
+HAMMING_MAX_DIST = 3
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -233,6 +240,18 @@ def hamming_pairs(
     df-cap collapses to a filter on the group-array length — no
     second aggregation, and the O(d²) blowup is visible as array
     size before it happens."""
+    if bits % bands != 0:
+        # a remainder would leave the top bits in NO band key: two
+        # sigs differing only there would never become candidates —
+        # silent recall loss, not a tunable (r4 code review)
+        raise ValueError(f"bits={bits} must be divisible by bands={bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} > bands-1={bands - 1}: the "
+            "pigeonhole guarantee only covers distances < bands; use "
+            "more bands (or accept <1 recall explicitly by raising "
+            "bands and keeping the ball)"
+        )
     w = bits // bands
     mask = (1 << w) - 1
     sig = sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("_sig"))
@@ -521,9 +540,18 @@ def connected_components_auto(
                 parent[hi] = lo
         nodes = {x for r in rows for x in (r.u, r.v)}
         out = [(n, find(n)) for n in sorted(nodes)]
-        return pairs.sparkSession.createDataFrame(
-            out, "doc_id long, cluster_id long"
+        # schema follows the EDGE id type (string ids etc. must not
+        # flip behavior across the size cutoff — r4 code review)
+        from pyspark.sql import types as _T
+
+        id_type = e.schema["u"].dataType
+        schema = _T.StructType(
+            [
+                _T.StructField("doc_id", id_type),
+                _T.StructField("cluster_id", id_type),
+            ]
         )
+        return pairs.sparkSession.createDataFrame(out, schema)
     return connected_components(e, "u", "v", checkpoint_dir=checkpoint_dir)
 
 

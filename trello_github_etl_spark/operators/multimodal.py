@@ -209,13 +209,23 @@ def image_ahash(media: DataFrame, cells: int = AHASH_CELLS) -> DataFrame:
     same downstream contract, gated like every real codec here.
     """
 
-    def ahash_one(media_id: int, payload: bytes) -> tuple:
+    def ahash_one(media_id: int, payload) -> tuple:
+        # bytes payloads (real images) slice BYTES; str payloads (the
+        # text-as-image oracle fixture) slice CHARACTERS and hash the
+        # slice's utf-8 encoding — exactly what DuckDB's
+        # md5(substr(text, ...)) computes, so the oracle stays
+        # bit-exact even for multibyte text (a byte-sliced utf-8
+        # payload would disagree with any VARCHAR-domain oracle the
+        # moment a non-ASCII char lands on a boundary).
         p = payload if payload is not None else b""
         n = len(p)
         vals = []
         for b in range(cells):
             lo, hi = (b * n) // cells, ((b + 1) * n) // cells
-            h = hashlib.md5(p[lo:hi]).hexdigest()
+            chunk = p[lo:hi]
+            if isinstance(chunk, str):
+                chunk = chunk.encode("utf-8")
+            h = hashlib.md5(chunk).hexdigest()
             vals.append(int(h[:8], 16))
         total = sum(vals)
         fp = 0

@@ -89,6 +89,67 @@ def concat_chunk_packing(
 SHUFFLE_BUCKETS = 256  # first hex byte of the key; order-preserving
 
 
+def _salted_bucket_rank(docs, id_col, salt, stage_col=None):
+    """Shared core of deterministic_shuffle / curriculum_order: salted
+    md5 key, first-hex-byte range buckets (optionally nested under a
+    stage level), one materialization, driver prefix-sum offsets laid
+    out in (stage DESC,) bucket ASC order, per-cell window rank.
+    Returns (keyed_frame, global_position_column)."""
+    iid = F.col(id_col)
+    key = F.md5(F.concat(F.lit(salt + "|"), iid.cast("string")))
+    cols = [iid.alias("doc_id")]
+    if stage_col is not None:
+        cols.append(F.col(stage_col).cast("int").alias("stage"))
+    cols += [
+        key.alias("_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("bucket"),
+    ]
+    keyed = docs.select(*cols).localCheckpoint(eager=True)
+    # ^ materialized once: the counts collect below AND the ranking
+    # pass both probe this frame — without the checkpoint each would
+    # re-scan the corpus and recompute every md5 key (2x the work at
+    # any scale; on a cluster, persist() instead)
+    group = (["stage"] if stage_col is not None else []) + ["bucket"]
+    counts = {
+        tuple(r[c] for c in group): r["n"]
+        for r in keyed.groupBy(*group).agg(F.count("*").alias("n")).collect()
+    }
+    if stage_col is not None and any(k[0] is None for k in counts):
+        raise ValueError(
+            "curriculum_order: NULL stage values — clamp or filter "
+            "the stage column before ordering (pipe9 uses "
+            "least/greatest bounds)"
+        )
+    stages = (
+        sorted({k[0] for k in counts}, reverse=True)
+        if stage_col is not None
+        else [None]
+    )
+    offsets, acc = {}, 0
+    for s in stages:
+        for b in range(SHUFFLE_BUCKETS):
+            kk = (s, b) if stage_col is not None else (b,)
+            mapkey = s * SHUFFLE_BUCKETS + b if stage_col is not None else b
+            offsets[mapkey] = acc
+            acc += counts.get(kk, 0)
+    if offsets:
+        lookup = (
+            F.col("stage") * SHUFFLE_BUCKETS + F.col("bucket")
+            if stage_col is not None
+            else F.col("bucket")
+        )
+        offset_col = F.element_at(
+            F.create_map(
+                *[F.lit(x) for k, v in offsets.items() for x in (k, v)]
+            ),
+            lookup,
+        )
+    else:  # empty input (no observed stages): position map degenerates
+        offset_col = F.lit(0)
+    w = Window.partitionBy(*group).orderBy("_key", "doc_id")
+    return keyed, (offset_col + F.row_number().over(w)).cast("long")
+
+
 def deterministic_shuffle(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -100,50 +161,20 @@ def deterministic_shuffle(
 
     Rank = position in the ordering by ``md5(salt || id)``. A naive
     ``row_number() OVER (ORDER BY key)`` collapses to ONE partition —
-    the classic global-sort bottleneck — so this computes the same
-    rank in two parallel phases: (1) the first hex byte of the key
-    range-buckets the corpus (md5-uniform → balanced); per-bucket
-    counts (≤ 256 rows, KBs) come to the driver and become a
-    broadcast prefix-sum offset map, then (2) a window ranks WITHIN
-    each bucket in parallel and adds the bucket's offset. Changing
-    ``salt`` reshuffles (epoch reseeding) without touching the data.
+    the classic global-sort bottleneck — so _salted_bucket_rank
+    computes the same rank in two parallel phases: (1) the first hex
+    byte of the key range-buckets the corpus (md5-uniform →
+    balanced); per-bucket counts (≤ 256 rows, KBs) come to the
+    driver and become a broadcast prefix-sum offset map, then (2) a
+    window ranks WITHIN each bucket in parallel and adds the
+    bucket's offset. Changing ``salt`` reshuffles (epoch reseeding)
+    without touching the data.
 
     Returns (doc_id, bucket, shuffle_pos) with shuffle_pos a dense
     1-based total order.
     """
-    iid = F.col(id_col)
-    key = F.md5(F.concat(F.lit(salt + "|"), iid.cast("string")))
-    keyed = docs.select(
-        iid.alias("doc_id"),
-        key.alias("_key"),
-        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("bucket"),
-    ).localCheckpoint(eager=True)
-    # ^ materialized once: the counts collect below AND the ranking
-    # pass both probe this frame — without the checkpoint each would
-    # re-scan the corpus and recompute every md5 key (2x the work at
-    # any scale; on a cluster, persist() instead)
-    counts = {
-        r["bucket"]: r["n"]
-        for r in keyed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in range(SHUFFLE_BUCKETS):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    offset_col = F.element_at(
-        F.create_map(
-            *[F.lit(x) for b in offsets for x in (b, offsets[b])]
-        ),
-        F.col("bucket"),
-    )
-    w = Window.partitionBy("bucket").orderBy("_key", "doc_id")
-    return keyed.select(
-        "doc_id",
-        "bucket",
-        (offset_col + F.row_number().over(w)).cast("long").alias(
-            "shuffle_pos"
-        ),
-    )
+    keyed, pos = _salted_bucket_rank(docs, id_col, salt)
+    return keyed.select("doc_id", "bucket", pos.alias("shuffle_pos"))
 
 
 def curriculum_order(
@@ -155,52 +186,16 @@ def curriculum_order(
     """Curriculum training order: a dense global position ordered by
     (stage DESC, md5 key) — highest-stage (e.g. highest-quality
     decile) documents first, deterministically shuffled WITHIN each
-    stage (same epoch-reseed contract as deterministic_shuffle).
-
-    Same no-single-partition-sort construction, one level deeper:
-    the composite (stage, first-hex-byte) key range-buckets the
-    corpus into |stages|×256 balanced cells; per-cell counts (KBs)
-    become a broadcast prefix-sum offset map laid out in
-    stage-descending, bucket-ascending order, and a window ranks
-    within each cell in parallel.  ``stage`` must be a
-    deterministically derived small int (callers clamp; the map
-    key packs stage*256+bucket).
+    stage (same epoch-reseed contract as deterministic_shuffle, same
+    _salted_bucket_rank core one stage level deeper: |stages|×256
+    cells, offsets laid out stage-descending).  ``stage`` must be a
+    deterministically derived small non-null int (callers clamp; the
+    offset-map key packs stage*256+bucket).
 
     Returns (doc_id, stage, curriculum_pos), 1-based dense order.
     """
-    iid = F.col(id_col)
-    key = F.md5(F.concat(F.lit(salt + "|"), iid.cast("string")))
-    keyed = docs.select(
-        iid.alias("doc_id"),
-        F.col(stage_col).cast("int").alias("stage"),
-        key.alias("_key"),
-        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bkt"),
-    ).localCheckpoint(eager=True)
-    counts = {
-        (r["stage"], r["_bkt"]): r["n"]
-        for r in keyed.groupBy("stage", "_bkt")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    stages = sorted({s for s, _ in counts}, reverse=True)
-    offsets, acc = {}, 0
-    for s in stages:
-        for b in range(SHUFFLE_BUCKETS):
-            if (s, b) in counts:
-                offsets[s * SHUFFLE_BUCKETS + b] = acc
-                acc += counts[(s, b)]
-    offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for k, v in offsets.items() for x in (k, v)]),
-        F.col("stage") * SHUFFLE_BUCKETS + F.col("_bkt"),
-    )
-    w = Window.partitionBy("stage", "_bkt").orderBy("_key", "doc_id")
-    return keyed.select(
-        "doc_id",
-        "stage",
-        (offset_col + F.row_number().over(w)).cast("long").alias(
-            "curriculum_pos"
-        ),
-    )
+    keyed, pos = _salted_bucket_rank(docs, id_col, salt, stage_col)
+    return keyed.select("doc_id", "stage", pos.alias("curriculum_pos"))
 
 
 def greedy_pack(

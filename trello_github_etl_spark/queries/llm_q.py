@@ -470,35 +470,46 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "dd17_simhash_hamming_pairs",
-    oracle=f"""
-    WITH docs AS ({SQL_AUGMENTED_DOCS}),
-    """
-    + _simhash_chain("docs", 60)
-    + """,
+def _sql_hamming_tail(src: str, id_col: str, sig_col: str) -> str:
+    """Banding + df-cap + popcount tail shared by every Hamming-ball
+    oracle (dd17 SimHash, mm5 aHash) — parameters come from the SAME
+    dedup-module constants the engine defaults use, so tuning the
+    operator cannot silently desync an oracle."""
+    w = dedup.HAMMING_SIG_BITS // dedup.HAMMING_BANDS
+    mask = (1 << w) - 1
+    vals = ", ".join(f"({b})" for b in range(dedup.HAMMING_BANDS))
+    return f""",
     banded0 AS (
-      SELECT doc_id, simhash, b.band,
-             (simhash >> (b.band * 15)) & 32767 AS key
-      FROM sigt, (VALUES (0), (1), (2), (3)) b(band)
+      SELECT {id_col}, {sig_col} AS _sig, b.band,
+             ({sig_col} >> (b.band * {w})) & {mask} AS key
+      FROM {src}, (VALUES {vals}) b(band)
     ),
     rare AS (
       SELECT band, key FROM banded0 GROUP BY band, key
-      HAVING COUNT(*) <= 20
+      HAVING COUNT(*) <= {dedup.HAMMING_BAND_DF}
     ),
     banded AS (
       SELECT b0.* FROM banded0 b0 JOIN rare USING (band, key)
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sa, b.simhash AS sb
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+             a._sig AS sa, b._sig AS sb
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.key = b.key AND a.{id_col} < b.{id_col}
     )
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-    """,
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {dedup.HAMMING_MAX_DIST}
+    """
+
+
+@query(
+    "dd17_simhash_hamming_pairs",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    """
+    + _simhash_chain("docs", dedup.HAMMING_SIG_BITS)
+    + _sql_hamming_tail("sigt", "doc_id", "simhash"),
 )
 def dd17_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (Manku et al., WWW'07 —
@@ -516,7 +527,9 @@ def dd17_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes a pair-emitting contract survive scale (see the
     operator docstring's measured numbers)."""
     return dedup.simhash_hamming_pairs(
-        _augmented_docs(spark, sf_dir), bits=60, max_band_df=20
+        _augmented_docs(spark, sf_dir),
+        bits=dedup.HAMMING_SIG_BITS,
+        max_band_df=dedup.HAMMING_BAND_DF,
     )
 
 

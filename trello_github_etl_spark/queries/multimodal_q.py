@@ -17,7 +17,11 @@ from trello_github_etl_spark.operators.multimodal import (
     frame_sample_plan,
     resize_spec,
 )
-from trello_github_etl_spark.queries.llm_q import SQL_AUGMENTED_DOCS
+from trello_github_etl_spark.operators import dedup as _dedup_mod
+from trello_github_etl_spark.queries.llm_q import (
+    SQL_AUGMENTED_DOCS,
+    _sql_hamming_tail,
+)
 from trello_github_etl_spark.registry import query
 
 SQL_MEDIA = """
@@ -145,7 +149,13 @@ def mm4_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-AHASH = 60
+# cells == fingerprint bits == pairing signature width: all three
+# must agree, so the oracle derives from the operator constants
+from trello_github_etl_spark.operators.multimodal import AHASH_CELLS as AHASH
+
+assert AHASH == _dedup_mod.HAMMING_SIG_BITS, (
+    "aHash cell count must equal the Hamming pairing signature width"
+)
 
 
 def _ahash_cell_sql(b: int) -> str:
@@ -177,26 +187,8 @@ _AHASH_FP_SQL = " + ".join(
     ),
     sigs AS (
       SELECT media_id, {_AHASH_FP_SQL} AS ahash FROM fps
-    ),
-    banded0 AS (
-      SELECT media_id, ahash, b.band,
-             (ahash >> (b.band * 15)) & 32767 AS key
-      FROM sigs, (VALUES (0), (1), (2), (3)) b(band)
-    ),
-    rare AS (
-      SELECT band, key FROM banded0 GROUP BY band, key
-      HAVING COUNT(*) <= 20
-    ),
-    banded AS (SELECT b0.* FROM banded0 b0 JOIN rare USING (band, key)),
-    cand AS (
-      SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
-             a.ahash AS sa, b.ahash AS sb
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
     )
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    {_sql_hamming_tail("sigs", "media_id", "ahash")}
     """,
 )
 def mm5_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,11 +210,20 @@ def mm5_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trello_github_etl_spark.operators.multimodal import image_ahash
     from trello_github_etl_spark.queries.llm_q import _augmented_docs
 
+    # payload stays a STRING here: image_ahash slices str payloads by
+    # characters and hashes the utf-8 encoding of each slice, which is
+    # exactly DuckDB's md5(substr(text, ...)) — byte-slicing an
+    # encoded utf-8 payload would silently break oracle parity on the
+    # first multibyte char (r4 code review).
     media = _augmented_docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.col("text").alias("payload"),
     )
     fps = image_ahash(media)
     return _dedup.hamming_pairs(
-        fps, "ahash", 60, id_col="media_id", max_band_df=20
+        fps,
+        "ahash",
+        _dedup_mod.HAMMING_SIG_BITS,
+        id_col="media_id",
+        max_band_df=_dedup_mod.HAMMING_BAND_DF,
     )

@@ -288,14 +288,16 @@ def samp4_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate compares like-for-like at any data size."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
-    numer = F.lit(SAMP4_MARGIN * SAMP4_K * SAMP4_MOD)
+    # DIV keeps the ceil-division in exact BIGINT like the oracle's
+    # `//` — bigint `/` in Spark is a double division whose truncating
+    # cast could cross an integer boundary if the constants ever grow
+    # past 2^53 (r4 code review).
+    numer = SAMP4_MARGIN * SAMP4_K * SAMP4_MOD
     thr = counts.select(
         "source",
         F.least(
-            F.lit(SAMP4_MOD),
-            ((numer + F.col("n_source") - F.lit(1)) / F.col("n_source")).cast(
-                "bigint"
-            ),
+            F.lit(SAMP4_MOD).cast("bigint"),
+            F.expr(f"({numer} + n_source - 1) DIV n_source"),
         ).alias("_thr"),
     )
     h = _hash_bucket("samp4|", F.col("doc_id"), SAMP4_MOD)
@@ -374,14 +376,12 @@ def samp5_source_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = docs.groupBy("source").agg(
         F.sum(F.col("n_chars").cast("bigint")).alias("t_chars")
     )
-    numer = F.lit(SAMP5_MARGIN * SAMP5_BUDGET * SAMP4_MOD)
+    numer = SAMP5_MARGIN * SAMP5_BUDGET * SAMP4_MOD
     thr = tots.select(
         "source",
         F.least(
-            F.lit(SAMP4_MOD),
-            ((numer + F.col("t_chars") - F.lit(1)) / F.col("t_chars")).cast(
-                "bigint"
-            ),
+            F.lit(SAMP4_MOD).cast("bigint"),
+            F.expr(f"({numer} + t_chars - 1) DIV t_chars"),
         ).alias("_thr"),
     )
     h = _hash_bucket("samp5|", F.col("doc_id"), SAMP4_MOD)
