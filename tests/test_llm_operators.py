@@ -998,6 +998,12 @@ def test_sketches_merge_exactly(spark):
     assert sorted(r.h for r in merged_kmv.collect()) == sorted(
         r.h for r in kmins(full).collect()
     )
+    # and the merged sketch yields the SAME estimate as sketching the
+    # full stream, through the hash-frame entry point (NOT the
+    # re-hashing kmv_distinct_estimate)
+    est_merged = sketch.kmv_estimate_from_hashes(merged_kmv).collect()[0]
+    est_full = sketch.kmv_distinct_estimate(full, "token").collect()[0]
+    assert est_merged == est_full
 
 
 def test_semantic_dedup_recall_vs_brute_force(spark):
@@ -1411,3 +1417,19 @@ def test_components_auto_matches_iterative_on_both_paths(spark):
         for r in dedup.connected_components_auto(pairs, small_edges=0).collect()
     }
     assert small == expected == forced_iter
+
+
+def test_zero_vector_never_outranks_real_neighbors(spark):
+    """Cosine with the zero vector is DEFINED as 0.0 (not NaN, which
+    Spark ranks above everything): a zero target must sort below any
+    positively-correlated neighbor, and a >= threshold near-dup
+    filter must not emit it."""
+    rows = [(0, [1.0] * 4), (1, [1.0, 1.0, 1.0, 0.9]), (2, [0.0] * 4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = similarity.brute_force_topk(qs, emb, k=3).collect()
+    ranked = sorted(top, key=lambda r: r.rank)
+    assert [r.vec_id for r in ranked] == [0, 1, 2]
+    assert ranked[-1].cos == 0.0  # the zero vector, defined not NaN

@@ -35,7 +35,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine with the zero-vector case DEFINED as 0.0 (not NaN):
+    Spark's NaN compares GREATER than every double, so an undefined
+    cosine would pass every >= threshold filter and rank first in
+    every descending top-k — one zero vector in the corpus would
+    displace rank 1 of every query (r4 code review).  The SQL
+    oracles share the same guard via _sql_cosine."""
+    return cosine_prenormed(a, b, norm(a), norm(b))
 
 
 def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -48,7 +54,24 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     lambda-heavy array folds are opaque to CSE across join inputs
     (cf. SCALE.md's lambda-body CSE lesson).
     """
-    return dot(a, b) / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _rank_topk(scored, k, score_col="cos", ascending=False, out_cols=None):
+    """Shared top-k epilogue: rank per q_id by the score with the
+    vec_id tie-break, keep k — ONE home for the tie-break convention
+    (it was copy-pasted eight times; r4 code review)."""
+    from pyspark.sql.window import Window
+
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy("q_id").orderBy(order, F.col("vec_id").asc())
+    out = out_cols or ["q_id", "vec_id", score_col, "rank"]
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out)
+    )
 
 
 def brute_force_topk(
@@ -74,14 +97,7 @@ def brute_force_topk(
             F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _plane_weights(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[int]]:
@@ -101,7 +117,13 @@ def lsh_bucket(vec: Column, num_planes: int = NUM_PLANES, dim: int = DIM) -> Col
     planes = _plane_weights(num_planes, dim)
     bits = []
     for p in range(num_planes):
-        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        # one parsed array literal per plane (8 driver RPCs total) —
+        # F.array of 64 F.lit was 512 py4j round-trips of pure plan
+        # construction per call, the same cost _book_sql/ivf_assign
+        # eliminated for PQ/IVF literals (r4 code review)
+        w = F.expr(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in planes[p]) + ")"
+        )
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -138,14 +160,7 @@ def lsh_topk(
             F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "bucket", "cos", "rank")
-    )
+    return _rank_topk(scored, k, out_cols=["q_id", "vec_id", "bucket", "cos", "rank"])
 
 
 NUM_CENTROIDS = 16
@@ -159,6 +174,11 @@ _CENTROID_CACHE: dict[str, list] = {}
 
 
 def _collect_centroids(centroids: DataFrame, cache_key: str | None) -> list:
+    """``cache_key`` IDENTIFIES THE CENTROID SET: a hit returns the
+    previously collected rows without looking at ``centroids`` at
+    all, so reusing a key for a different centroid frame silently
+    serves stale centroids — key on the data's identity (source path
+    + seed rule), never a constant."""
     if cache_key is not None and cache_key in _CENTROID_CACHE:
         return _CENTROID_CACHE[cache_key]
     rows = (
@@ -189,7 +209,13 @@ def ivf_assign(
     scores via one array ``transform``, nearest cell via a single
     argmax fold (strict ``>`` keeps the first max ⇒ ties break toward
     the lowest cent_id), multi-probe via sorting the k-element score
-    array and exploding the top ``nprobe``. No k× row fan-out through
+    array and exploding the top ``nprobe``. Known ULP-class parity
+    hazard (r4 code review): assignment ranks by dot/|c| while the
+    SQL oracles rank full cosine dot/(|v||c|) — monotone per vector
+    but not STRICTLY so in doubles, so two near-tied cells can
+    collapse to equal oracle cosines and tie-break differently
+    (~2^-52 per comparison; never observed across the sf0.001–sf1
+    sweeps). No k× row fan-out through
     a join, no shuffle, no aggregate — the whole assignment lives
     inside whole-stage codegen, and at 100 TB it is exactly one pass
     over the corpus. (Measured at sf0.1: 0.35 s vs 0.60 s for the
@@ -318,14 +344,7 @@ def ivf_topk(
             F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk_budgeted(
@@ -348,8 +367,13 @@ def ivf_topk_budgeted(
     regions stop after one or two cells, sparse regions keep probing —
     the per-query scored-candidate count is bounded by
     budget + max-cell-size instead of varying with cell skew. Cell
-    occupancies come from one extra tiny aggregate over the already-
-    computed assignment (reused, not a second corpus pass), and the
+    occupancies come from an aggregate over a SECOND narrow
+    assignment pass (the occupancy branch ends in its own exchange,
+    so Spark cannot reuse the join-side subtree; r4 code review
+    corrected an earlier "reused" claim here) — recomputing the
+    codegen'd argmax map is deliberately preferred to materializing
+    corpus-wide assignment state, and on a memory-rich cluster
+    ``persist()`` on the cells frame collapses it to one pass. The
     probe walk is a running sum over ≤ nprobe_max rows per query.
     """
     from pyspark.sql.window import Window
@@ -376,21 +400,15 @@ def ivf_topk_budgeted(
         "_cum_before", F.sum("_occ").over(wcum) - F.col("_occ")
     ).filter(F.col("_cum_before") < candidate_budget)
 
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
+    scored = cells.join(
+        probes.select("q_id", query_vec, "_qn", "cell"), "cell"
+    ).withColumn(
+        "cos",
+        cosine_prenormed(
+            F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
+        ),
     )
-    return (
-        cells.join(probes.select("q_id", query_vec, "_qn", "cell"), "cell")
-        .withColumn(
-            "cos",
-            cosine_prenormed(
-                F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -472,14 +490,7 @@ def multiprobe_lsh_topk(
             F.col(query_vec), F.col(target_vec), F.col("_qn"), F.col("_tn")
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "cos", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def quantize_int8(
@@ -561,16 +572,13 @@ def quantized_topk(
         lambda a, x: a + x,
     )
     scored = tq.join(F.broadcast(qq)).withColumn(
-        "qcos", idot.cast("double") / (F.col("_qn") * F.col("_tn"))
+        "qcos",
+        F.when(
+            F.col("_qn") * F.col("_tn") > 0,
+            idot.cast("double") / (F.col("_qn") * F.col("_tn")),
+        ).otherwise(F.lit(0.0)),
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("qcos").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "qcos", "rank")
-    )
+    return _rank_topk(scored, k, score_col="qcos")
 
 
 KMEANS_FIX = 1e9  # fixed-point quantum for reproducible accumulation
@@ -586,9 +594,14 @@ def kmeans_refine(
     """Lloyd iterations refining the IVF coarse quantizer, with
     bit-reproducible distributed means: each element is floored onto
     a 1e-9 fixed-point grid before summing, so per-dimension sums are
-    exact integers (< 2^53) and the resulting centroid is the same
-    double on ANY partitioning or cluster size — the standard fix for
+    exact BIGINTs and the resulting centroid is the same double on
+    ANY partitioning or cluster size — the standard fix for
     non-associative float accumulation in distributed k-means.
+    Capacity bound (r4 code review): a per-(cell,dim) sum of ~1e9-
+    scale grid values wraps silently past ~9.2e9 members per cell
+    (BIGINT, non-ANSI); cells that large mean the coarse quantizer
+    is misconfigured (nlist far below √N) — raise nlist before the
+    bound matters, or swap the sum to decimal(38,0) at ~2x agg cost.
 
     Per iteration: assignment is the narrow ivf_assign pass (one scan,
     argmax over inlined centroid literals), then one shuffle of
@@ -727,7 +740,10 @@ def _pq_codebooks(
     subspace m. Seeds are the lowest-id vectors (the deterministic
     seeding s4/dd14 use); KBs of data, collected once and memoized
     like the IVF centroid catalog."""
-    ck = None if cache_key is None else f"pq|{cache_key}"
+    # the key carries every parameter that shapes the books — a bare
+    # user key with different m/k/vec_col must MISS, not alias
+    # (r4 code review)
+    ck = None if cache_key is None else f"pq|{m}|{k}|{vec_col}|{cache_key}"
     if ck is not None and ck in _CENTROID_CACHE:
         return _CENTROID_CACHE[ck]
     rows = seeds.orderBy(id_col).limit(k).collect()
@@ -862,14 +878,7 @@ def pq_topk(
         f" + element_at(_lut, mm * {k} + element_at(pq_code, mm + 1) + 1))"
     )
     scored = codes.join(F.broadcast(q)).withColumn("approx_d2", approx)
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("approx_d2").asc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("q_id", "vec_id", "approx_d2", "rank")
-    )
+    return _rank_topk(scored, topk, score_col="approx_d2", ascending=True)
 
 
 def pq_rerank_topk(
@@ -928,14 +937,7 @@ def _exact_rerank(
     scored = fetched.join(
         F.broadcast(queries), "q_id"
     ).withColumn("cos", cosine(F.col(query_vec), F.col(target_vec)))
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("q_id", "vec_id", "cos", "rank")
-    )
+    return _rank_topk(scored, topk)
 
 
 def matryoshka_rerank_topk(

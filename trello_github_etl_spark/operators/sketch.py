@@ -27,17 +27,11 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
-def countmin_table(
-    tokens_df: DataFrame,
-    token_col: str = "token",
-    depth: int = CMS_DEPTH,
-    width: int = CMS_WIDTH,
-) -> DataFrame:
-    """(d, cell, cnt) counter grid from a token-stream frame (one row
-    per token OCCURRENCE). One explode to (d, cell) pairs + one
-    groupBy over depth*width keys — the whole reduce state is the
-    grid."""
-    cells = F.array(
+def _cms_cells(token_col: str, depth: int, width: int):
+    """The (d, cell) hash-struct array BOTH the build and the probe
+    must derive identically — one definition, or a scheme change
+    silently desyncs estimate from table (r4 code review)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(d).alias("d"),
@@ -49,8 +43,20 @@ def countmin_table(
             for d in range(depth)
         ]
     )
+
+
+def countmin_table(
+    tokens_df: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(d, cell, cnt) counter grid from a token-stream frame (one row
+    per token OCCURRENCE). One explode to (d, cell) pairs + one
+    groupBy over depth*width keys — the whole reduce state is the
+    grid."""
     return (
-        tokens_df.select(F.explode(cells).alias("_dc"))
+        tokens_df.select(F.explode(_cms_cells(token_col, depth, width)).alias("_dc"))
         .groupBy(F.col("_dc.d").alias("d"), F.col("_dc.cell").alias("cell"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -68,25 +74,7 @@ def countmin_estimate(
     the probe is a broadcast join on (d, cell); one min-agg per
     candidate follows."""
     probes = candidates.select(
-        token_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (
-                            _h60(
-                                F.concat(
-                                    F.lit(f"cms{d}|"), F.col(token_col)
-                                )
-                            )
-                            % width
-                        ).alias("cell"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("_dc"),
+        token_col, F.explode(_cms_cells(token_col, depth, width)).alias("_dc")
     ).select(token_col, F.col("_dc.d").alias("d"), F.col("_dc.cell").alias("cell"))
     return (
         probes.join(F.broadcast(cms), ["d", "cell"], "left")
@@ -120,7 +108,18 @@ def kmv_distinct_estimate(
     hashed = values_df.select(
         _h60(F.col(value_col)).alias("h")
     ).distinct()
-    kmin = hashed.orderBy("h").limit(k)
+    return kmv_estimate_from_hashes(hashed, k=k)
+
+
+def kmv_estimate_from_hashes(
+    hashes: DataFrame, h_col: str = "h", k: int = KMV_K
+) -> DataFrame:
+    """Estimate from an ALREADY-HASHED (h) frame — the function
+    merge_kmv's output feeds.  kmv_distinct_estimate re-hashes its
+    input column, so passing it a merged sketch would silently
+    double-hash and produce a plausible-but-wrong estimate (r4 code
+    review); this is the single home of the estimate expression."""
+    kmin = hashes.select(F.col(h_col).alias("h")).orderBy("h").limit(k)
     agg = kmin.agg(
         F.count("*").alias("n_hashes_kept"),
         F.max("h").alias("kth_min"),
@@ -151,5 +150,6 @@ def merge_countmin(grids: DataFrame) -> DataFrame:
 def merge_kmv(kmins: DataFrame, k: int = KMV_K) -> DataFrame:
     """Merge KMV sketches: union the kept hashes, dedup, re-take the
     k smallest. Input: a union of (h) frames; output the merged
-    (h) frame — feed to the same estimate expression."""
+    (h) frame — feed to kmv_estimate_from_hashes (NOT
+    kmv_distinct_estimate, which re-hashes its input)."""
     return kmins.select("h").distinct().orderBy("h").limit(k)

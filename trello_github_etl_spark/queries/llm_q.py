@@ -573,9 +573,15 @@ SQL_DOT = (
 
 
 def _sql_cosine(a: str, b: str) -> str:
-    return (
-        f"{SQL_DOT.format(a=a, b=b)} / "
+    # zero-vector cosine is DEFINED as 0.0, mirroring
+    # similarity.cosine_prenormed's guard (NaN would rank first under
+    # both engines' NaN-is-greatest ordering)
+    denom = (
         f"(sqrt({SQL_DOT.format(a=a, b=a)}) * sqrt({SQL_DOT.format(a=b, b=b)}))"
+    )
+    return (
+        f"CASE WHEN {denom} > 0 THEN {SQL_DOT.format(a=a, b=b)} / {denom}"
+        " ELSE 0.0 END"
     )
 
 
@@ -1135,10 +1141,11 @@ SQL_QUANTIZED = """
     + """
     , scored AS (
       SELECT q.vec_id AS q_id, t.vec_id AS vec_id,
-             CAST(list_reduce(list_transform(list_zip(q.code, t.code),
-                                             p -> p[1] * p[2]),
-                              (a, b) -> a + b) AS DOUBLE)
-               / (q.nrm * t.nrm) AS qcos
+             CASE WHEN q.nrm * t.nrm > 0 THEN
+               CAST(list_reduce(list_transform(list_zip(q.code, t.code),
+                                               p -> p[1] * p[2]),
+                                (a, b) -> a + b) AS DOUBLE)
+                 / (q.nrm * t.nrm) ELSE 0.0 END AS qcos
       FROM normed t, (SELECT * FROM normed WHERE vec_id % 100 = 0) q
     ),
     ranked AS (
