@@ -122,6 +122,7 @@ def test_round4_text_ops_on_null_text(spark):
         ).collect()
     }
     assert rows[1].s == 2 and rows[1].sy >= rows[1].s
+    assert rows[2].s is None  # phantom-sentence guard (r4 review)
     assert rows[2].sy is None and rows[2].fl is None
     assert rows[3].sy == 0 and rows[3].fl is None
     # null text drops out of the signature stream entirely: no pair

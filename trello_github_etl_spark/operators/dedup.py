@@ -42,11 +42,32 @@ HAMMING_BAND_DF = 20
 HAMMING_MAX_DIST = 3
 
 
+def _pair_structs(ds, make):
+    """In-group ordered pair expansion over a sorted array column:
+    every (x, y) with x before y in ``ds`` becomes ``make(x, y)`` —
+    the O(d²) JVM-side blowup shared by jaccard_pairs, winnow pairs
+    and hamming_pairs (one definition; the slice off-by-one and the
+    a<b-by-construction property live here — r4 code review)."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: make(x, y),
+            ),
+        )
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (canonicalized) docs; keeper = min id."""
     fp = docs.select(
         F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp")
-    )
+    ).filter(F.col("fp").isNotNull())
+    # ^ NULL text has no comparable content: grouping NULL fps would
+    # report every textless doc as a "duplicate" of the first one —
+    # the same NULL-fp contract incremental_dedup states explicitly
+    # (absent data stays visible, never admitted; r4 code review)
     return (
         fp.groupBy("fp")
         .agg(
@@ -110,6 +131,14 @@ def minhash_lsh_pairs(
     so AQE plans a ReusedExchange for the second side instead of
     recomputing signatures.
     """
+    if num_hashes % bands != 0:
+        # a remainder would leave trailing signature entries in no
+        # band: paid for, then silently ignored — the S-curve the
+        # caller configured is not the one that runs (r4 code review,
+        # same class as hamming_pairs's guard)
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes)
     # bigint sig entries render as plain decimal digits, so the
@@ -158,6 +187,12 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     one aggregate with `bits` sum expressions; signature reassembled
     as Σ 2^b.
     """
+    if not 1 <= bits <= 60:
+        # _token_hash60 yields 60 hash bits: bits 61-63 would vote on
+        # permanently-zero input (dead signature bits weakening every
+        # downstream band), and 2^63 overflows the LongType literal
+        # (r4 code review)
+        raise ValueError(f"bits={bits} must be in [1, 60]")
     tok = exploded(
         ensure_parallelism(docs),
         ["doc_id"],
@@ -284,19 +319,14 @@ def hamming_pairs(
     )
     if max_band_df is not None:
         grouped = grouped.filter(F.size(ds) <= max_band_df)
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["_sig"].alias("sig_a"),
-                    y["_sig"].alias("sig_b"),
-                ),
-            ),
-        )
+    pair_structs = _pair_structs(
+        ds,
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["_sig"].alias("sig_a"),
+            y["_sig"].alias("sig_b"),
+        ),
     )
     cand = (
         exploded(grouped, [], pair_structs, "p")
@@ -366,14 +396,8 @@ def jaccard_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size(ds) > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pair_structs = _pair_structs(
+        ds, lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
     )
     common = (
         exploded(grouped, [], pair_structs, "p")
@@ -585,7 +609,12 @@ def pagerank(
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).cache()
-    deg = edges.groupBy("v").agg(F.count("*").alias("deg"))
+    # deg joins into EVERY round: truncate it like the labels, or
+    # each round re-runs the degree aggregation + its exchange over
+    # the cached edges (r4 code review)
+    deg = _truncate_lineage(
+        edges.groupBy("v").agg(F.count("*").alias("deg")), checkpoint_dir
+    )
     ranks = _truncate_lineage(
         deg.select(
             F.col("v").alias("node"),
@@ -652,16 +681,18 @@ def connected_components_twostar(
     driver-side-only contract as the sibling algorithm;
     ``localCheckpoint`` truncates per-round lineage.
     """
-    e = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node coverage from the UNFILTERED pairs: a node appearing only
+    # in self-pairs must still come back as its own singleton cluster,
+    # exactly as connected_components does — the two operators are
+    # documented drop-ins for each other (r4 code review)
     all_nodes = _truncate_lineage(
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct(),
         checkpoint_dir,
     )
+    e = raw.filter(F.col("u") != F.col("v"))
     # start from big→small orientation so round 1's large-star sees
     # the same canonical form every later round produces
     edges = _truncate_lineage(
@@ -1010,14 +1041,8 @@ def winnow_pairs(
     if max_fp_df is not None:
         grouped = grouped.filter(F.size("ds") <= max_fp_df)
     ds = F.col("ds")
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pair_structs = _pair_structs(
+        ds, lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
     )
     return (
         exploded(grouped, [], pair_structs, "p")

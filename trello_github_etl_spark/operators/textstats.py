@@ -86,9 +86,14 @@ def quality_score(text: Column) -> Column:
 
 def sentence_count(text: Column) -> Column:
     """Terminator-run count, floored at 1 (unterminated text is one
-    sentence) — the denominator convention readability formulas use."""
-    return F.greatest(
-        F.lit(1), F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0))
+    sentence) — the denominator convention readability formulas use.
+    NULL text propagates NULL like every other stat here (Spark's
+    greatest() SKIPS nulls, so the bare floor would report a phantom
+    sentence for textless docs — r4 code review)."""
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0))
+        )
     )
 
 

@@ -316,7 +316,7 @@ def t9_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id,
            array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
-    FROM fps GROUP BY fp HAVING COUNT(*) > 1
+    FROM fps WHERE fp IS NOT NULL GROUP BY fp HAVING COUNT(*) > 1
     """,
 )
 def dd1_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,8 +1721,9 @@ def t13_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (
       SELECT doc_id,
         CAST(len(tk) AS BIGINT) AS n_tokens,
-        CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
-          AS n_sentences,
+        CAST(CASE WHEN text IS NULL THEN NULL
+                  ELSE greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+             END AS BIGINT) AS n_sentences,
         CAST(COALESCE(list_sum(list_transform(tk,
           t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))), 0)
           AS BIGINT) AS n_syllables
