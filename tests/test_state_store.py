@@ -153,3 +153,31 @@ def test_conflict_never_deletes_competitor_directory(spark, store):
     assert [r.title for r in spark.read.parquet(comp).collect()] == [
         "competitor"
     ]
+
+
+def test_vacuum_raced_commit_fails_loudly(spark, store):
+    """A commit landing between vacuum's manifest read and its publish
+    must NOT be rolled back by the stale manifest — vacuum re-checks
+    `current` at publish time and raises, mirroring commit()'s CAS
+    (the store's no-silent-update-loss contract)."""
+    from trello_github_etl_spark.plans.state_store import CommitConflictError
+
+    store.commit(_df(spark, [("a", "t1")]))
+    store.commit(_df(spark, [("a", "t2")]))
+    real = store._read_manifest
+    calls = {"n": 0}
+
+    def racing(*a, **kw):
+        m = real(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the publish-time re-check sees a newer current
+            m = dict(m)
+            m["current"] = m["current"] + 1
+        return m
+
+    store._read_manifest = racing
+    with pytest.raises(CommitConflictError, match="vacuum raced"):
+        store.vacuum(keep_last=1)
+    store._read_manifest = real
+    # the (simulated) winner's pointer was never regressed
+    assert store._read_manifest()["current"] == 2

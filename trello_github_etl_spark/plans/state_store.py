@@ -255,6 +255,18 @@ class VersionedStateStore:
             if v not in keep:
                 shutil.rmtree(os.path.join(self.root, name))
                 removed.append(v)
+        # CAS re-check at publish time, like commit(): a commit landing
+        # during the rmtree loop must not be rolled back by publishing
+        # the manifest read BEFORE the loop — that would regress
+        # `current`, drop the new version from history, and rewind the
+        # replay gates (the exact silent-update-loss the store's
+        # contract forbids; r4 code review). Fail loudly instead.
+        latest = self._read_manifest()
+        if latest["current"] != m["current"]:
+            raise CommitConflictError(
+                f"vacuum raced a commit: current moved "
+                f"{m['current']} -> {latest['current']}; re-run vacuum"
+            )
         m["history"] = [h for h in m["history"] if h["version"] in keep]
         self._publish(m)
         return removed

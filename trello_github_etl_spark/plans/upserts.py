@@ -82,13 +82,16 @@ def plan_upserts(
     creates = desired.join(st, desired[key] == st._sk, "left_anti")
 
     existing = desired.join(st, desired[key] == st._sk, "inner")
-    updates = existing.filter(
-        (F.col("title") != F.col("_st_title"))
-        | (F.col("state") != F.col("_st_state"))
-    ).select(
+    # null-SAFE drift: plain != is NULL when either side is NULL, so a
+    # title/state transition to or from NULL would silently never sync
+    # (the reference's JS !== treats null as an ordinary value;
+    # r4 code review)
+    title_drift = ~F.col("title").eqNullSafe(F.col("_st_title"))
+    state_drift = ~F.col("state").eqNullSafe(F.col("_st_state"))
+    updates = existing.filter(title_drift | state_drift).select(
         desired["*"],
-        (F.col("title") != F.col("_st_title")).alias("title_changed"),
-        (F.col("state") != F.col("_st_state")).alias("state_changed"),
+        title_drift.alias("title_changed"),
+        state_drift.alias("state_changed"),
     )
 
     field_changes = (
@@ -98,9 +101,9 @@ def plan_upserts(
             F.col("_st_fields"),
         )
         .withColumn("old_value", F.try_element_at("_st_fields", F.col("field_name")))
-        .filter(
-            F.col("old_value").isNull() | (F.col("new_value") != F.col("old_value"))
-        )
+        # null-safe: a field CLEARED to NULL against a cached value is
+        # a change; never-written + still-NULL is not (r4 code review)
+        .filter(~F.col("new_value").eqNullSafe(F.col("old_value")))
         .select(key, "field_name", "new_value", "old_value")
     )
 
@@ -126,7 +129,9 @@ def merge_state(
 
 def advance_migration(state: DataFrame, entities: DataFrame, key: str = "entity_id") -> DataFrame:
     """ST1 phase gate: move matched entities M_CREATED → M_LISTS."""
-    done = entities.select(F.col(key).alias("_mk"))
+    # distinct: a re-delivered batch with duplicate entity ids must
+    # not fan out state rows through the left join (r4 code review)
+    done = entities.select(F.col(key).alias("_mk")).distinct()
     return (
         state.join(done, state[key] == F.col("_mk"), "left")
         .withColumn(
@@ -169,10 +174,17 @@ def apply_scd2(
         F.col(ts_col).alias("_cts"),
     )
     cur = open_rows.select(
-        F.col(key).alias("_ok"), F.col(value_col).alias("_ov")
+        F.col(key).alias("_ok"),
+        F.col(value_col).alias("_ov"),
+        F.lit(True).alias("_has_open"),
     )
+    # null-safe effectiveness: clearing a value to NULL CLOSES the
+    # open row (plain != dropped it); the _has_open marker keeps the
+    # first-ever change for an entity effective even when both the
+    # new and (absent) old value are NULL-equal (r4 code review)
     effective = ch.join(cur, ch._ck == cur._ok, "left").filter(
-        F.col("_ov").isNull() | (F.col("_cv") != F.col("_ov"))
+        F.col("_has_open").isNull()
+        | ~F.col("_cv").eqNullSafe(F.col("_ov"))
     ).select("_ck", "_cv", "_cts")
 
     closing = open_rows.join(

@@ -76,6 +76,11 @@ def run_sink(
     keys = effectively-once against an idempotent API).
     """
     cfg = cfg or SinkConfig()
+    if cfg.max_retries < 1:
+        # range(0) would skip every row WITHOUT calling the transport
+        # and the job would complete green — silently-sent-nothing
+        # (r4 code review); "no retries" is max_retries=1.
+        raise ValueError("max_retries must be >= 1 (1 = no retries)")
     sink_df = df.coalesce(1) if cfg.serialize else df
 
     def handle_partition(rows: Iterator[Row]) -> None:

@@ -68,13 +68,25 @@ def stream_rollup(
         )
         state, last_id = read_rollup(spark, state_dir, schema_str)
         if batch_id <= last_id:
-            return  # replayed batch: already merged (effectively-once)
+            # replayed batch: already merged (effectively-once).
+            # OPERATIONAL CONSTRAINT (r4 code review): batch ids are a
+            # property of the streaming CHECKPOINT lineage — if the
+            # checkpoint is reset while state_dir survives, the new
+            # lineage restarts at batch 0 and this gate would silently
+            # skip genuinely new batches up to last_id. state_dir and
+            # checkpoint_dir must live and die TOGETHER.
+            return
         merged = merge_agg_state(
             state, delta, keys, list(measures.keys()), count_col
         )
         # SUM widens decimal precision per merge (18,2 -> 28,2 ->
         # 38,2); pin measures back to the delta's types so the stored
-        # schema is stable across arbitrarily many batches.
+        # schema is stable across arbitrarily many batches. Ceiling
+        # (r4 code review): once a running total exceeds the DELTA
+        # type's range the non-ANSI cast yields NULL — callers whose
+        # totals can outgrow a batch's natural type should aggregate
+        # the delta at the wide type up front (e.g. sum over
+        # decimal(38,2)) so the pinned type carries the headroom.
         merged = merged.select(
             *[F.col(k) for k in keys],
             *[

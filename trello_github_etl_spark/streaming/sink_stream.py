@@ -88,7 +88,13 @@ def stream_upserts(
         spark = batch.sparkSession
         state = read_state(spark, state_dir)
         plan = plan_upserts(batch, state)
-        creates = plan.creates.cache()
+        # entity_id order BEFORE the sink: shape_created_state assigns
+        # issue numbers by entity_id rank, so the rows must reach the
+        # (serialized) transport in that same order or the recorded
+        # numbers diverge from the ones a real API hands out in
+        # creation order — later PATCHes would hit the wrong issues
+        # (r4 code review). coalesce(1) preserves the sorted order.
+        creates = plan.creates.orderBy("entity_id").cache()
         try:
             # empty-batch gate: limit-1 probe, not a full count — a
             # count() here would materialize the whole CDC frame a

@@ -73,7 +73,13 @@ def apply_batch(
     token_col: str = "token",
 ) -> bool:
     """Merge one micro-batch's grid into the state; returns False if
-    the batch id was already applied (replay → skipped)."""
+    the batch id was already applied (replay → skipped).
+
+    OPERATIONAL CONSTRAINT (r4 code review): batch ids belong to the
+    streaming CHECKPOINT lineage — resetting the checkpoint while the
+    store survives restarts ids at 0 and this gate would silently
+    skip new batches up to the stored high-water mark. Store and
+    checkpoint must live and die together."""
     if batch_id <= last_applied_batch(store):
         return False
     base = store.latest_version()

@@ -45,12 +45,21 @@ def _advance(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     phase = state.get[0] if state.exists else -1
-    for pdf in batches:
-        for op in pdf["op"]:
-            target = OP_PHASE.get(op, -1)
-            # forward-only: re-delivered ops never regress the phase
-            if target == phase + 1:
-                phase = target
+    # applyInPandasWithState guarantees NO intra-group row order and
+    # the ops carry no timestamp, so process a micro-batch's ops in
+    # ascending TARGET-PHASE order: [add_to_lists, create] arriving
+    # together must land as create->add_to_lists, not drop the
+    # add_to_lists forever (it is consumed either way; r4 code
+    # review). Cross-batch reordering still needs redelivery — the
+    # source contract — but within a batch the machine is now
+    # order-independent.
+    targets = sorted(
+        OP_PHASE.get(op, -1) for pdf in batches for op in pdf["op"]
+    )
+    for target in targets:
+        # forward-only: re-delivered ops never regress the phase
+        if target == phase + 1:
+            phase = target
     state.update((phase,))
     yield pd.DataFrame({"entity_id": [key[0]], "phase": [phase]})
 

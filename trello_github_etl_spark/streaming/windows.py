@@ -16,17 +16,17 @@ from trello_github_etl_spark.queries.helpers import dsum
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
-    """Tumbling event-time window per event_type."""
+    """Tumbling event-time window per event_type; sum_value rides
+    along when the input carries a value column (count-only sources
+    still work — the streaming variant reuses this definition)."""
     w = F.window("ts", width)
-    return events.groupBy(w.alias("w"), F.col("event_type")).agg(
-        F.count("*").alias("n"),
-        dsum("value").alias("sum_value"),
-    ).select(
-        F.col("w.start").alias("window_start"),
-        "event_type",
-        "n",
-        "sum_value",
-    )
+    has_value = "value" in events.columns
+    aggs = [F.count("*").alias("n")]
+    outs = [F.col("w.start").alias("window_start"), "event_type", "n"]
+    if has_value:
+        aggs.append(dsum("value").alias("sum_value"))
+        outs.append("sum_value")
+    return events.groupBy(w.alias("w"), F.col("event_type")).agg(*aggs).select(*outs)
 
 
 def sliding_counts(
@@ -58,13 +58,12 @@ def stream_tumbling_counts(
     stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Streaming variant: watermarked tumbling counts (late data beyond
-    the watermark is dropped; state is bounded)."""
-    return (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
-    )
+    the watermark is dropped; state is bounded). ONE logical
+    definition: the watermark composes in front of the batch
+    aggregation, so batch-vs-stream parity covers BOTH measures —
+    the previous re-implementation had already dropped sum_value
+    (r4 code review)."""
+    return tumbling_counts(stream.withWatermark("ts", watermark), width)
 
 
 def stream_click_attribution(
