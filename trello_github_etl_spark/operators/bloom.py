@@ -78,23 +78,27 @@ def probe_bloom(
         )
     )
     key = F.col(key_col).cast("string")
+    # scratch columns carry a collision-proof prefix: plain _p0/_hit0
+    # names would silently clobber (and then drop) same-named caller
+    # columns, e.g. when chaining probe_bloom for a second key
+    # (r4 code review)
     out = facts
     for i, pos in enumerate(_positions(key)):
         # position materialized in its own projection so the md5 fold
         # is evaluated once, then referenced by index and shift
-        out = out.withColumn(f"_p{i}", pos).withColumn(
-            f"_hit{i}",
+        out = out.withColumn(f"_bloom_p{i}__", pos).withColumn(
+            f"_bloom_hit{i}__",
             F.expr(
                 f"shiftright(element_at({arr},"
-                f" CAST(_p{i} DIV {BITS_PER_WORD} AS INT) + 1),"
-                f" CAST(_p{i} % {BITS_PER_WORD} AS INT)) % 2 = 1"
+                f" CAST(_bloom_p{i}__ DIV {BITS_PER_WORD} AS INT) + 1),"
+                f" CAST(_bloom_p{i}__ % {BITS_PER_WORD} AS INT)) % 2 = 1"
             ),
         )
     return (
         out.withColumn(
             "bloom_pass",
-            F.expr(" AND ".join(f"_hit{i}" for i in range(BLOOM_K))),
+            F.expr(" AND ".join(f"_bloom_hit{i}__" for i in range(BLOOM_K))),
         )
-        .drop(*[f"_p{i}" for i in range(BLOOM_K)])
-        .drop(*[f"_hit{i}" for i in range(BLOOM_K)])
+        .drop(*[f"_bloom_p{i}__" for i in range(BLOOM_K)])
+        .drop(*[f"_bloom_hit{i}__" for i in range(BLOOM_K)])
     )

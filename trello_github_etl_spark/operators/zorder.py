@@ -41,6 +41,15 @@ def zvalue_sql(cols: list[str], bits: int = 10) -> str:
     DuckDB (integer ``//``/``div`` differ between the two).
     """
     k = len(cols)
+    if k * bits > 63:
+        # the top interleaved bit would land past BIGINT's sign bit:
+        # Spark (non-ANSI) wraps to NEGATIVE Morton keys — a silently
+        # corrupted layout — while DuckDB raises, breaking the
+        # shared-text contract (r4 code review)
+        raise ValueError(
+            f"k*bits = {k}*{bits} = {k * bits} > 63 overflows the "
+            "BIGINT Morton key; lower bits or interleave fewer columns"
+        )
     terms = []
     for i, c in enumerate(cols):
         for b in range(bits):
@@ -63,8 +72,15 @@ def normalize_to_bits(col: Column, lo: int, hi: int, bits: int = 10) -> Column:
     them."""
     span = max(hi - lo, 1)
     buckets = (1 << bits) - 1
+    # clamp to the profiled range: rows appended AFTER profiling can
+    # fall outside [lo, hi], and an out-of-range bucket bleeds bits
+    # into OTHER columns' interleave positions (zvalue's %-decompose
+    # assumes [0, 2^bits)) — a silently non-monotonic layout
+    # (r4 code review). Clamped rows degrade to edge buckets, which
+    # only costs pruning precision, never correctness.
+    clamped = F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
     return (
-        ((col - F.lit(lo)).cast("bigint") * buckets / F.lit(span))
+        ((clamped - F.lit(lo)).cast("bigint") * buckets / F.lit(span))
         .cast("bigint")
     )
 
@@ -79,10 +95,10 @@ def write_zordered(
     small row groups (64 KiB blocks) at test scale so per-row-group
     pruning is observable."""
     (
-        df.withColumn("_z", zcol)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.withColumn("_zorder_key__", zcol)
+        .repartitionByRange(n_files, "_zorder_key__")
+        .sortWithinPartitions("_zorder_key__")
+        .drop("_zorder_key__")
         .write.mode("overwrite")
         .option("parquet.block.size", 1 << 16)
         .parquet(path)

@@ -279,7 +279,10 @@ def setops_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     y95, y96 = year_custs(1995), year_custs(1996)
     both = y95.intersect(y96).select(F.lit("both").alias("tag"), "o_custkey")
-    only95 = y95.exceptAll(y96).select(F.lit("only95").alias("tag"), "o_custkey")
+    # subtract() is distinct EXCEPT (the oracle's semantics);
+    # exceptAll only coincided because y95 happens to be distinct
+    # (r4 code review)
+    only95 = y95.subtract(y96).select(F.lit("only95").alias("tag"), "o_custkey")
     return both.unionAll(only95)
 
 
@@ -560,17 +563,31 @@ def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_linestatus").alias("l_shipmode_stub")
     )
-    li.createOrReplaceTempView("_a8_src")
-    return spark.sql(
-        """
-        SELECT
-          COALESCE(l_returnflag, 'ALL') AS returnflag,
-          COALESCE(l_shipmode_stub, 'ALL') AS linestatus_or_all,
-          GROUPING(l_returnflag) * 2 + GROUPING(l_shipmode_stub) AS gid,
-          COUNT(*) AS n
-        FROM _a8_src
-        GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_stub), ())
-        """
+    # Spark 4's native DataFrame.groupingSets — the previous SQL-text
+    # form registered a createOrReplaceTempView('_a8_src') on the
+    # caller's session: a global-namespace side effect that clobbered
+    # any same-named view and leaked the scratch registration forever
+    # (r4 code review)
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_shipmode_stub"], []],
+            "l_returnflag",
+            "l_shipmode_stub",
+        )
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_shipmode_stub")
+            ).alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_shipmode_stub", F.lit("ALL")).alias(
+                "linestatus_or_all"
+            ),
+            "gid",
+            "n",
+        )
     )
 
 

@@ -104,8 +104,6 @@ def w4_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered sequences: lag gaps (exact µs), running
     decimal-exact value total, and sequence numbers — one shuffle on
     user_id shared by all three window functions."""
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -136,8 +134,6 @@ def w5_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-customer rolling 7-day revenue, ordered
     by exact integer microseconds so the frame bounds are engine-
     independent (no interval/timezone arithmetic in the frame)."""
-    from pyspark.sql.window import Window
-
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -180,8 +176,6 @@ def w6_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank/cume_dist divide exact integers, so even the doubles
     hash-match. One window ⇒ one shuffle + one sort; all eight
     functions evaluate in a single pass over each partition."""
-    from pyspark.sql.window import Window
-
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
@@ -231,7 +225,6 @@ def w7_gapfilled_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect), the grid is sequence+explode — users × days rows, built
     without reading the fact table twice per cell — and the fill is
     one left join keyed (user, day), uniform, skew-free."""
-    from pyspark.sql.window import Window  # noqa: F401
 
     ev = load_table(spark, sf_dir, "events")
     day = F.to_date("ts")
