@@ -188,8 +188,15 @@ def test_set_field_value_sequence_mirrors_reference():
     fid = cat.fields_by_name["Owner"]["id"]
     assert prepare_field_update(cat, "ITEM1", fid, "alice")["value"] == "alice"
 
-    # non-string values stringified (lib/gh.js:493)
+    # non-string values stringified (lib/gh.js:493) — JS toString
+    # semantics, not Python str(): int-valued floats drop the ".0",
+    # booleans lowercase, None is rejected (r4 advice)
     assert prepare_field_update(cat, "ITEM1", "Dash Bounty", 50)["value"] == "50"
+    assert prepare_field_update(cat, "ITEM1", "Dash Bounty", 2.0)["value"] == "2"
+    assert prepare_field_update(cat, "ITEM1", "Dash Bounty", 2.5)["value"] == "2.5"
+    assert prepare_field_update(cat, "ITEM1", "Dash Bounty", True)["value"] == "true"
+    with pytest.raises(ValueError, match="must not be None"):
+        prepare_field_update(cat, "ITEM1", "Dash Bounty", None)
 
     # built-in "Labels" write fails loudly — the negative assertion
     with pytest.raises(UnsupportedFieldError, match="Labels"):

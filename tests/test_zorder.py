@@ -104,6 +104,24 @@ def test_zorder_prunes_2d_box_better_than_single_sort(spark, tmp_path):
     assert tuple(a) == tuple(b)
 
 
+def test_normalize_to_bits_propagates_null_and_clamps(spark):
+    """NULL inputs stay NULL (greatest/least skip NULLs, so without
+    the guard they'd collapse into bucket 0 with minimum-value rows —
+    r4 advice); out-of-range values clamp to the edge buckets."""
+    df = spark.createDataFrame(
+        [(None,), (-5,), (0,), (100,), (250,)], "v int"
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            Z.normalize_to_bits(F.col("v"), 0, 100, bits=4)
+        ).collect()
+    ]
+    assert out[0] is None  # NULL propagates, not bucket 0
+    assert out[1] == 0 and out[2] == 0  # below-range clamps to lo edge
+    assert out[3] == 15 and out[4] == 15  # hi edge = 2^bits - 1
+
+
 def test_zvalue_is_bijective_on_the_grid():
     """The %-and-* interleave must be a bijection from [0,2^b)^2 onto
     [0,4^b) — checked exhaustively at b=5 via DuckDB (no Spark), i.e.

@@ -108,7 +108,15 @@ def _salted_bucket_rank(docs, id_col, salt, stage_col=None):
     # ^ materialized once: the counts collect below AND the ranking
     # pass both probe this frame — without the checkpoint each would
     # re-scan the corpus and recompute every md5 key (2x the work at
-    # any scale; on a cluster, persist() instead)
+    # any scale; on a cluster, persist() instead). Storage lifetime
+    # (r4 advice): the checkpointed blocks live in executor storage
+    # until the returned frame is garbage-collected and the
+    # ContextCleaner runs — there is no explicit unpersist because the
+    # caller's result plan still references this frame lazily.
+    # Per-epoch reshuffle loops (new salt each epoch) therefore
+    # accumulate one checkpointed copy of (id, key, bucket) per
+    # LIVE epoch frame; drop references to prior epochs' results (or
+    # del them) so GC can reclaim the blocks between epochs.
     group = (["stage"] if stage_col is not None else []) + ["bucket"]
     counts = {
         tuple(r[c] for c in group): r["n"]

@@ -77,8 +77,14 @@ def normalize_to_bits(col: Column, lo: int, hi: int, bits: int = 10) -> Column:
     # into OTHER columns' interleave positions (zvalue's %-decompose
     # assumes [0, 2^bits)) — a silently non-monotonic layout
     # (r4 code review). Clamped rows degrade to edge buckets, which
-    # only costs pruning precision, never correctness.
-    clamped = F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
+    # only costs pruning precision, never correctness. NULL inputs
+    # stay NULL: greatest()/least() skip NULLs, so without the guard
+    # a NULL value would silently land in bucket 0 and co-locate with
+    # minimum-value rows (r4 advice) — propagate instead, matching the
+    # pre-clamp behavior.
+    clamped = F.when(
+        col.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.least(F.greatest(col, F.lit(lo)), F.lit(hi)))
     return (
         ((clamped - F.lit(lo)).cast("bigint") * buckets / F.lit(span))
         .cast("bigint")

@@ -255,12 +255,17 @@ class VersionedStateStore:
             if v not in keep:
                 shutil.rmtree(os.path.join(self.root, name))
                 removed.append(v)
-        # CAS re-check at publish time, like commit(): a commit landing
-        # during the rmtree loop must not be rolled back by publishing
-        # the manifest read BEFORE the loop — that would regress
-        # `current`, drop the new version from history, and rewind the
-        # replay gates (the exact silent-update-loss the store's
-        # contract forbids; r4 code review). Fail loudly instead.
+        # Best-effort CAS re-check at publish time, like commit(): a
+        # commit landing during the rmtree loop must not be rolled
+        # back by publishing the manifest read BEFORE the loop — that
+        # would regress `current`, drop the new version from history,
+        # and rewind the replay gates (r4 code review). The check
+        # NARROWS the race window, it does not close it: a commit
+        # landing between this re-read and _publish() below is still
+        # silently rolled back. That residual window is acceptable
+        # under the store's documented single-writer contract
+        # (concurrent vacuum+commit is already a contract violation);
+        # this detection just makes the common overlap fail loudly.
         latest = self._read_manifest()
         if latest["current"] != m["current"]:
             raise CommitConflictError(

@@ -153,9 +153,12 @@ def mm4_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # must agree, so the oracle derives from the operator constants
 from trello_github_etl_spark.operators.multimodal import AHASH_CELLS as AHASH
 
-assert AHASH == _dedup_mod.HAMMING_SIG_BITS, (
-    "aHash cell count must equal the Hamming pairing signature width"
-)
+if AHASH != _dedup_mod.HAMMING_SIG_BITS:  # not assert: survives python -O
+    raise RuntimeError(
+        "aHash cell count must equal the Hamming pairing signature "
+        f"width (AHASH_CELLS={AHASH}, "
+        f"HAMMING_SIG_BITS={_dedup_mod.HAMMING_SIG_BITS})"
+    )
 
 
 def _ahash_cell_sql(b: int) -> str:

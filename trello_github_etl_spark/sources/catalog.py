@@ -276,7 +276,23 @@ def prepare_field_update(
             "updateProjectNextItemField; set it through the issue "
             "REST payload instead (labels/assignees on the issue)"
         )
-    value = str(value)  # lib/gh.js:493 — always stringified
+    # lib/gh.js:493 stringifies with JS toString(): null is rejected
+    # upstream (never reaches the mutation), and Numbers render
+    # without a trailing ".0" (2.0 -> "2"). Python's str() would
+    # produce "None" / "2.0" — diverging transport payloads (r4
+    # advice) — so match the reference's formatting explicitly.
+    if value is None:
+        raise ValueError(
+            f"field {f['name']!r}: value must not be None — the "
+            "reference rejects null field values before the mutation "
+            "(lib/gh.js:493)"
+        )
+    if isinstance(value, float) and value.is_integer():
+        value = str(int(value))  # JS Number toString: 2.0 -> "2"
+    elif isinstance(value, bool):
+        value = "true" if value else "false"  # JS Boolean toString
+    else:
+        value = str(value)
     options = (f.get("settings") or {}).get("options")
     if options:
         value = catalog.option_id(f["name"], value)
