@@ -79,7 +79,14 @@ HEADLINE = [
     # excluded here: at test scale its runtime is ~90% fixed per-round
     # job-scheduling overhead, not data work.
     "dd3_minhash_lsh_pairs",
-    "dd5_jaccard_pairs",
+    # dd5_jaccard_pairs (uncapped all-pairs-within-shingle, kept for
+    # oracle parity) was the last pair emitter in the headline with no
+    # inflation lever — 13.3 s at sf1 and the one quadratic surface
+    # reachable from the bench (VERDICT r4 watch item). The headline
+    # now benches its production twin dd7 (max_shingle_df=10 engaged,
+    # mirroring dd17's HAMMING_BAND_DF); measured effect in SCALE.md
+    # lesson 28.
+    "dd7_jaccard_df_capped",
     "s1_cosine_topk",
     "s4_ivf_topk",
     "mm1_decode_features",

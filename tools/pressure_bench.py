@@ -1,0 +1,114 @@
+"""Memory-pressure insurance for the dedup family (VERDICT r4 #2).
+
+All sf1 scale claims were measured on local[32] with the default 8g
+driver heap and never under pressure. This tool re-runs the heavy
+hitters at sf1 with CONSTRAINED resources — local[8], 4g heap (half
+the cores', half the memory's share per task is ~16x less than the
+comfortable config) — one fresh JVM per query so an OOM kills only
+its subprocess, and records per-query wall time + shuffle spill
+(memory/disk bytes spilled, summed over completed stages via the UI
+REST API) into PRESSURE_sf1.json. SCALE.md lesson 28 interprets the
+numbers.
+
+Usage: python tools/pressure_bench.py [--sf /root/repo/.data/sf1]
+                                      [--out PRESSURE_sf1.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+QUERIES = ["dd3_minhash_lsh_pairs", "dd5_jaccard_pairs",
+           "dd12_winnow_pairs", "dd14_semantic_dedup",
+           "dd17_simhash_hamming_pairs", "pipe7_clean_shuffle_pack"]
+
+CHILD = r"""
+import json, sys, time, urllib.request
+sys.path.insert(0, "/root/repo")
+from trello_github_etl_spark.session import get_spark
+from trello_github_etl_spark import registry
+registry.load_all()
+
+name, sf_dir = sys.argv[1], sys.argv[2]
+spark = get_spark(
+    f"pressure-{name}",
+    master="local[8]",
+    extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
+)
+spark.sparkContext.setLogLevel("ERROR")
+t0 = time.time()
+df = registry.QUERIES[name](spark, sf_dir)
+# same materialization discipline as bench.py: noop write runs the
+# full plan with every output column realized
+df.write.format("noop").mode("overwrite").save()
+secs = round(time.time() - t0, 1)
+
+app_id = spark.sparkContext.applicationId
+base = f"http://localhost:4057/api/v1/applications/{app_id}"
+stages = json.loads(urllib.request.urlopen(f"{base}/stages").read())
+mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+disk_spill = sum(s.get("diskBytesSpilled", 0) for s in stages)
+shuffle_write = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+peak_mem = max((s.get("peakExecutionMemory", 0) for s in stages), default=0)
+print("CHILD_RESULT " + json.dumps({
+    "secs": secs,
+    "memory_bytes_spilled": mem_spill,
+    "disk_bytes_spilled": disk_spill,
+    "shuffle_write_bytes": shuffle_write,
+    "peak_execution_memory": peak_mem,
+    "n_stages": len(stages),
+}))
+"""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/repo/.data/sf1")
+    ap.add_argument("--out", default="PRESSURE_sf1.json")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_DRIVER_MEM"] = "4g"
+    env["SPARK_GRAFT_CPUS"] = "8"
+
+    results: dict[str, dict] = {}
+    for name in args.names or QUERIES:
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-c", CHILD, name, args.sf],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        rec: dict = {}
+        for line in proc.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                rec = json.loads(line[len("CHILD_RESULT "):])
+        if not rec:
+            tail = (proc.stderr or "")[-2000:]
+            oom = "OutOfMemoryError" in tail or proc.returncode in (137, -9)
+            rec = {"error": "oom" if oom else f"exit {proc.returncode}",
+                   "secs": round(time.time() - t0, 1),
+                   "stderr_tail": tail.splitlines()[-5:]}
+        results[name] = rec
+        print(name, json.dumps(rec)[:200])
+
+    artifact = {
+        "sf": args.sf,
+        "config": {"master": "local[8]", "driver_memory": "4g",
+                   "comparison": "BENCH_sf1.json ran local[32] / 8g"},
+        "queries": results,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

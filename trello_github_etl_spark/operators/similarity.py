@@ -139,20 +139,23 @@ def lsh_topk(
     k: int = 5,
     query_vec: str = "q_vec",
     target_vec: str = "embedding",
+    num_planes: int = NUM_PLANES,
 ) -> DataFrame:
     """Approximate top-k: exact ranking *within* the query's LSH bucket.
 
-    The bucket join is an equi-join on the 8-bit key → candidates are
-    ~1/256 of the corpus per query; recall is traded for a 256× cut
-    in scored pairs. Multi-probe (flipping bits) would raise recall.
+    The bucket join is an equi-join on the ``num_planes``-bit key →
+    candidates are ~1/2^planes of the corpus per query; recall is
+    traded for that cut in scored pairs (RECALL.json has the measured
+    grid). Multi-probe (flipping bits) raises recall — see
+    multiprobe_lsh_topk.
     """
     from pyspark.sql.window import Window
 
-    qb = queries.withColumn("bucket", lsh_bucket(F.col(query_vec))).withColumn(
-        "_qn", norm(F.col(query_vec))
-    )
+    qb = queries.withColumn(
+        "bucket", lsh_bucket(F.col(query_vec), num_planes)
+    ).withColumn("_qn", norm(F.col(query_vec)))
     tb = ensure_parallelism(targets).withColumn(
-        "bucket", lsh_bucket(F.col(target_vec))
+        "bucket", lsh_bucket(F.col(target_vec), num_planes)
     ).withColumn("_tn", norm(F.col(target_vec)))
     scored = tb.join(F.broadcast(qb), "bucket").withColumn(
         "cos",

@@ -42,10 +42,11 @@ Two guards provide that:
 True multi-writer (a commit log with conflict *resolution*, not just
 detection) remains what a real table format adds.
 
-Swap decision (re-checked each round, VERDICT r2 #8 / r3 #7):
-delta-spark is still not importable (round 4, 2026-08-14: ``import
-delta`` fails and ``pip download delta-spark`` cannot reach any index
-— no network egress from this container), so the store stays. The swap recipe when it lands: DeltaTable.forPath +
+Swap decision (re-checked each round, VERDICT r2 #8 / r3 #7 / r4 #7):
+delta-spark is still not importable (round 5, 2026-08-14: ``import
+delta`` fails and ``pip download delta-spark`` cannot resolve any
+index host — no network egress from this container), so the store
+stays. The swap recipe when it lands: DeltaTable.forPath +
 ``MERGE INTO`` replaces merge(); version time travel replaces
 read(version); the CAS tests in tests/test_state_store.py and the
 sketch replay-gate tests are the behavioral contract the Delta-backed
