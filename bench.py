@@ -171,11 +171,18 @@ def main() -> None:
     print(f"# spread: {json.dumps(detail)}", file=sys.stderr)
     # Only a FULL headline run may overwrite the sibling artifact — a
     # SPARK_GRAFT_BENCH_QUERIES subset run would silently clobber it
-    # with partial data.
+    # with partial data. Non-default SF runs get their own sibling
+    # (BENCH_spread_sf1.json etc.) so the driver's sf0.1 artifact
+    # never carries another decade's numbers.
     if names_env is None:
+        spread_name = (
+            "BENCH_spread.json"
+            if SF_DIR.rstrip("/") == "/root/testdata/sf0.1"
+            else f"BENCH_spread_sf{sf}.json"
+        )
         try:
             with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_spread.json"),
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), spread_name),
                 "w",
             ) as fh:
                 json.dump(detail, fh, indent=1, sort_keys=True)

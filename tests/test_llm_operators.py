@@ -183,6 +183,40 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_split_leakage_flags_only_cross_split_groups(spark):
+    """Groups spanning splits are reported with the train/eval
+    breakdown; within-split dups, unique docs and NULL-text docs are
+    silent (NULL text carries no comparable content — the
+    exact_duplicates contract)."""
+    docs = spark.createDataFrame(
+        [
+            # fp A: train + test  -> leaks (1 train, 1 eval)
+            (1, "alpha beta", "train"),
+            (2, "Alpha  beta", "test"),  # same canonical form
+            # fp B: train + train -> duplicate but NOT a leak
+            (3, "gamma", "train"),
+            (4, "gamma", "train"),
+            # fp C: val + test + train -> leaks (1 train, 2 eval)
+            (5, "delta", "val"),
+            (6, "delta", "test"),
+            (7, "delta", "train"),
+            # unique + NULL text -> silent
+            (8, "epsilon", "test"),
+            (9, None, "train"),
+            (10, None, "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    got = {
+        r.keeper_id: (r.n_docs, r.n_splits, r.splits, r.n_train, r.n_eval)
+        for r in dedup.split_leakage(docs).collect()
+    }
+    assert got == {
+        1: (2, 2, "test,train", 1, 1),
+        5: (3, 3, "test,train,val", 1, 2),
+    }
+
+
 def test_pq_rerank_full_shortlist_equals_brute_force(spark):
     """The refine contract: with the shortlist as wide as the corpus,
     stage 1 cannot drop a true neighbor, so the exact re-rank must

@@ -79,6 +79,55 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_label: str = "train",
+) -> DataFrame:
+    """Cross-split contamination audit: content-identical documents
+    that span more than one train/val/test split — the duplication
+    mode that silently inflates eval scores (a test doc whose exact
+    copy sits in train is memorization, not generalization; cf.
+    Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better", §5 train-test overlap).
+
+    One hash-aggregation keyed by the content fingerprint — the same
+    single-shuffle shape as exact_duplicates, NO pair expansion, so
+    it runs at any corpus size for the cost of a groupBy. Emits one
+    row per leaking fingerprint group: member/split counts, the
+    sorted split list, the keeper (min id), and the train/eval
+    breakdown (``n_eval`` docs outside ``train_label`` are the ones
+    whose eval contribution is contaminated). NULL-text docs carry
+    no comparable content and are excluded, matching
+    exact_duplicates' NULL-fp contract.
+    """
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(split_col).alias("split"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.array_join(
+                F.sort_array(F.collect_set("split")), ","
+            ).alias("splits"),
+            F.min("doc_id").alias("keeper_id"),
+            F.count(
+                F.when(F.col("split") == train_label, F.lit(1))
+            ).alias("n_train"),
+            F.count(
+                F.when(F.col("split") != train_label, F.lit(1))
+            ).alias("n_eval"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:

@@ -397,6 +397,65 @@ _registry.ORACLES["dd3_minhash_lsh_pairs"] = (
 )
 
 
+_SQL_SPLIT_OF = (
+    "CASE WHEN " + SQL_H60.format(x="'split|' || CAST({d} AS VARCHAR)")
+    + " % 100 < 80 THEN 'train' WHEN "
+    + SQL_H60.format(x="'split|' || CAST({d} AS VARCHAR)")
+    + " % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+_registry.ORACLES["dd19_near_dup_split_leakage"] = (
+    "WITH " + _LSH_PAIRS_CHAIN + f"""
+    SELECT doc_a, doc_b,
+           {_SQL_SPLIT_OF.format(d='doc_a')} AS split_a,
+           {_SQL_SPLIT_OF.format(d='doc_b')} AS split_b
+    FROM cand_pairs
+    WHERE {_SQL_SPLIT_OF.format(d='doc_a')} <> {_SQL_SPLIT_OF.format(d='doc_b')}
+    """
+)
+
+
+def _split_of(doc_col: F.Column) -> F.Column:
+    """samp1's 80/10/10 split as a PURE function of the doc id — the
+    property hash-splits exist for: any operator can recover a row's
+    split from its key alone, no join against an assignment table."""
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), doc_col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@query("dd19_near_dup_split_leakage", oracle=None)  # assigned above
+def dd19_near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd18's NEAR-dup sibling: MinHash/LSH candidate pairs whose
+    endpoints hash into different train/val/test splits — paraphrase-
+    level contamination that exact fingerprints (dd18) cannot see
+    (Lee et al. 2022 §5 measures eval inflation from exactly these).
+    Because the split is a pure function of doc_id (_split_of), the
+    audit decorates dd3's banded pair stream with two narrow column
+    expressions and one filter — NO join against an assignment table,
+    so its cost is dd3's cost at any corpus size."""
+    pairs = dedup.minhash_lsh_pairs(_augmented_docs(spark, sf_dir))
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        _split_of(F.col("doc_a")).alias("split_a"),
+        _split_of(F.col("doc_b")).alias("split_b"),
+    )
+    return out.filter(F.col("split_a") != F.col("split_b"))
+
+
 @query(
     "dd16_pagerank_dup_graph",
     oracle="WITH RECURSIVE " + _LSH_PAIRS_CHAIN + """,
@@ -561,6 +620,63 @@ def dd17_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd5_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_augmented_docs(spark, sf_dir))
+
+
+@query(
+    "dd18_split_leakage",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {SQL_H60.format(x="'split|' || CAST(doc_id AS VARCHAR)")} % 100
+               AS b
+      FROM docs WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT fp, doc_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM fp
+    )
+    SELECT fp, COUNT(*) AS n_docs,
+           COUNT(DISTINCT split) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+           MIN(doc_id) AS keeper_id,
+           COUNT(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+           COUNT(CASE WHEN split <> 'train' THEN 1 END) AS n_eval
+    FROM s GROUP BY fp
+    HAVING COUNT(DISTINCT split) > 1
+    """,
+)
+def dd18_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: exact-dup groups spanning more
+    than one of samp1's deterministic 80/10/10 hash splits, over the
+    planted-duplicate corpus (every doc_id%5 doc has a byte-identical
+    copy whose id hashes to an independent split — the leak the audit
+    must catch). One fp-keyed hash-agg, no pair expansion: the audit
+    costs a groupBy at any corpus size, which is why it belongs in
+    the standing pipeline rather than a one-off notebook. n_eval
+    counts the contaminated val/test members per group."""
+    docs = _augmented_docs(spark, sf_dir)
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return dedup.split_leakage(docs.withColumn("split", split))
 
 
 # ---------------------------------------------------------------------------
