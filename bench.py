@@ -106,6 +106,9 @@ HEADLINE = [
     "pipe9_curriculum_order",
     "mm5_image_ahash_pairs",
     "dq1_expectations",
+    # round-5 additions
+    "dd18_split_leakage",
+    "dd19_near_dup_split_leakage",
 ]
 
 

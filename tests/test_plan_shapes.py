@@ -265,3 +265,23 @@ def test_no_inferred_filter_duplicates_generator_input(spark):
                     "expensive expression duplicated into an inferred "
                     "filter:\n" + line[:300]
                 )
+
+
+def test_split_leakage_is_one_hash_agg_no_joins(spark):
+    """dd18's whole contamination audit must stay ONE fp-keyed
+    hash-aggregation: no join against a split-assignment table (the
+    split is computed inline from doc_id) and no pair expansion.
+    The only exchanges allowed are ensure_parallelism's round-robin
+    and the single hash-partitioning for the groupBy."""
+    plan = _plan(_q(spark, "dd18_split_leakage"))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") <= 1
+
+
+def test_near_dup_leakage_adds_no_join_over_dd3(spark):
+    """dd19 decorates dd3's banded pair stream with two narrow split
+    expressions and a filter — same number of join operators as dd3
+    itself (the band self-join), no assignment-table join on top."""
+    dd3_joins = _plan(_q(spark, "dd3_minhash_lsh_pairs")).count("Join")
+    dd19_joins = _plan(_q(spark, "dd19_near_dup_split_leakage")).count("Join")
+    assert dd19_joins == dd3_joins

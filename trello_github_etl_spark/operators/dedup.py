@@ -108,14 +108,15 @@ def split_leakage(
         F.col(split_col).alias("split"),
         fingerprint(F.col(text_col)).alias("fp"),
     ).filter(F.col("fp").isNotNull())
+    # n_splits comes from the collect_set we aggregate anyway — a
+    # count(DISTINCT split) would force Spark's two-phase distinct
+    # aggregation and a SECOND fp-keyed shuffle (caught by the dd18
+    # plan pin); deriving it keeps the audit at exactly one exchange.
     return (
         fp.groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),
-            F.countDistinct("split").alias("n_splits"),
-            F.array_join(
-                F.sort_array(F.collect_set("split")), ","
-            ).alias("splits"),
+            F.sort_array(F.collect_set("split")).alias("_splits"),
             F.min("doc_id").alias("keeper_id"),
             F.count(
                 F.when(F.col("split") == train_label, F.lit(1))
@@ -124,7 +125,14 @@ def split_leakage(
                 F.when(F.col("split") != train_label, F.lit(1))
             ).alias("n_eval"),
         )
+        .withColumn("n_splits", F.size("_splits").cast("bigint"))
+        .withColumn("splits", F.array_join("_splits", ","))
+        .drop("_splits")
         .filter(F.col("n_splits") > 1)
+        .select(
+            "fp", "n_docs", "n_splits", "splits",
+            "keeper_id", "n_train", "n_eval",
+        )
     )
 
 
