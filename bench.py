@@ -109,6 +109,7 @@ HEADLINE = [
     # round-5 additions
     "dd18_split_leakage",
     "dd19_near_dup_split_leakage",
+    "dd20_train_decontaminate",
 ]
 
 

@@ -217,6 +217,29 @@ def test_split_leakage_flags_only_cross_split_groups(spark):
     }
 
 
+def test_split_decontaminate_purges_only_contaminated_train(spark):
+    """Only TRAIN docs whose fp appears in an eval split are purged;
+    eval rows, clean train dups and NULL-text rows survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "train"),   # contaminated by 2 -> purged
+            (2, "Alpha  beta", "test"),
+            (3, "gamma", "train"),        # train-only dup -> kept
+            (4, "gamma", "train"),
+            (5, "delta", "val"),          # eval-only dup -> kept
+            (6, "delta", "test"),
+            (7, "delta", "train"),        # contaminated by 5 AND 6
+            (8, None, "train"),           # NULL text never matches
+        ],
+        "doc_id long, text string, split string",
+    )
+    got = {
+        r.doc_id: r.eval_splits
+        for r in dedup.split_decontaminate(docs).collect()
+    }
+    assert got == {1: "test", 7: "test,val"}
+
+
 def test_pq_rerank_full_shortlist_equals_brute_force(spark):
     """The refine contract: with the shortlist as wide as the corpus,
     stage 1 cannot drop a true neighbor, so the exact re-rank must

@@ -136,6 +136,49 @@ def split_leakage(
     )
 
 
+def split_decontaminate(
+    docs: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_label: str = "train",
+) -> DataFrame:
+    """The audit's (split_leakage's) enforcement half: emit the TRAIN
+    documents whose content fingerprint also appears in any eval
+    split — the rows a leakage-safe pipeline must drop before
+    training (eval stays pristine; train is what gives up its
+    contaminated members, since dropping eval rows would silently
+    shrink the benchmark).
+
+    Plan: one fp-keyed aggregation over the eval side (distinct fps
+    with their sorted split list), then one equi-join from the train
+    side — the eval side is the small fraction of the corpus by
+    construction (val+test of an 80/10/10 split), so AQE broadcasts
+    it when it fits and hash-joins on fp otherwise; either way the
+    train side streams through once. Output is only the purge list
+    (doc_id, fp, eval_splits), KB-scale relative to the corpus.
+    """
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(split_col).alias("split"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    eval_fps = (
+        fp.filter(F.col("split") != train_label)
+        .groupBy("fp")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("split")), ","
+            ).alias("eval_splits")
+        )
+    )
+    return (
+        fp.filter(F.col("split") == train_label)
+        .join(eval_fps, "fp")
+        .select("doc_id", "fp", "eval_splits")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:

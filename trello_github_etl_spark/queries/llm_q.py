@@ -436,6 +436,40 @@ def _split_of(doc_col: F.Column) -> F.Column:
     )
 
 
+@query(
+    "dd20_train_decontaminate",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_SQL_SPLIT_OF.format(d='doc_id')} AS split
+      FROM docs WHERE text IS NOT NULL
+    ),
+    eval_fps AS (
+      SELECT fp,
+             array_to_string(list_sort(list(DISTINCT split)), ',')
+               AS eval_splits
+      FROM fp WHERE split <> 'train' GROUP BY fp
+    )
+    SELECT t.doc_id, t.fp, e.eval_splits
+    FROM fp t JOIN eval_fps e USING (fp)
+    WHERE t.split = 'train'
+    """,
+)
+def dd20_train_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd18's enforcement half: the train docs a leakage-safe
+    pipeline must DROP because their exact content sits in val/test
+    (eval stays pristine, train gives up its contaminated members).
+    One eval-side fp aggregation + one equi-join; the eval side is
+    ~20% of the corpus by split construction, so AQE broadcasts when
+    it fits (see operators/dedup.split_decontaminate)."""
+    docs = _augmented_docs(spark, sf_dir)
+    return dedup.split_decontaminate(
+        docs.withColumn("split", _split_of(F.col("doc_id")))
+    )
+
+
 @query("dd19_near_dup_split_leakage", oracle=None)  # assigned above
 def dd19_near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd18's NEAR-dup sibling: MinHash/LSH candidate pairs whose
