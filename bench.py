@@ -179,10 +179,15 @@ def main() -> None:
     # (BENCH_spread_sf1.json etc.) so the driver's sf0.1 artifact
     # never carries another decade's numbers.
     if names_env is None:
+        # sf must be a bare number to name a file with — an SF_DIR
+        # without an 'sf<N>' suffix would otherwise bake a PATH into
+        # the filename and the open() below would fail silently into
+        # the read-only-checkout except (r5 code review)
+        sf_token = sf if sf.replace(".", "", 1).isdigit() else "custom"
         spread_name = (
             "BENCH_spread.json"
             if SF_DIR.rstrip("/") == "/root/testdata/sf0.1"
-            else f"BENCH_spread_sf{sf}.json"
+            else f"BENCH_spread_sf{sf_token}.json"
         )
         try:
             with open(

@@ -198,6 +198,25 @@ def test_set_field_value_sequence_mirrors_reference():
     with pytest.raises(ValueError, match="must not be None"):
         prepare_field_update(cat, "ITEM1", "Dash Bounty", None)
 
+    # full JS Number.toString parity across format regimes (r5 review:
+    # the first fix only covered int-valued floats in normal range)
+    js_pairs = [
+        (1e21, "1e+21"),          # integer-valued but >= 1e21: exponent
+        (1.5e22, "1.5e+22"),
+        (1e-7, "1e-7"),           # JS strips the exponent zero-pad
+        (1.23e-7, "1.23e-7"),
+        (0.000015, "0.000015"),   # [1e-6,1e-4): Python repr would be 1.5e-05
+        (0.0001, "0.0001"),
+        (float("nan"), "NaN"),
+        (float("inf"), "Infinity"),
+        (float("-inf"), "-Infinity"),
+        (0.0, "0"),
+        (-3.0, "-3"),
+    ]
+    for v, expect in js_pairs:
+        got = prepare_field_update(cat, "ITEM1", "Dash Bounty", v)["value"]
+        assert got == expect, f"{v!r}: {got!r} != {expect!r}"
+
     # built-in "Labels" write fails loudly — the negative assertion
     with pytest.raises(UnsupportedFieldError, match="Labels"):
         prepare_field_update(cat, "ITEM1", "Labels", "bug")

@@ -217,6 +217,26 @@ def test_split_leakage_flags_only_cross_split_groups(spark):
     }
 
 
+def test_split_leakage_null_split_fails_loudly(spark):
+    """A NULL split is a caller bug, not data: collect_set would
+    silently skip it (a train+NULL group never flags and the counts
+    stop summing to n_docs), so both operators raise instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "train"), (2, "alpha", None)],
+        "doc_id long, text string, split string",
+    )
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
+                       match="NULL split"):
+        dedup.split_leakage(docs).collect()
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
+                       match="NULL split"):
+        dedup.split_decontaminate(docs).collect()
+
+
 def test_split_decontaminate_purges_only_contaminated_train(spark):
     """Only TRAIN docs whose fp appears in an eval split are purged;
     eval rows, clean train dups and NULL-text rows survive."""

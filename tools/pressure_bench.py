@@ -23,13 +23,15 @@ import subprocess
 import sys
 import time
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 QUERIES = ["dd3_minhash_lsh_pairs", "dd5_jaccard_pairs",
            "dd12_winnow_pairs", "dd14_semantic_dedup",
            "dd17_simhash_hamming_pairs", "pipe7_clean_shuffle_pack"]
 
 CHILD = r"""
 import json, sys, time, urllib.request
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[3])  # repo root from the parent — never a hardcoded checkout
 from trello_github_etl_spark.session import get_spark
 from trello_github_etl_spark import registry
 registry.load_all()
@@ -41,6 +43,10 @@ spark = get_spark(
     extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
 )
 spark.sparkContext.setLogLevel("ERROR")
+# the ACTUAL bound address: on a port collision Spark walks up via
+# spark.port.maxRetries, and scraping the hardcoded port would read a
+# DIFFERENT app's UI after this query already paid its full runtime
+ui_base = spark.sparkContext.uiWebUrl
 t0 = time.time()
 df = registry.QUERIES[name](spark, sf_dir)
 # same materialization discipline as bench.py: noop write runs the
@@ -49,7 +55,7 @@ df.write.format("noop").mode("overwrite").save()
 secs = round(time.time() - t0, 1)
 
 app_id = spark.sparkContext.applicationId
-base = f"http://localhost:4057/api/v1/applications/{app_id}"
+base = f"{ui_base}/api/v1/applications/{app_id}"
 stages = json.loads(urllib.request.urlopen(f"{base}/stages").read())
 mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
 disk_spill = sum(s.get("diskBytesSpilled", 0) for s in stages)
@@ -80,11 +86,20 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in args.names or QUERIES:
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-c", CHILD, name, args.sf],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
         rec: dict = {}
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", CHILD, name, args.sf, REPO_ROOT],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # a GC-thrashing query is exactly what this tool probes
+            # for — record it and keep sweeping instead of losing
+            # every completed result (r5 code review)
+            results[name] = {"error": "timeout>1800s",
+                             "secs": round(time.time() - t0, 1)}
+            print(name, json.dumps(results[name]))
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("CHILD_RESULT "):
                 rec = json.loads(line[len("CHILD_RESULT "):])

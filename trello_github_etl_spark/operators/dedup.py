@@ -101,13 +101,29 @@ def split_leakage(
     breakdown (``n_eval`` docs outside ``train_label`` are the ones
     whose eval contribution is contaminated). NULL-text docs carry
     no comparable content and are excluded, matching
-    exact_duplicates' NULL-fp contract.
+    exact_duplicates' NULL-fp contract; a NULL SPLIT is a caller
+    bug, not data — collect_set would silently skip it (a train+NULL
+    group would never flag, and n_train+n_eval would undercount
+    n_docs), so it fails loudly instead (r5 code review).
     """
     fp = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(split_col).alias("split"),
         fingerprint(F.col(text_col)).alias("fp"),
     ).filter(F.col("fp").isNotNull())
+    fp = fp.withColumn(
+        "split",
+        F.when(
+            F.col("split").isNull(),
+            F.raise_error(
+                F.lit(
+                    "split_leakage: NULL split value — every doc must "
+                    "carry a split assignment (hash-derive it like "
+                    "dd18 does) before auditing"
+                )
+            ),
+        ).otherwise(F.col("split")),
+    )
     # n_splits comes from the collect_set we aggregate anyway — a
     # count(DISTINCT split) would force Spark's two-phase distinct
     # aggregation and a SECOND fp-keyed shuffle (caught by the dd18
@@ -157,12 +173,26 @@ def split_decontaminate(
     it when it fits and hash-joins on fp otherwise; either way the
     train side streams through once. Output is only the purge list
     (doc_id, fp, eval_splits), KB-scale relative to the corpus.
+    NULL text is excluded (no comparable content); NULL split fails
+    loudly — same contracts as split_leakage.
     """
     fp = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(split_col).alias("split"),
         fingerprint(F.col(text_col)).alias("fp"),
     ).filter(F.col("fp").isNotNull())
+    fp = fp.withColumn(
+        "split",
+        F.when(
+            F.col("split").isNull(),
+            F.raise_error(
+                F.lit(
+                    "split_decontaminate: NULL split value — assign "
+                    "every doc a split before purging"
+                )
+            ),
+        ).otherwise(F.col("split")),
+    )
     eval_fps = (
         fp.filter(F.col("split") != train_label)
         .groupBy("fp")

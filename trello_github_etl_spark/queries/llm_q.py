@@ -418,15 +418,13 @@ _registry.ORACLES["dd19_near_dup_split_leakage"] = (
 def _split_of(doc_col: F.Column) -> F.Column:
     """samp1's 80/10/10 split as a PURE function of the doc id — the
     property hash-splits exist for: any operator can recover a row's
-    split from its key alone, no join against an assignment table."""
+    split from its key alone, no join against an assignment table.
+    The hash is dedup._token_hash60 (the engine's one 60-bit md5
+    convention) salted 'split|', matching _SQL_SPLIT_OF exactly."""
     b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split|"), doc_col.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        dedup._token_hash60(
+            F.concat(F.lit("split|"), doc_col.cast("string"))
+        )
         % 100
     )
     return (
@@ -693,24 +691,9 @@ def dd18_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standing pipeline rather than a one-off notebook. n_eval
     counts the contaminated val/test members per group."""
     docs = _augmented_docs(spark, sf_dir)
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
+    return dedup.split_leakage(
+        docs.withColumn("split", _split_of(F.col("doc_id")))
     )
-    split = (
-        F.when(b < 80, F.lit("train"))
-        .when(b < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return dedup.split_leakage(docs.withColumn("split", split))
 
 
 # ---------------------------------------------------------------------------

@@ -287,10 +287,33 @@ def prepare_field_update(
             "reference rejects null field values before the mutation "
             "(lib/gh.js:493)"
         )
-    if isinstance(value, float) and value.is_integer():
-        value = str(int(value))  # JS Number toString: 2.0 -> "2"
-    elif isinstance(value, bool):
+    if isinstance(value, bool):
         value = "true" if value else "false"  # JS Boolean toString
+    elif isinstance(value, float):
+        import math
+        import re as _re
+
+        if math.isnan(value):
+            value = "NaN"  # JS String(NaN)
+        elif math.isinf(value):
+            value = "Infinity" if value > 0 else "-Infinity"
+        elif value.is_integer() and abs(value) < 1e21:
+            # JS prints integer Numbers below 1e21 in full decimal
+            value = str(int(value))
+        elif value != 0 and 1e-6 <= abs(value) < 1e21:
+            # JS stays positional in this whole range; Python's repr
+            # goes exponential below 1e-4, so re-expand the shortest
+            # round-trip digits positionally (Decimal('1.5e-05') ->
+            # '0.000015') and trim any trailing zeros it introduces
+            from decimal import Decimal
+
+            value = format(Decimal(repr(value)), "f")
+            if "." in value:
+                value = value.rstrip("0").rstrip(".")
+        else:
+            # exponent range (<1e-6 or >=1e21): repr matches JS except
+            # for the zero-padded exponent (1e-07 vs JS 1e-7) — strip
+            value = _re.sub(r"e([+-])0(\d)$", r"e\1\2", repr(value))
     else:
         value = str(value)
     options = (f.get("settings") or {}).get("options")
