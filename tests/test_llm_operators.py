@@ -1510,3 +1510,80 @@ def test_zero_vector_never_outranks_real_neighbors(spark):
     ranked = sorted(top, key=lambda r: r.rank)
     assert [r.vec_id for r in ranked] == [0, 1, 2]
     assert ranked[-1].cos == 0.0  # the zero vector, defined not NaN
+
+
+def test_repeated_ngram_coverage_interval_union(spark):
+    """Lee-et-al span audit: exact copies reach coverage 1.0; a
+    WITHIN-doc repeat is flagged too (the suffix-array criterion
+    counts occurrences, not documents); overlapping flagged spans
+    are union-counted, never double-counted; unique docs drop out."""
+    from trello_github_etl_spark.operators import dedup
+
+    w = lambda *xs: " ".join(xs)  # noqa: E731
+    phrase = w(*(f"p{i}" for i in range(8)))  # one exact 8-gram
+    docs = spark.createDataFrame(
+        [
+            # 1 & 2: byte-identical 10-token docs -> every position
+            # flagged, overlapping spans union to exactly n_tokens
+            (1, phrase + " tail1 tail2"),
+            (2, phrase + " tail1 tail2"),
+            # 3: the phrase twice INSIDE one doc, separated by one
+            # token: flagged starts {0, 9}, union = 8 + 8 = 16 of 17
+            (3, phrase + " sep " + phrase),
+            # 4: unique content, no repeated 8-gram anywhere
+            (4, w(*(f"u{i}" for i in range(12)))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in dedup.repeated_ngram_coverage(docs).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2):
+        assert rows[d].n_tokens == 10
+        assert rows[d].n_flagged == 3  # starts 0,1,2 all flagged
+        assert rows[d].covered == 10  # 8 + 1 + 1: union, not 24
+        assert rows[d].coverage == 1.0
+    assert rows[3].n_flagged == 2 and rows[3].covered == 16
+    assert abs(rows[3].coverage - 16 / 17) < 1e-15
+
+
+def test_repeated_ngram_coverage_min_count_lever(spark):
+    """min_count is the df lever: at 3 a twice-occurring gram stops
+    flagging (boilerplate thresholding), and NULL text drops out
+    rather than crashing the tokenizer."""
+    from trello_github_etl_spark.operators import dedup
+
+    phrase = " ".join(f"q{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, phrase), (2, phrase), (3, None)],
+        "doc_id long, text string",
+    )
+    assert dedup.repeated_ngram_coverage(docs, min_count=3).count() == 0
+    got = dedup.repeated_ngram_coverage(docs, min_count=2)
+    assert {r.doc_id for r in got.collect()} == {1, 2}
+
+
+def test_repeated_ngram_strategies_agree(spark):
+    """'grouped' (single-pass, measured 2x faster) and 'rescan' (no
+    per-group buffering, the giant-boilerplate fallback) are plan
+    strategies, not semantics — identical output; unknown strategies
+    fail loudly."""
+    import pytest
+
+    from trello_github_etl_spark.operators import dedup
+
+    phrase = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, phrase + " a b"), (2, phrase + " c"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, dedup.repeated_ngram_coverage(docs, strategy="grouped").collect())
+    )
+    b = sorted(
+        map(tuple, dedup.repeated_ngram_coverage(docs, strategy="rescan").collect())
+    )
+    assert a == b and len(a) == 2
+    with pytest.raises(ValueError, match="strategy"):
+        dedup.repeated_ngram_coverage(docs, strategy="windowed")

@@ -285,3 +285,14 @@ def test_near_dup_leakage_adds_no_join_over_dd3(spark):
     dd3_joins = _plan(_q(spark, "dd3_minhash_lsh_pairs")).count("Join")
     dd19_joins = _plan(_q(spark, "dd19_near_dup_split_leakage")).count("Join")
     assert dd19_joins == dd3_joins
+
+
+def test_dd21_grouped_reads_corpus_once_no_join(spark):
+    """dd21's default ('grouped') strategy: one tokenize+hash pass —
+    the augmented corpus is 3 unioned scans of documents.parquet, and
+    they must appear exactly once (the 'rescan' strategy doubles
+    them), with no join operator anywhere (flagging happens by
+    in-group array expansion, not a hot-set probe)."""
+    plan = _plan(_q(spark, "dd21_repeated_ngram_coverage"))
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 3

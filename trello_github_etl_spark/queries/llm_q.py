@@ -1148,6 +1148,57 @@ def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(corpus, bench, threshold=0.5)
 
 
+@query(
+    "dd21_repeated_ngram_coverage",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+        list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+          i -> {SQL_H60.format(x="array_to_string(list_slice(tk, i, i + 7), ' ')")}) AS hs
+      FROM toks
+    ),
+    posh AS (
+      SELECT doc_id, n_tokens, u.pos, u.h FROM (
+        SELECT doc_id, n_tokens,
+          unnest(list_transform(range(1, len(hs) + 1),
+            i -> {{'pos': i - 1, 'h': hs[i]}})) AS u
+        FROM grams
+      )
+    ),
+    hot AS (SELECT h FROM posh GROUP BY h HAVING COUNT(*) >= 2),
+    flagged AS (
+      SELECT p.doc_id, p.n_tokens, p.pos FROM posh p JOIN hot USING (h)
+    ),
+    contrib AS (
+      SELECT doc_id, n_tokens, pos,
+        least(8, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)) AS add0
+      FROM flagged
+    )
+    SELECT doc_id, n_tokens, COUNT(*) AS n_flagged,
+           CAST(SUM(COALESCE(add0, 8)) AS BIGINT) AS covered,
+           CAST(SUM(COALESCE(add0, 8)) AS DOUBLE) / n_tokens AS coverage
+    FROM contrib GROUP BY doc_id, n_tokens
+    """,
+)
+def dd21_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup audit (Lee et al. 2022): per-doc fraction
+    of token positions covered by word 8-grams that occur >= 2 times
+    anywhere in the corpus. The planted exact copies (doc_id%5) drive
+    their sources and twins to coverage 1.0; the near-copies (%7,
+    one appended token) land just below; organically unique docs drop
+    out. See operators/dedup.repeated_ngram_coverage for the scale
+    shape (corpus-linear: posexplode -> 8-byte-hash count ->
+    ReusedExchange join -> sorted-interval union; no pair expansion,
+    no covered-position explode)."""
+    return dedup.repeated_ngram_coverage(
+        ensure_parallelism(_augmented_docs(spark, sf_dir))
+    )
+
+
 # PII patterns shared verbatim by java.util.regex and DuckDB's RE2:
 # no lookarounds, no backrefs, char classes + bounded repeats only.
 RE_EMAIL = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z][a-z]+"
