@@ -1587,3 +1587,60 @@ def test_repeated_ngram_strategies_agree(spark):
     assert a == b and len(a) == 2
     with pytest.raises(ValueError, match="strategy"):
         dedup.repeated_ngram_coverage(docs, strategy="windowed")
+
+
+def test_t16_vocab_tiebreak_and_oov(spark, tmp_path):
+    """Top-K vocab selection breaks count ties lexicographically (17
+    equal-count tokens -> the 16 smallest win), and per-source OOV is
+    exact: the all-tied source loses 1/17 of its instances, a source
+    of pure tail tokens is 100% OOV."""
+    import os
+
+    import __spark_entry__ as entry
+
+    head = " ".join(f"a{i:02d}" for i in range(1, 18))  # a01..a17
+    rows = [(i, head, "en", "head", len(head)) for i in range(3)]
+    rows += [(100, "b1 b2 b3 b4", "en", "tail", 11)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.source: r for r in entry.queries()["t16_vocab_coverage"](spark, sf).collect()}
+    assert out["head"].n_instances == 51 and out["head"].n_covered == 48
+    assert abs(out["head"].oov_rate - 3 / 51) < 1e-15
+    assert out["tail"].n_covered == 0 and out["tail"].oov_rate == 1.0
+
+
+def test_samp6_epoch_cap_and_temperature(spark, tmp_path):
+    """The 4-epoch cap binds exactly the sources whose sqrt-weighted
+    request exceeds 4 passes of their own mass; shares sum to 1;
+    effective chars never exceed the budget; the temperature exponent
+    upsamples the tail (epochs decrease with source mass)."""
+    import os
+
+    import __spark_entry__ as entry
+
+    rows = []
+    did = 0
+    for src, n_docs, chars in [("tiny", 2, 50), ("mid", 20, 100), ("big", 2000, 500)]:
+        for _ in range(n_docs):
+            rows.append((did, "x", "en", src, chars))
+            did += 1
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.source: r for r in entry.queries()["samp6_epoch_mix"](spark, sf).collect()}
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
+    budget_used = sum(r.effective_chars for r in out.values())
+    assert budget_used <= 600_000 * (1 + 1e-12)
+    for r in out.values():
+        assert r.epochs <= 4.0
+        assert r.saturated == (r.epochs == 4.0)
+        assert abs(r.effective_chars - r.epochs * r.t_chars) < 1e-9
+    masses = sorted(out.values(), key=lambda r: r.t_chars)
+    epochs_by_mass = [r.epochs for r in masses]
+    assert epochs_by_mass == sorted(epochs_by_mass, reverse=True)
+    assert out["tiny"].saturated and not out["big"].saturated

@@ -2195,3 +2195,87 @@ def s14_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return similarity.matryoshka_rerank_topk(q, emb)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-budget planning
+# ---------------------------------------------------------------------------
+T16_VOCAB_K = 16
+
+
+@query(
+    "t16_vocab_coverage",
+    oracle=f"""
+    WITH inst AS (
+      SELECT source, unnest({SQL_TOKENS.format(t='text')}) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, tok, COUNT(*) AS c FROM inst GROUP BY source, tok
+    ),
+    tot AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS tc FROM counts GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY tc DESC, tok ASC) AS r
+        FROM tot
+      ) WHERE r <= {T16_VOCAB_K}
+    )
+    SELECT c.source,
+           CAST(SUM(c.c) AS BIGINT) AS n_instances,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.c ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           1.0 - CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.c ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(c.c) AS DOUBLE) AS oov_rate
+    FROM counts c LEFT JOIN vocab v USING (tok)
+    GROUP BY c.source
+    """,
+)
+def t16_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: per-source OOV rate against the
+    corpus's own top-K vocabulary (the go/no-go stat for sizing a
+    vocab before training a tokenizer on a new mix — a source whose
+    instances fall outside the shared head fragments into long
+    subword sequences).
+
+    Scale shape: ONE explode of the corpus into (source, token)
+    counts — every later frame derives from that aggregate, never
+    from the raw corpus. Token totals re-aggregate the counts frame
+    (vocab-domain-sized input), the top-K rank runs on the
+    vocab-sized totals frame (a SinglePartition sort of KBs — the
+    ONLY place a global sort is acceptable, cf. SCALE.md lesson 19),
+    and the K-row vocab broadcasts back onto the counts frame. At
+    100 TB the corpus-proportional work is exactly the one
+    (source, token) map-side-combined shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    inst = exploded(
+        docs.select("source", textstats.tokens(F.col("text")).alias("tk")),
+        ["source"],
+        F.col("tk"),
+        "tok",
+    )
+    counts = inst.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("tok").agg(F.sum("c").alias("tc"))
+    w = Window.orderBy(F.col("tc").desc(), F.col("tok").asc())
+    vocab = (
+        tot.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= T16_VOCAB_K)
+        .select("tok", F.lit(1).alias("_v"))
+    )
+    cov = F.sum(
+        F.when(F.col("_v").isNotNull(), F.col("c")).otherwise(F.lit(0))
+    )
+    return (
+        counts.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_instances"),
+            cov.alias("n_covered"),
+            (
+                F.lit(1.0)
+                - cov.cast("double") / F.sum("c").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

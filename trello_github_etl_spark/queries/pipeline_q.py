@@ -1168,3 +1168,84 @@ def pipe9_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = docs.select("doc_id", stage.alias("stage"))
     return packing.curriculum_order(staged)
+
+
+SAMP6_BUDGET = 600_000  # total training budget, in chars
+SAMP6_MAX_EPOCHS = 4.0  # Muennighoff et al. repeat-value knee
+
+
+@query(
+    "samp6_epoch_mix",
+    oracle=f"""
+    WITH tots AS (
+      SELECT source, SUM(CAST(n_chars AS BIGINT)) AS t_chars
+      FROM documents GROUP BY source HAVING SUM(n_chars) > 0
+    ),
+    wts AS (
+      SELECT source, t_chars,
+             CAST(floor(sqrt(CAST(t_chars AS DOUBLE)) * 1e9) AS BIGINT) AS q
+      FROM tots
+    ),
+    denom AS (SELECT SUM(q) AS d FROM wts)
+    SELECT source, t_chars,
+           CAST(q AS DOUBLE) / CAST(d AS DOUBLE) AS share,
+           least({SAMP6_MAX_EPOCHS},
+                 (CAST({SAMP6_BUDGET} AS DOUBLE)
+                    * (CAST(q AS DOUBLE) / CAST(d AS DOUBLE)))
+                   / CAST(t_chars AS DOUBLE)) AS epochs,
+           least({SAMP6_MAX_EPOCHS},
+                 (CAST({SAMP6_BUDGET} AS DOUBLE)
+                    * (CAST(q AS DOUBLE) / CAST(d AS DOUBLE)))
+                   / CAST(t_chars AS DOUBLE))
+             * CAST(t_chars AS DOUBLE) AS effective_chars,
+           (CAST({SAMP6_BUDGET} AS DOUBLE)
+              * (CAST(q AS DOUBLE) / CAST(d AS DOUBLE)))
+             / CAST(t_chars AS DOUBLE) >= {SAMP6_MAX_EPOCHS} AS saturated
+    FROM wts, denom
+    """,
+)
+def samp6_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixing (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"): split a total training budget
+    across sources by temperature-0.5 weights (sqrt of source mass —
+    the standard upsample-the-tail exponent), but cap every source at
+    4 epochs of its unique data — the measured knee past which
+    repeated tokens stop contributing. Emits per source the share,
+    the resulting repeat-epoch count, the effective (budget-weighted)
+    chars, and whether the cap bound it; Σ effective_chars of
+    unsaturated sources is what a scheduler would re-spread.
+
+    Determinism: the only cross-row reduction is Σ of PER-SOURCE
+    weights — quantized to exact BIGINT (floor(sqrt·1e9), the
+    t10/t14 pattern) so the sum is order-free; everything after is a
+    fixed-order per-row double expression both engines evaluate
+    identically. Scale shape: one groupBy(source) over the table's
+    own n_chars column (map-side combined, no text read at all —
+    column pruning keeps the scan to two columns), then a broadcast
+    crossJoin of the 1-row denominator (dq1's pattern)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tots = (
+        docs.groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("bigint")).alias("t_chars"))
+        .filter(F.col("t_chars") > 0)
+    )
+    wts = tots.withColumn(
+        "q",
+        F.floor(F.sqrt(F.col("t_chars").cast("double")) * F.lit(1e9)).cast(
+            "bigint"
+        ),
+    )
+    denom = wts.agg(F.sum("q").alias("d"))
+    share = F.col("q").cast("double") / F.col("d").cast("double")
+    raw_epochs = (F.lit(float(SAMP6_BUDGET)) * share) / F.col(
+        "t_chars"
+    ).cast("double")
+    epochs = F.least(F.lit(SAMP6_MAX_EPOCHS), raw_epochs)
+    return wts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "t_chars",
+        share.alias("share"),
+        epochs.alias("epochs"),
+        (epochs * F.col("t_chars").cast("double")).alias("effective_chars"),
+        (raw_epochs >= F.lit(SAMP6_MAX_EPOCHS)).alias("saturated"),
+    )
