@@ -1644,3 +1644,33 @@ def test_samp6_epoch_cap_and_temperature(spark, tmp_path):
     epochs_by_mass = [r.epochs for r in masses]
     assert epochs_by_mass == sorted(epochs_by_mass, reverse=True)
     assert out["tiny"].saturated and not out["big"].saturated
+
+
+def test_samp7_dsir_prefers_target_domain(spark, tmp_path):
+    """DSIR importance: docs written in the target domain's bigram
+    distribution score imp_mean > 1 and are kept; off-domain docs
+    score < 1; bigram-less docs stay visible with NULL score and
+    NULL keep (absent data, not a silent drop)."""
+    import os
+
+    import __spark_entry__ as entry
+
+    tgt_text = "alpha beta gamma delta " * 10
+    off_text = "omega psi chi phi " * 10
+    rows = [(i, tgt_text, "en", "src0", len(tgt_text)) for i in range(10)]
+    rows += [(100 + i, off_text, "en", "src9", len(off_text)) for i in range(10)]
+    # an off-domain-SOURCE doc whose CONTENT matches the target:
+    # importance must follow content, not source membership
+    rows += [(200, tgt_text, "en", "src9", len(tgt_text))]
+    rows += [(300, "solo", "en", "src9", 4)]  # 1 token -> no bigrams
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: r for r in entry.queries()["samp7_dsir_importance"](spark, sf).collect()}
+    assert len(out) == 22
+    assert all(out[i].keep and out[i].imp_mean > 1.0 for i in range(10))
+    assert all(not out[100 + i].keep and out[100 + i].imp_mean < 1.0 for i in range(10))
+    assert out[200].keep and out[200].imp_mean > 1.0
+    assert out[300].n_bigrams == 0 and out[300].imp_mean is None and out[300].keep is None

@@ -1249,3 +1249,176 @@ def samp6_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epochs * F.col("t_chars").cast("double")).alias("effective_chars"),
         (raw_epochs >= F.lit(SAMP6_MAX_EPOCHS)).alias("saturated"),
     )
+
+
+SAMP7_TARGET_SOURCES = ("src0", "src1", "src2")
+SAMP7_BUCKETS = 256
+_SAMP7_SQL_H60 = "CAST(TRY_CAST('0x' || substr(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
+_SAMP7_SQL_TGT = "('" + "', '".join(SAMP7_TARGET_SOURCES) + "')"
+
+
+@query(
+    "samp7_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {SQL_TOKENS.format(t='text')} AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ),
+    wb AS (
+      SELECT doc_id, source,
+             CAST({_SAMP7_SQL_H60.format(x='bigram')} % {SAMP7_BUCKETS}
+                  AS INTEGER) AS bucket
+      FROM bg
+    ),
+    per_db AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+             MAX(CASE WHEN source IN {_SAMP7_SQL_TGT} THEN 1 ELSE 0 END) AS tgt
+      FROM wb GROUP BY doc_id, bucket
+    ),
+    bc AS (
+      SELECT bucket, CAST(SUM(n_b) AS BIGINT) AS r_b,
+             CAST(SUM(CASE WHEN tgt = 1 THEN n_b ELSE 0 END) AS BIGINT) AS t_b
+      FROM per_db GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(r_b) AS BIGINT) AS r_tot,
+             CAST(SUM(t_b) AS BIGINT) AS t_tot
+      FROM bc
+    ),
+    ratios AS (
+      SELECT bucket,
+             (CAST(t_b + 1 AS DOUBLE) / CAST(t_tot + {SAMP7_BUCKETS} AS DOUBLE))
+               / (CAST(r_b + 1 AS DOUBLE)
+                    / CAST(r_tot + {SAMP7_BUCKETS} AS DOUBLE)) AS ratio
+      FROM bc, tot
+    ),
+    perdoc AS (
+      SELECT p.doc_id,
+             CAST(SUM(p.n_b) AS BIGINT) AS n_bigrams,
+             list(CAST(p.n_b AS DOUBLE) * r.ratio ORDER BY p.bucket) AS cs
+      FROM per_db p JOIN ratios r USING (bucket) GROUP BY p.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+                         (a, b) -> a + b) AS imp_sum
+      FROM perdoc
+    )
+    SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.imp_sum,
+           s.imp_sum / CAST(s.n_bigrams AS DOUBLE) AS imp_mean,
+           s.imp_sum / CAST(s.n_bigrams AS DOUBLE) >= 1.0 AS keep
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def samp7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc
+    by its importance under a hashed-bigram model of a TARGET domain
+    (sources src0-2 here) relative to the raw corpus, then keep docs
+    whose mean per-instance importance clears 1.0 — the
+    upsample-what-looks-like-the-target step of a pretraining mix.
+
+    Model: bigrams hash into 256 buckets; both the target and raw
+    unigram-of-buckets distributions get add-one smoothing; a doc's
+    importance is the mean over its bigram instances of
+    p_target(bucket)/p_raw(bucket). The canonical formulation sums
+    LOG ratios — ln()'s last-ulp variance across libm implementations
+    breaks bit-parity (t5's lesson), so the shipped statistic is the
+    rational mean-ratio (same per-bucket ordering, exact two-engine
+    agreement); on a real cluster the log-sum is a one-line swap.
+
+    FP determinism: bucket/doc counts are exact BIGINT; each bucket
+    ratio is a fixed-order chain of three IEEE divisions; per-doc
+    contributions fold in SORTED bucket order (sort_array ↔ list(...
+    ORDER BY bucket)) from a 0.0 init, so the double sum is
+    order-free by construction. Scale shape: bigram instances
+    shuffle ONCE into (doc_id, bucket) counts (the target flag rides
+    as a conditional max — target docs are a filter of the same
+    corpus, never a second scan); bucket totals and the 256-row
+    ratio table derive from that frame and broadcast back; docs
+    without bigrams stay visible with NULL scores (t14's contract).
+    """
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        F.col("source").isin(*SAMP7_TARGET_SOURCES).cast("int").alias("tgt"),
+        textstats.ngrams(
+            textstats.tokens(F.col("text")), 2
+        ).alias("_bg"),
+    )
+    bg = exploded(base, ["doc_id", "tgt"], F.col("_bg"), "bigram")
+    from trello_github_etl_spark.operators.dedup import _token_hash60
+
+    bucket = (_token_hash60(F.col("bigram")) % SAMP7_BUCKETS).cast("int")
+    per_db = (
+        bg.select("doc_id", "tgt", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n_b"), F.max("tgt").alias("tgt"))
+    )
+    bc = per_db.groupBy("bucket").agg(
+        F.sum("n_b").alias("r_b"),
+        F.sum(F.when(F.col("tgt") == 1, F.col("n_b")).otherwise(0)).alias(
+            "t_b"
+        ),
+    )
+    tot = bc.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    ratios = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            (
+                (F.col("t_b") + 1).cast("double")
+                / (F.col("t_tot") + SAMP7_BUCKETS).cast("double")
+            )
+            / (
+                (F.col("r_b") + 1).cast("double")
+                / (F.col("r_tot") + SAMP7_BUCKETS).cast("double")
+            )
+        ).alias("ratio"),
+    )
+    perdoc = (
+        per_db.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_b").alias("n_bigrams"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket"),
+                        (F.col("n_b").cast("double") * F.col("ratio")).alias(
+                            "c"
+                        ),
+                    )
+                )
+            ).alias("cs"),
+        )
+    )
+    scored = perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        F.aggregate(
+            F.transform(F.col("cs"), lambda s: s["c"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("imp_sum"),
+    )
+    imp_mean = F.col("imp_sum") / F.col("n_bigrams").cast("double")
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "imp_sum",
+            imp_mean.alias("imp_mean"),
+            (imp_mean >= 1.0).alias("keep"),
+        )
+    )
