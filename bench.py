@@ -110,6 +110,9 @@ HEADLINE = [
     "dd18_split_leakage",
     "dd19_near_dup_split_leakage",
     "dd20_train_decontaminate",
+    "dd21_repeated_ngram_coverage",
+    "t16_vocab_coverage",
+    "samp7_dsir_importance",
 ]
 
 
