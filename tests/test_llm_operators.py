@@ -1674,3 +1674,30 @@ def test_samp7_dsir_prefers_target_domain(spark, tmp_path):
     assert all(not out[100 + i].keep and out[100 + i].imp_mean < 1.0 for i in range(10))
     assert out[200].keep and out[200].imp_mean > 1.0
     assert out[300].n_bigrams == 0 and out[300].imp_mean is None and out[300].keep is None
+
+
+def test_dd22_keeper_election(spark):
+    """Keeper = quality argmax with doc_id tie-break: an exact-copy
+    cluster keeps the smallest id; a near-copy cluster keeps the
+    higher-quality member regardless of id order; every cluster
+    reports n_dropped = n_members - 1."""
+    from trello_github_etl_spark.operators import dedup
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again today"
+    base_b = "pack my box with five dozen liquor jugs for the daily trip north"
+    # same token stream as base_b (tokenizer drops punct) -> certain
+    # LSH collision, but punct-heavier raw text -> lower quality
+    degraded_b = base_b.replace(" ", " !! ")
+    docs = spark.createDataFrame(
+        [
+            (1, base_a), (2, base_a), (3, base_a),  # exact cluster -> keep 1
+            (10, degraded_b), (11, base_b),  # near pair: 11 wins on quality
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.cluster_id: r for r in dedup.dup_cluster_keepers(docs).collect()}
+    exact = next(r for r in out.values() if r.n_members == 3)
+    assert exact.keeper_id == 1 and exact.n_dropped == 2
+    near = next(r for r in out.values() if r.n_members == 2)
+    assert near.keeper_id == 11 and near.n_dropped == 1
+    assert near.keeper_quality > 0

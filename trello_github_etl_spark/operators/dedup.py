@@ -1388,3 +1388,54 @@ def repeated_ngram_coverage(
             ),
         )
     )
+
+
+def dup_cluster_keepers(
+    docs: DataFrame,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The dedup pipeline's DECISION stage: for every near-dup
+    cluster (MinHash-LSH pairs → connected components), elect the
+    member to keep — highest quality_score, doc_id as the
+    deterministic tie-break (exact copies score identically, so the
+    tie-break does the work there; near-copies differ and quality
+    wins). Returns one row per cluster:
+    (cluster_id, n_members, keeper_id, keeper_quality, n_dropped) —
+    the corpus-shrink plan a pipeline applies as an anti-join of
+    non-keepers.
+
+    Scale shape: clustering is dd6's (banded LSH, iterative
+    min-propagation — candidate pairs only); the cluster frame holds
+    ONLY pair-involved docs (dup-free corpora contribute nothing),
+    and joins doc-keyed against the quality projection. The elect
+    step is one window + one groupBy on cluster_id — same key, so
+    Catalyst plans a single exchange for both.
+    """
+    from pyspark.sql.window import Window
+
+    from trello_github_etl_spark.operators.textstats import quality_score
+
+    clusters = dup_clusters(docs, text_col, checkpoint_dir=checkpoint_dir)
+    qual = docs.select(
+        "doc_id", quality_score(F.col(text_col)).alias("q")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    ranked = clusters.join(qual, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "keeper_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("q"))).alias(
+                "keeper_quality"
+            ),
+        )
+        .withColumn("n_dropped", F.col("n_members") - 1)
+    )

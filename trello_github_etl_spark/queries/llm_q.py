@@ -819,7 +819,7 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by dd6 (min-label propagation) and dd9 (large-star/small-star):
 # both algorithms must produce the identical (doc_id, cluster_id=min
 # reachable) labeling, so one transitive-closure oracle checks both.
-_CLUSTERS_ORACLE = f"""
+_CLUSTERS_CTES = f"""
     WITH RECURSIVE docs AS ({SQL_AUGMENTED_DOCS}),
     toks AS (
       SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
@@ -850,10 +850,65 @@ _CLUSTERS_ORACLE = f"""
       SELECT u, v FROM edges
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    )
+    )"""
+
+_CLUSTERS_ORACLE = f"""{_CLUSTERS_CTES}
     SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
     FROM reach GROUP BY u
     """
+
+
+_KEEPERS_ORACLE = f"""{_CLUSTERS_CTES},
+    labels AS (
+      SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    qparts AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tk, x -> list_contains({{stop}}, x))) AS DOUBLE) / len(tk)
+        END AS stop_ratio,
+        CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+        END / 10.0 AS len_term,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+        END AS punct_ratio
+      FROM toks JOIN docs USING (doc_id)
+    ),
+    qual AS (
+      SELECT doc_id,
+        0.4 * stop_ratio
+        + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
+        + 0.2 * (1.0 - punct_ratio) AS q
+      FROM qparts
+    ),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, qu.q,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY qu.q DESC, l.doc_id ASC) AS rn
+      FROM labels l JOIN qual qu USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+           MAX(CASE WHEN rn = 1 THEN q END) AS keeper_quality,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY cluster_id
+    """.replace("{stop}", SQL_STOPLIST)
+
+
+@query("dd22_dup_cluster_keepers", oracle=_KEEPERS_ORACLE)
+def dd22_dup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION stage: elect the member to keep per
+    near-dup cluster (quality argmax, doc_id tie-break) — the
+    corpus-shrink plan downstream of dd6's clustering. Exact-copy
+    clusters resolve by tie-break; near-copy clusters by quality.
+    See operators/dedup.dup_cluster_keepers (window + groupBy share
+    one cluster_id exchange; cluster frame holds only pair-involved
+    docs)."""
+    return dedup.dup_cluster_keepers(_augmented_docs(spark, sf_dir))
 
 
 @query("dd6_dup_clusters", oracle=_CLUSTERS_ORACLE)
