@@ -1348,7 +1348,12 @@ def samp7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
-        F.col("source").isin(*SAMP7_TARGET_SOURCES).cast("int").alias("tgt"),
+        # coalesce: NULL source must mean tgt=0 like the oracle's
+        # CASE-ELSE (isin propagates NULL; downstream conditionals
+        # would mask it, but the contract should not rely on that)
+        F.coalesce(
+            F.col("source").isin(*SAMP7_TARGET_SOURCES).cast("int"), F.lit(0)
+        ).alias("tgt"),
         textstats.ngrams(
             textstats.tokens(F.col("text")), 2
         ).alias("_bg"),
