@@ -1701,3 +1701,61 @@ def test_dd22_keeper_election(spark):
     near = next(r for r in out.values() if r.n_members == 2)
     assert near.keeper_id == 11 and near.n_dropped == 1
     assert near.keeper_quality > 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs_toks=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+def test_repeated_ngram_coverage_matches_python_model(spark, docs_toks, n):
+    """Model-based: the distributed span audit must equal a plain
+    O(corpus^2) Python reference — corpus-wide n-gram occurrence
+    counting, per-doc interval union — on arbitrary tiny corpora
+    (tiny alphabet so organic repeats are common, the regime where
+    overlap unions and within-doc repeats interact)."""
+    from collections import Counter
+
+    from trello_github_etl_spark.operators import dedup
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs_toks]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    counts = Counter()
+    grams_per_doc = []
+    for toks in docs_toks:
+        gs = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        grams_per_doc.append(gs)
+        counts.update(gs)
+    model = {}
+    for d, gs in enumerate(grams_per_doc):
+        flagged = [i for i, g in enumerate(gs) if counts[g] >= 2]
+        if not flagged:
+            continue
+        covered_set = set()
+        for i in flagged:
+            covered_set.update(range(i, i + n))
+        model[d] = (
+            len(docs_toks[d]),
+            len(flagged),
+            len(covered_set),
+            len(covered_set) / len(docs_toks[d]),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_flagged, r.covered, r.coverage)
+        for r in dedup.repeated_ngram_coverage(df, n=n).collect()
+    }
+    assert got == model

@@ -129,3 +129,41 @@ def test_round4_text_ops_on_null_text(spark):
     # can involve doc 2, and the call never raises
     pairs = dedup.simhash_hamming_pairs(docs, bits=60).collect()
     assert all(2 not in (r.doc_a, r.doc_b) for r in pairs)
+
+
+def test_round5_ops_on_null_text_and_source(spark):
+    """dd21 span coverage, dd22 keeper election, t16/samp7 source
+    handling: NULL text contributes no n-grams/shingles (never
+    raises, never pairs); NULL source counts as off-target for DSIR
+    and groups as its own vocab-coverage row rather than vanishing."""
+    import os
+
+    import __spark_entry__ as entry
+    from trello_github_etl_spark.operators import dedup
+
+    phrase = " ".join(f"n{i}" for i in range(9))
+    docs = _docs(
+        spark, [(1, phrase, "en"), (2, phrase, "en"), (3, None, "en"), (4, "", "en")]
+    )
+    cov = {r.doc_id for r in dedup.repeated_ngram_coverage(docs).collect()}
+    assert cov == {1, 2}
+    keep = dedup.dup_cluster_keepers(docs).collect()
+    assert all(r.keeper_id in (1, 2) for r in keep)
+    # NULL source: t16 reports it as a group; samp7 treats it off-target
+    rows = [(1, "alpha beta gamma delta", "en", None, 22),
+            (2, "alpha beta gamma delta", "en", "src0", 22)]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sf = os.path.join(td, "sf")
+        os.makedirs(sf)
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(sf, "documents.parquet"))
+        t16 = entry.queries()["t16_vocab_coverage"](spark, sf).collect()
+        assert {r.source for r in t16} == {None, "src0"}
+        s7 = {r.doc_id: r for r in entry.queries()["samp7_dsir_importance"](spark, sf).collect()}
+        # identical text: the null-source doc is raw-only, the src0 doc
+        # target -- target doc must score at least as high
+        assert s7[2].imp_mean >= s7[1].imp_mean
