@@ -622,3 +622,137 @@ def test_sketch_gate_survives_vacuum_and_foreign_commits(spark, tmp_path):
     assert (
         sorted(map(tuple, read_grid(spark, store).collect())) == grid_before
     )
+
+
+def test_stream_incremental_near_dedup_exactly_once(spark, tmp_path):
+    """Near-dup crawl loop (streaming/neardup_stream.py): batch 1
+    admits fresh docs; batch 2 brings a NEAR-copy of an admitted doc
+    (one appended token — exact-fp dedup would miss it), a genuinely
+    fresh doc arriving twice, and a no-shingle doc; a replay of
+    batch 2 admits nothing new. Band state grows only by keeper
+    bands, CAS-versioned per batch."""
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.neardup_stream import (
+        near_dedup_batch,
+        read_bands,
+    )
+
+    store = VersionedStateStore(str(tmp_path / "bands"))
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    v1 = {
+        r.doc_id: r.verdict
+        for r in near_dedup_batch(
+            spark, store, docs([(1, base), (2, other)])
+        ).collect()
+    }
+    assert v1 == {1: "kept", 2: "kept"}
+    n_state_v1 = len(read_bands(spark, store).collect())
+    assert 1 <= n_state_v1 <= 8  # <= LSH_BANDS per kept doc
+    batch2 = [
+        (10, base + " tailword"),  # near-copy: exact fp differs
+        (11, "red orange yellow green blue indigo violet pink brown black"),
+        (12, "red orange yellow green blue indigo violet pink brown black"),
+        (13, "too short"),  # < 3 tokens -> no shingles
+    ]
+    v2 = {
+        r.doc_id: r.verdict
+        for r in near_dedup_batch(spark, store, docs(batch2)).collect()
+    }
+    assert v2 == {
+        10: "dup_existing_near",
+        11: "kept",
+        12: "dup_batch_near",
+        13: "no_signature",
+    }
+    v2_replay = {
+        r.doc_id: r.verdict
+        for r in near_dedup_batch(spark, store, docs(batch2)).collect()
+    }
+    assert v2_replay[11] == "dup_existing_near"  # now in state
+    assert v2_replay[12] == "dup_existing_near"
+    assert v2_replay[13] == "no_signature"  # never admitted
+    assert store.latest_version() == 3
+    assert [c.op for c in store.history()] == ["near-dedup-batch"] * 3
+
+
+def test_stream_near_dedup_via_foreachbatch(spark, tmp_path):
+    """Near-dup loop driven by a real file-source stream with
+    availableNow, one file per micro-batch; batch-mode bootstrap
+    state (lsh_band_keys of an offline corpus) continues seamlessly
+    because stream and batch share one banding scheme."""
+    import json as _json
+
+    from trello_github_etl_spark.operators.dedup import lsh_band_keys
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.neardup_stream import (
+        stream_near_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    store = VersionedStateStore(str(tmp_path / "bands"))
+    store.commit(
+        lsh_band_keys(corpus).select("band_key").distinct(), op="bootstrap"
+    )
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, age):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        now = time.time()
+        os.utime(p, (now - age, now - age))
+
+    write_file(
+        "d1.json",
+        [
+            {"doc_id": 1,
+             "text": "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"},
+            {"doc_id": 2, "text": "one two three four five six seven"},
+        ],
+        600,
+    )
+    write_file(
+        "d2.json",
+        [{"doc_id": 3, "text": "one two three four five six seven extra"}],
+        0,
+    )
+
+    seen = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream_near_dedup(
+            stream,
+            store,
+            str(tmp_path / "ckpt"),
+            on_batch=lambda bid, v: seen.extend(
+                (r.doc_id, r.verdict) for r in v.collect()
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    verdicts = dict(seen)
+    assert verdicts[1] == "dup_existing_near"  # near-copy of bootstrap
+    assert verdicts[2] == "kept"
+    assert verdicts[3] == "dup_existing_near"  # near-copy of batch-1 keeper

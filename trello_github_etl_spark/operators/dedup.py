@@ -249,19 +249,21 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def lsh_band_keys(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = NUM_MINHASHES,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """Candidate near-dup pairs: equal signature rows in ≥1 LSH band.
-
-    The band index is prefixed into the bucket key so the self-join is
-    a single-column equi-join; both sides share the signature subtree,
-    so AQE plans a ReusedExchange for the second side instead of
-    recomputing signatures.
-    """
+    """(doc_id, band_key) rows — one per LSH band per doc with ≥1
+    shingle. The band index is prefixed into the bucket key so every
+    downstream collision probe is a single-column equi-join; bigint
+    sig entries render as plain decimal digits, so the "|"-separated
+    key is collision-free (separator ∉ digits). Shared by the batch
+    pair generator (minhash_lsh_pairs) and the incremental/streaming
+    near-dup classifier (incremental_near_dedup) — ONE definition of
+    the banding scheme, so state written by one is probeable by the
+    other."""
     if num_hashes % bands != 0:
         # a remainder would leave trailing signature entries in no
         # band: paid for, then silently ignored — the S-curve the
@@ -272,8 +274,6 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes)
-    # bigint sig entries render as plain decimal digits, so the
-    # "|"-separated key is collision-free (separator ∉ digits)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -284,7 +284,22 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = exploded(sigs, ["doc_id"], band_keys, "band_key")
+    return exploded(sigs, ["doc_id"], band_keys, "band_key")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: equal signature rows in ≥1 LSH band.
+
+    Both sides share the banding subtree (lsh_band_keys), so AQE
+    plans a ReusedExchange for the second side instead of recomputing
+    signatures.
+    """
+    banded = lsh_band_keys(docs, text_col, num_hashes, bands)
     # Kept as a self-join (unlike jaccard_pairs' grouped-pair
     # expansion): banded rows are only `bands` per doc and the
     # signature subtree dominates cost, so the reused exchange on the
@@ -1438,4 +1453,74 @@ def dup_cluster_keepers(
             ),
         )
         .withColumn("n_dropped", F.col("n_members") - 1)
+    )
+
+
+def incremental_near_dedup(
+    new_batch: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Continuous-crawl NEAR-dup dedup (incremental_dedup's MinHash
+    sibling): classify each NEW doc against the corpus's LSH
+    band-bucket state and against its own batch, without ever
+    re-reading corpus text.
+
+    ``corpus_bands`` carries one column ``band_key`` — the banding
+    state a growing corpus maintains (``bands`` short strings per
+    kept doc, written by this operator's own keeper set via
+    lsh_band_keys, so batch and stream probe one scheme). Returns
+    (doc_id, verdict) for every batch doc, verdict ∈ {'kept',
+    'dup_existing_near', 'dup_batch_near', 'no_signature'}:
+    corpus-state hit wins, then min-doc_id keeper within each batch
+    band bucket, then kept; docs with no shingles (too short / NULL
+    text) have no signature and are flagged, never admitted (the
+    NULL-fp contract of incremental_dedup — 'kept' would re-admit
+    one per batch forever).
+
+    Recall note: within a batch, the min-id keeper of a bucket may
+    itself be dropped as dup_existing_near; its batch-mates still
+    drop as dup_batch_near — conservative in the direction dedup
+    wants (a doc near-colliding with a near-dup of the corpus is
+    itself suspect). A pipeline wanting second chances re-feeds
+    dropped docs as a later batch against the grown state.
+
+    Scale shape: signatures are computed for the BATCH only; the
+    state probe is a band_key equi-join (md5-uniform key — AQE
+    broadcasts small states, shuffle-joins big ones) and the
+    within-batch keeper is a window over the same band_key, so the
+    batch's banded rows shuffle once and the exchange serves both.
+    Day-N cost is O(batch + |corpus band keys|).
+    """
+    from pyspark.sql.window import Window
+
+    batch_bands = lsh_band_keys(new_batch, text_col, num_hashes, bands)
+    state = corpus_bands.select("band_key").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    w = Window.partitionBy("band_key")
+    probed = (
+        batch_bands.join(state, "band_key", "left")
+        .withColumn("_bmin", F.min("doc_id").over(w))
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.max("_hit").alias("_hit"), F.min("_bmin").alias("_peer_min")
+    )
+    verdict = (
+        F.when(F.col("_hit") == 1, F.lit("dup_existing_near"))
+        .when(F.col("_peer_min") < F.col("doc_id"), F.lit("dup_batch_near"))
+        .otherwise(F.lit("kept"))
+    )
+    classified = per_doc.select("doc_id", verdict.alias("verdict"))
+    return (
+        new_batch.select("doc_id")
+        .join(classified, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("verdict"), F.lit("no_signature")
+            ).alias("verdict"),
+        )
     )

@@ -2334,3 +2334,108 @@ def t16_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (dd10's MinHash sibling)
+# ---------------------------------------------------------------------------
+_DD23_SIG_LIST = ", ".join(
+    "list_min(list_transform(s, x -> "
+    + SQL_H60.format(x=f"'{i}|' || x")
+    + "))"
+    for i in range(dedup.NUM_MINHASHES)
+)
+
+
+@query(
+    "dd23_incremental_near_dedup",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 300000, reverse(text) FROM documents WHERE doc_id % 9 = 4
+      UNION ALL
+      SELECT doc_id + 400000, reverse(text) FROM documents WHERE doc_id % 9 = 4
+      UNION ALL
+      SELECT 999999, ''
+    ),
+    ctoks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    ),
+    csh AS (SELECT doc_id, {SQL_SHINGLES3.format(toks='tk')} AS s FROM ctoks),
+    csig AS (
+      SELECT doc_id, [{_DD23_SIG_LIST}] AS g FROM csh WHERE len(s) > 0
+    ),
+    cbands AS (
+      SELECT DISTINCT b.band, g[b.band*2 + 1] AS k1, g[b.band*2 + 2] AS k2
+      FROM csig, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    btoks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM batch
+    ),
+    bsh AS (SELECT doc_id, {SQL_SHINGLES3.format(toks='tk')} AS s FROM btoks),
+    bsig AS (
+      SELECT doc_id, [{_DD23_SIG_LIST}] AS g FROM bsh WHERE len(s) > 0
+    ),
+    bbands AS (
+      SELECT doc_id, b.band, g[b.band*2 + 1] AS k1, g[b.band*2 + 2] AS k2
+      FROM bsig, (VALUES (0), (1), (2), (3)) b(band)
+    ),
+    probed AS (
+      SELECT bb.doc_id,
+             EXISTS (SELECT 1 FROM cbands c
+                     WHERE c.band = bb.band AND c.k1 = bb.k1
+                       AND c.k2 = bb.k2) AS hit,
+             MIN(bb.doc_id) OVER (
+               PARTITION BY bb.band, bb.k1, bb.k2) AS bmin
+      FROM bbands bb
+    ),
+    per_doc AS (
+      SELECT doc_id, MAX(hit) AS hit, MIN(bmin) AS peer_min
+      FROM probed GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'no_signature'
+                WHEN p.hit THEN 'dup_existing_near'
+                WHEN p.peer_min < p.doc_id THEN 'dup_batch_near'
+                ELSE 'kept' END AS verdict
+    FROM batch b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dd23_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N crawl NEAR-dup dedup: a new batch (exact re-crawls of
+    every %5 doc → near-collide with the corpus state; reversed-text
+    %9==4 docs arriving twice → novel vs the corpus but LSH-identical
+    within the batch; one empty doc → no signature) classified
+    against the corpus's LSH band-bucket state — corpus text is
+    never re-read, only its band keys. See
+    operators/dedup.incremental_near_dedup (batch-only signatures,
+    one band_key shuffle serving both the state probe and the
+    within-batch keeper window) and streaming/neardup_stream.py for
+    the foreachBatch + CAS wiring over the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_bands = dedup.lsh_band_keys(docs).select("band_key")
+    fresh = docs.filter(F.col("doc_id") % 9 == 4)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            fresh.select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.reverse(F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            fresh.select(
+                (F.col("doc_id") + 400000).alias("doc_id"),
+                F.reverse(F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(999999).cast("long").alias("doc_id"),
+                F.lit("").alias("text"),
+            )
+        )
+    )
+    return dedup.incremental_near_dedup(batch, corpus_bands)

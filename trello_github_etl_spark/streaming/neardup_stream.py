@@ -1,0 +1,94 @@
+"""Continuous crawl ingestion, near-dup edition: incremental
+MinHash-LSH dedup as a Structured Streaming ``foreachBatch`` loop
+over a versioned band-bucket state.
+
+Each micro-batch runs the SAME pure plan as batch mode
+(``dedup.incremental_near_dedup``): band the new docs with the one
+shared scheme (``dedup.lsh_band_keys``), probe the corpus band-bucket
+state for collisions, elect min-id keepers within the batch, then
+commit the kept docs' band keys back through the state store's CAS
+commit. A re-delivered batch replans to all-``dup_existing_near`` —
+at-least-once delivery composes to an exactly-once corpus, the same
+idempotency argument as the exact-fp stream (``dedup_stream.py``).
+
+The state is band keys only (``LSH_BANDS`` short strings per kept
+doc): day-N cost is O(batch + corpus-band-keys), never O(corpus
+text) — and because batch mode writes the identical keys, a corpus
+bootstrapped offline continues seamlessly under streaming ingestion.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from trello_github_etl_spark.operators.dedup import (
+    incremental_near_dedup,
+    lsh_band_keys,
+)
+from trello_github_etl_spark.plans.state_store import VersionedStateStore
+
+BAND_SCHEMA = StructType([StructField("band_key", StringType())])
+
+
+def read_bands(spark: SparkSession, store: VersionedStateStore) -> DataFrame:
+    """Current band-bucket state; empty before the first commit."""
+    if store.latest_version() == 0:
+        return spark.createDataFrame([], BAND_SCHEMA)
+    return store.read(spark)
+
+
+def near_dedup_batch(
+    spark: SparkSession,
+    store: VersionedStateStore,
+    batch: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One micro-batch: classify, commit kept docs' band keys,
+    return verdicts.
+
+    The commit carries the state version the classification read as
+    its CAS expectation — two racing micro-batch executors cannot
+    both publish (one aborts loudly and retries on re-delivery).
+    localCheckpoint pins the verdicts BEFORE the state advances, so
+    the returned frame and the committed keys describe the same
+    classification (re-planning after the commit would see the new
+    state and flip every kept doc to dup_existing_near).
+    """
+    base = store.latest_version()
+    bands = read_bands(spark, store)
+    verdicts = incremental_near_dedup(batch, bands, text_col).localCheckpoint(
+        eager=True
+    )
+    kept_ids = verdicts.filter(F.col("verdict") == "kept").select("doc_id")
+    kept_keys = (
+        lsh_band_keys(batch.join(kept_ids, "doc_id"), text_col)
+        .select("band_key")
+    )
+    new_state = bands.select("band_key").unionByName(kept_keys).distinct()
+    store.commit(new_state, op="near-dedup-batch", expected_version=base)
+    return verdicts
+
+
+def stream_near_dedup(
+    stream: DataFrame,
+    store: VersionedStateStore,
+    checkpoint_dir: str,
+    on_batch: Callable[[int, DataFrame], None] | None = None,
+):
+    """Wire the batch plan into foreachBatch. ``on_batch`` receives
+    (batch_id, verdicts) for observability/testing."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        verdicts = near_dedup_batch(batch.sparkSession, store, batch)
+        if on_batch is not None:
+            on_batch(batch_id, verdicts)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
