@@ -1344,6 +1344,14 @@ def samp7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, never a second scan); bucket totals and the 256-row
     ratio table derive from that frame and broadcast back; docs
     without bigrams stay visible with NULL scores (t14's contract).
+
+    Plan note: Catalyst prunes the two consumers of the (doc_id,
+    bucket) aggregate differently, so the explode+hash subtree plans
+    twice; a localCheckpoint pin was measured at sf0.1 and is a wash
+    (2.5 vs 2.6 s — the bucket shuffle dominates, and the ratio-side
+    recompute prunes to the bucket column only). Revisit with a
+    materialized intermediate only if a profile at larger scale
+    shows the double hash pass mattering.
     """
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     base = docs.select(
