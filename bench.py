@@ -113,6 +113,10 @@ HEADLINE = [
     "dd21_repeated_ngram_coverage",
     "t16_vocab_coverage",
     "samp7_dsir_importance",
+    # dd22 (cluster keepers) embeds dd6's iterative components and is
+    # excluded for dd6's reason: fixed per-round scheduling overhead
+    # dominates at test scale. dd23 is the incremental classifier.
+    "dd23_incremental_near_dedup",
 ]
 
 

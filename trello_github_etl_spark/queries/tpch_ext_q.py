@@ -654,3 +654,271 @@ def tpch21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return sole_late.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+@query(
+    "tpch12_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (adapted: no l_shipmode in the testdata, so the two-mode
+    IN filter re-keys onto l_returnflag A/R; the commit/receipt-date
+    sandwich re-keys onto the shipdate year): per flag, how many
+    lines belong to critical- vs normal-priority orders. Exercises
+    the conditional-count-after-fact-join shape; both predicates
+    push into the lineitem scan, and the orders side carries only
+    (orderkey, priority) — column pruning keeps the shuffle narrow.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch11_important_parts",
+    oracle="""
+    WITH vals AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS vdec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(vdec) AS DOUBLE) AS total FROM vals)
+    SELECT v.l_partkey AS p_partkey,
+           CAST(v.vdec AS DOUBLE) AS part_value
+    FROM vals v, tot
+    WHERE CAST(v.vdec AS DOUBLE) > 0.002 * tot.total
+    """,
+)
+def tpch11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (adapted: stock value re-keyed from partsupp onto the
+    lineitem flow of one nation's suppliers): parts whose value
+    concentration exceeds 0.2% of the nation total. The HAVING-vs-
+    global-scalar shape: the total derives from the SAME per-part
+    aggregate frame (never a second lineitem scan) and broadcasts
+    back as a 1-row frame; both sides of the threshold compare
+    doubles cast from exact decimal sums, so the cut is
+    bit-deterministic. Supplier/nation dims broadcast into the scan
+    side before the one partkey shuffle."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    vals = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "vdec"
+            )
+        )
+    )
+    tot = vals.agg(F.sum("vdec").cast("double").alias("total"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(F.col("vdec").cast("double") > F.lit(0.002) * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("vdec").cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch2_min_cost_supplier",
+    oracle="""
+    WITH eur_supp AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    costs AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS supply_cost
+      FROM lineitem l JOIN eur_supp e ON l.l_suppkey = e.s_suppkey
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(supply_cost) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_type, e.s_name, e.s_acctbal, e.n_name,
+           c.supply_cost
+    FROM part p
+    JOIN costs c ON c.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = c.l_partkey
+             AND c.supply_cost = b.min_cost
+    JOIN eur_supp e ON e.s_suppkey = c.l_suppkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size < 15
+    """,
+)
+def tpch2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (adapted: the partsupp supply cost re-keys onto the
+    cheapest observed lineitem price per (part, supplier)): for every
+    STANDARD small part, every EUROPE supplier achieving the
+    region-wide minimum cost. The correlated min subquery becomes a
+    derived per-part min joined back on (partkey, cost-equality) —
+    t15's pattern one level deeper; all dims broadcast, the only
+    corpus-scale shuffle is the (part, supp) aggregate, and the
+    min-cost frame derives from it (ReusedExchange-eligible, never a
+    second lineitem pass). Cost equality compares doubles cast from
+    exact decimal MINs — bit-deterministic."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    costs = (
+        li.join(F.broadcast(s.select("s_suppkey")), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("supply_cost")
+        )
+    )
+    best = costs.groupBy("l_partkey").agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 15)
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.l_partkey)
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_type", "s_name", "s_acctbal", "n_name",
+            "supply_cost",
+        )
+    )
+
+
+@query(
+    "tpch20_excess_suppliers",
+    oracle="""
+    WITH small_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    part_96 AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM small_parts)
+      GROUP BY l_partkey
+    ),
+    supp_part AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsupp
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM small_parts)
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+        SELECT sp.l_suppkey
+        FROM supp_part sp JOIN part_96 p ON sp.l_partkey = p.l_partkey
+        WHERE CAST(sp.qsupp AS DOUBLE) > 0.5 * CAST(p.q96 AS DOUBLE)
+      )
+    """,
+)
+def tpch20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (adapted: ps_availqty re-keys onto each supplier's
+    all-time shipped quantity of a part; the 'forest%' part filter
+    onto 'small%'): NATION_5 suppliers holding more than half of a
+    small part's 1996 corpus-wide flow. The nested-IN chain plans as
+    semi-joins: the small-part key set broadcasts into BOTH lineitem
+    aggregates as a scan-side filter, the excess predicate compares
+    doubles cast from exact decimal quantity sums, and the qualifying
+    supplier set semi-joins into the nation-filtered dim — no fact
+    row ever leaves the two partkey-ish shuffles."""
+    p_small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p_small), F.col("l_partkey") == F.col("p_partkey")
+    )
+    part96 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q96")
+        )
+    )
+    supp_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qsupp")
+    )
+    excess = (
+        supp_part.join(part96, "l_partkey")
+        .filter(
+            F.col("qsupp").cast("double")
+            > F.lit(0.5) * F.col("q96").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
