@@ -296,3 +296,12 @@ def test_dd21_grouped_reads_corpus_once_no_join(spark):
     plan = _plan(_q(spark, "dd21_repeated_ngram_coverage"))
     assert "Join" not in plan
     assert plan.count("FileScan") == 3
+
+
+def test_tpch2_reads_lineitem_once(spark):
+    """Q2's per-part min must be a window over the one (part, supp)
+    aggregate — the groupBy+join-back formulation planned a SECOND
+    full lineitem scan (differently-pruned consumers never reuse the
+    aggregate subtree; SCALE.md lesson 31's join-shaped sibling)."""
+    plan = _plan(_q(spark, "tpch2_min_cost_supplier"))
+    assert plan.count("lineitem.parquet") == 1

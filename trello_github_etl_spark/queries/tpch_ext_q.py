@@ -793,11 +793,13 @@ def tpch2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest observed lineitem price per (part, supplier)): for every
     STANDARD small part, every EUROPE supplier achieving the
     region-wide minimum cost. The correlated min subquery becomes a
-    derived per-part min joined back on (partkey, cost-equality) —
-    t15's pattern one level deeper; all dims broadcast, the only
-    corpus-scale shuffle is the (part, supp) aggregate, and the
-    min-cost frame derives from it (ReusedExchange-eligible, never a
-    second lineitem pass). Cost equality compares doubles cast from
+    per-part MIN window over the one (part, supp) aggregate frame —
+    NOT a groupBy+join-back, which Catalyst plans as a second full
+    lineitem scan (the two consumers prune differently, so the
+    aggregate subtree never reuses; verified in the physical plan,
+    the same lesson as SCALE.md 31). All dims broadcast; the fact
+    table is read once and shuffles twice (the (part, supp) agg, then
+    the part-keyed window). Cost equality compares doubles cast from
     exact decimal MINs — bit-deterministic."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = load_table(spark, sf_dir, "nation").join(
@@ -818,19 +820,17 @@ def tpch2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("supply_cost")
         )
     )
-    best = costs.groupBy("l_partkey").agg(
-        F.min("supply_cost").alias("min_cost")
-    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey")
+    cheapest = costs.withColumn(
+        "min_cost", F.min("supply_cost").over(w)
+    ).filter(F.col("supply_cost") == F.col("min_cost"))
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") < 15)
     )
     return (
-        costs.join(
-            best,
-            (costs.l_partkey == best.l_partkey)
-            & (F.col("supply_cost") == F.col("min_cost")),
-        )
-        .drop(best.l_partkey)
+        cheapest
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
