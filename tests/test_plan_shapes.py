@@ -305,3 +305,12 @@ def test_tpch2_reads_lineitem_once(spark):
     aggregate subtree; SCALE.md lesson 31's join-shaped sibling)."""
     plan = _plan(_q(spark, "tpch2_min_cost_supplier"))
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_tpch11_tpch20_read_lineitem_once(spark):
+    """The scalar-total (Q11) and per-part-total (Q20) consumers must
+    ride windows over their own aggregate frames — the derived-agg +
+    join-back forms each planned a second full lineitem scan."""
+    for name in ("tpch11_important_parts", "tpch20_excess_suppliers"):
+        plan = _plan(_q(spark, name))
+        assert plan.count("lineitem.parquet") == 1, name

@@ -746,9 +746,17 @@ def tpch11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    tot = vals.agg(F.sum("vdec").cast("double").alias("total"))
+    from pyspark.sql.window import Window
+
+    # the nation total as a GLOBAL window over the per-part frame —
+    # the 1-row-agg + crossJoin form re-plans the whole lineitem
+    # aggregate for the second consumer (tpch2's lesson). The
+    # SinglePartition exchange this window costs runs on the
+    # part-level AGGREGATE (dim-cardinality rows), not the fact table
+    # — the acceptable place for one, cf. t16's vocab sort.
+    total = F.sum("vdec").over(Window.partitionBy()).cast("double")
     return (
-        vals.crossJoin(F.broadcast(tot))
+        vals.withColumn("total", total)
         .filter(F.col("vdec").cast("double") > F.lit(0.002) * F.col("total"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -846,21 +854,20 @@ def tpch2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH small_parts AS (
       SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
     ),
-    part_96 AS (
-      SELECT l_partkey,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q96
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1997-01-01'
-        AND l_partkey IN (SELECT p_partkey FROM small_parts)
-      GROUP BY l_partkey
-    ),
     supp_part AS (
       SELECT l_suppkey, l_partkey,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsupp
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsupp,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS qsupp96
       FROM lineitem
       WHERE l_partkey IN (SELECT p_partkey FROM small_parts)
       GROUP BY l_suppkey, l_partkey
+    ),
+    part_96 AS (
+      SELECT l_partkey, SUM(qsupp96) AS q96
+      FROM supp_part GROUP BY l_partkey
     )
     SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
     FROM supplier s
@@ -889,21 +896,28 @@ def tpch20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").join(
         F.broadcast(p_small), F.col("l_partkey") == F.col("p_partkey")
     )
-    part96 = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q96")
-        )
-    )
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    # the 1996 slice rides the (supp, part) aggregate as a conditional
+    # sum, and the part-level totals derive from THAT frame — one
+    # lineitem scan, not one per aggregate (t14's derive-from-own-
+    # counts pattern; the naive two-subquery form scanned twice)
     supp_part = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qsupp")
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qsupp"),
+        F.sum(
+            F.when(in96, F.col("l_quantity").cast("decimal(18,2)"))
+            .otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("qsupp96"),
     )
+    from pyspark.sql.window import Window
+
+    # per-part 1996 totals as a WINDOW over the same frame (a derived
+    # groupBy re-plans the whole lineitem aggregate for each pruning
+    # — the tpch2 lesson): one scan, two shuffles total
+    wp = Window.partitionBy("l_partkey")
     excess = (
-        supp_part.join(part96, "l_partkey")
+        supp_part.withColumn("q96", F.sum("qsupp96").over(wp))
         .filter(
             F.col("qsupp").cast("double")
             > F.lit(0.5) * F.col("q96").cast("double")
