@@ -194,3 +194,140 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold",
         (F.col("metric") >= F.col("threshold")).alias("pass"),
     )
+
+
+@query(
+    "dq2_referential_integrity",
+    oracle="""
+    WITH li AS (
+      SELECT COUNT(*) AS n_child,
+             SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS o_orph,
+             SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS p_orph,
+             SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS s_orph
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+      LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+             ON l.l_partkey = p.p_partkey
+      LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+             ON l.l_suppkey = s.s_suppkey
+    ),
+    oc AS (
+      SELECT COUNT(*) AS n_child,
+             SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orph
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey
+    ),
+    cn AS (
+      SELECT COUNT(*) AS n_child,
+             SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS orph
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+             ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT rel, n_child, n_orphans,
+           CAST(n_orphans AS DOUBLE) / n_child AS orphan_rate
+    FROM (
+      SELECT 'lineitem->orders' AS rel, n_child,
+             CAST(o_orph AS BIGINT) AS n_orphans FROM li
+      UNION ALL
+      SELECT 'lineitem->part', n_child, CAST(p_orph AS BIGINT) FROM li
+      UNION ALL
+      SELECT 'lineitem->supplier', n_child, CAST(s_orph AS BIGINT) FROM li
+      UNION ALL
+      SELECT 'orders->customer', n_child, CAST(orph AS BIGINT) FROM oc
+      UNION ALL
+      SELECT 'customer->nation', n_child, CAST(orph AS BIGINT) FROM cn
+    )
+    """,
+)
+def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit (dq1's cross-table
+    constraint generalized): orphan counts and rates for every FK
+    edge of the star — lineitem's three edges in ONE fact scan
+    (all three parent key-sets join onto the same pass and the
+    orphan flags fold into one conditional aggregate — Deequ's
+    batching insight applied across CONSTRAINTS), plus one pruned
+    pass each for orders->customer and customer->nation. Parent key
+    sets are DISTINCT'd before joining: a duplicated parent key
+    would double-count child rows and corrupt every metric — the
+    audit must not assume the uniqueness it is itself auditing
+    (dq1 checks that); the distinct is a shuffle of pruned key
+    columns only. Output: one row per FK edge, driver-hashable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    o_keys = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    p_keys = load_table(spark, sf_dir, "part").select("p_partkey").distinct()
+    s_keys = (
+        load_table(spark, sf_dir, "supplier").select("s_suppkey").distinct()
+    )
+    li_m = (
+        li.join(o_keys, li.l_orderkey == o_keys.o_orderkey, "left")
+        .join(F.broadcast(p_keys), li.l_partkey == p_keys.p_partkey, "left")
+        .join(F.broadcast(s_keys), li.l_suppkey == s_keys.s_suppkey, "left")
+        .agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("o_orph"),
+            F.sum(F.col("p_partkey").isNull().cast("bigint")).alias("p_orph"),
+            F.sum(F.col("s_suppkey").isNull().cast("bigint")).alias("s_orph"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c_keys = (
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    oc_m = o.join(
+        F.broadcast(c_keys), o.o_custkey == c_keys.c_custkey, "left"
+    ).agg(
+        F.count("*").alias("n_child"),
+        F.sum(F.col("c_custkey").isNull().cast("bigint")).alias("orph"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    n_keys = (
+        load_table(spark, sf_dir, "nation").select("n_nationkey").distinct()
+    )
+    cn_m = c.join(
+        F.broadcast(n_keys), c.c_nationkey == n_keys.n_nationkey, "left"
+    ).agg(
+        F.count("*").alias("n_child"),
+        F.sum(F.col("n_nationkey").isNull().cast("bigint")).alias("orph"),
+    )
+
+    def rows(m, pairs):
+        return m.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rel).alias("rel"),
+                            F.col("n_child").alias("n_child"),
+                            F.col(col).alias("n_orphans"),
+                        )
+                        for rel, col in pairs
+                    ]
+                )
+            ).alias("e")
+        ).select("e.rel", "e.n_child", "e.n_orphans")
+
+    out = (
+        rows(
+            li_m,
+            [
+                ("lineitem->orders", "o_orph"),
+                ("lineitem->part", "p_orph"),
+                ("lineitem->supplier", "s_orph"),
+            ],
+        )
+        .unionByName(rows(oc_m, [("orders->customer", "orph")]))
+        .unionByName(rows(cn_m, [("customer->nation", "orph")]))
+    )
+    return out.select(
+        "rel",
+        "n_child",
+        "n_orphans",
+        (F.col("n_orphans").cast("double") / F.col("n_child")).alias(
+            "orphan_rate"
+        ),
+    )
