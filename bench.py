@@ -117,6 +117,7 @@ HEADLINE = [
     # excluded for dd6's reason: fixed per-round scheduling overhead
     # dominates at test scale. dd23 is the incremental classifier.
     "dd23_incremental_near_dedup",
+    "dq2_referential_integrity",
 ]
 
 
