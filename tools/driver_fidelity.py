@@ -40,6 +40,8 @@ DEFAULT_SAMPLE = [
     "j7_owner_resolution",  # fuzzy-owner family
     "pipe9_curriculum_order",  # composite-bucket prefix sums (r4)
     "s13_pq_rerank_topk",  # codebook collect + broadcast refine (r4)
+    "dd21_repeated_ngram_coverage",  # grouped-array span audit (r5)
+    "samp7_dsir_importance",  # sorted-fold double determinism (r5)
 ]
 
 
