@@ -1462,6 +1462,7 @@ def incremental_near_dedup(
     text_col: str = "text",
     num_hashes: int = NUM_MINHASHES,
     bands: int = LSH_BANDS,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-crawl NEAR-dup dedup (incremental_dedup's MinHash
     sibling): classify each NEW doc against the corpus's LSH
@@ -1493,10 +1494,18 @@ def incremental_near_dedup(
     within-batch keeper is a window over the same band_key, so the
     batch's banded rows shuffle once and the exchange serves both.
     Day-N cost is O(batch + |corpus band keys|).
+
+    ``batch_bands`` (optional): precomputed ``lsh_band_keys`` output
+    for ``new_batch``. Callers that need the keys AGAIN after
+    classifying — the streaming loop commits the kept docs' keys to
+    state — pass a pinned (localCheckpoint) frame here so the
+    signature pipeline (the dominant per-batch cost) runs once, not
+    once per consumer (r5 code review).
     """
     from pyspark.sql.window import Window
 
-    batch_bands = lsh_band_keys(new_batch, text_col, num_hashes, bands)
+    if batch_bands is None:
+        batch_bands = lsh_band_keys(new_batch, text_col, num_hashes, bands)
     state = corpus_bands.select("band_key").distinct().withColumn(
         "_hit", F.lit(1)
     )

@@ -120,30 +120,43 @@ def t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t3_quality_scores",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk, text FROM documents
+def _sql_quality_ctes(src: str) -> str:
+    """CTE chain computing textstats.quality_score's EXACT formula
+    over ``src`` (any relation exposing doc_id, text), ending in
+    ``qual (doc_id, q)``. ONE source of the quality SQL — t3's oracle
+    and dd22's keeper oracle both splice this, so a formula tweak
+    cannot silently fork them (r5 code review)."""
+    return f"""
+    qtoks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS qtk, text FROM {src}
     ),
-    parts AS (
+    qparts AS (
       SELECT doc_id,
-        CASE WHEN len(tk) = 0 THEN 0.0
-             ELSE CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
+        CASE WHEN len(qtk) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(qtk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(qtk)
         END AS stop_ratio,
-        CASE WHEN len(tk) = 0 THEN 0.0
-             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
+        CASE WHEN len(qtk) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform(qtk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(qtk)
         END / 10.0 AS len_term,
         CASE WHEN length(text) = 0 THEN 0.0
              ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
         END AS punct_ratio
-      FROM toks
-    )
-    SELECT doc_id,
-      0.4 * stop_ratio
-      + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
-      + 0.2 * (1.0 - punct_ratio) AS quality
-    FROM parts
+      FROM qtoks
+    ),
+    qual AS (
+      SELECT doc_id,
+        0.4 * stop_ratio
+        + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
+        + 0.2 * (1.0 - punct_ratio) AS q
+      FROM qparts
+    )"""
+
+
+@query(
+    "t3_quality_scores",
+    oracle=f"""
+    WITH {_sql_quality_ctes('documents')}
+    SELECT doc_id, q AS quality FROM qual
     """,
 )
 def t3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,26 +876,7 @@ _KEEPERS_ORACLE = f"""{_CLUSTERS_CTES},
       SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
       FROM reach GROUP BY u
     ),
-    qparts AS (
-      SELECT doc_id,
-        CASE WHEN len(tk) = 0 THEN 0.0
-             ELSE CAST(len(list_filter(tk, x -> list_contains({{stop}}, x))) AS DOUBLE) / len(tk)
-        END AS stop_ratio,
-        CASE WHEN len(tk) = 0 THEN 0.0
-             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(tk)
-        END / 10.0 AS len_term,
-        CASE WHEN length(text) = 0 THEN 0.0
-             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
-        END AS punct_ratio
-      FROM toks JOIN docs USING (doc_id)
-    ),
-    qual AS (
-      SELECT doc_id,
-        0.4 * stop_ratio
-        + 0.4 * (CASE WHEN len_term > 1.0 THEN 1.0 ELSE len_term END)
-        + 0.2 * (1.0 - punct_ratio) AS q
-      FROM qparts
-    ),
+    {_sql_quality_ctes('docs')},
     ranked AS (
       SELECT l.cluster_id, l.doc_id, qu.q,
              ROW_NUMBER() OVER (
@@ -896,7 +890,7 @@ _KEEPERS_ORACLE = f"""{_CLUSTERS_CTES},
            MAX(CASE WHEN rn = 1 THEN q END) AS keeper_quality,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
     FROM ranked GROUP BY cluster_id
-    """.replace("{stop}", SQL_STOPLIST)
+    """
 
 
 @query("dd22_dup_cluster_keepers", oracle=_KEEPERS_ORACLE)

@@ -21,7 +21,11 @@ from trello_github_etl_spark.io import load_table
 from trello_github_etl_spark.operators import packing, textstats
 from trello_github_etl_spark.operators.gen import exploded
 from trello_github_etl_spark.operators.parallel import ensure_parallelism
-from trello_github_etl_spark.queries.llm_q import SQL_STOPLIST, SQL_TOKENS
+from trello_github_etl_spark.queries.llm_q import (
+    SQL_H60,
+    SQL_STOPLIST,
+    SQL_TOKENS,
+)
 from trello_github_etl_spark.registry import query
 
 # GPT-2-style pre-tokenizer, simplified to the lookahead-free subset
@@ -898,7 +902,6 @@ def _pipe8_oracle() -> str:
         PII_TAIL,
         RE_EMAIL,
         RE_PHONE,
-        SQL_H60,
     )
 
     return f"""
@@ -1253,7 +1256,6 @@ def samp6_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMP7_TARGET_SOURCES = ("src0", "src1", "src2")
 SAMP7_BUCKETS = 256
-_SAMP7_SQL_H60 = "CAST(TRY_CAST('0x' || substr(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
 _SAMP7_SQL_TGT = "('" + "', '".join(SAMP7_TARGET_SOURCES) + "')"
 
 
@@ -1273,7 +1275,7 @@ _SAMP7_SQL_TGT = "('" + "', '".join(SAMP7_TARGET_SOURCES) + "')"
     ),
     wb AS (
       SELECT doc_id, source,
-             CAST({_SAMP7_SQL_H60.format(x='bigram')} % {SAMP7_BUCKETS}
+             CAST({SQL_H60.format(x='bigram')} % {SAMP7_BUCKETS}
                   AS INTEGER) AS bucket
       FROM bg
     ),
@@ -1354,7 +1356,7 @@ def samp7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows the double hash pass mattering.
     """
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
+    toks = docs.select(
         "doc_id",
         # coalesce: NULL source must mean tgt=0 like the oracle's
         # CASE-ELSE (isin propagates NULL; downstream conditionals
@@ -1362,9 +1364,14 @@ def samp7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.col("source").isin(*SAMP7_TARGET_SOURCES).cast("int"), F.lit(0)
         ).alias("tgt"),
-        textstats.ngrams(
-            textstats.tokens(F.col("text")), 2
-        ).alias("_bg"),
+        # materialize tokens BEFORE ngrams: the zip construction
+        # evaluates its toks expression n+1 times with no CSE, so an
+        # inline tokenizer would re-run the regex scan per slice
+        # (ngrams' documented contract; t14's pattern)
+        textstats.tokens(F.col("text")).alias("_tk"),
+    )
+    base = toks.select(
+        "doc_id", "tgt", textstats.ngrams(F.col("_tk"), 2).alias("_bg")
     )
     bg = exploded(base, ["doc_id", "tgt"], F.col("_bg"), "bigram")
     from trello_github_etl_spark.operators.dedup import _token_hash60

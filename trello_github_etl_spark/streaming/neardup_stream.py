@@ -3,13 +3,21 @@ MinHash-LSH dedup as a Structured Streaming ``foreachBatch`` loop
 over a versioned band-bucket state.
 
 Each micro-batch runs the SAME pure plan as batch mode
-(``dedup.incremental_near_dedup``): band the new docs with the one
-shared scheme (``dedup.lsh_band_keys``), probe the corpus band-bucket
-state for collisions, elect min-id keepers within the batch, then
-commit the kept docs' band keys back through the state store's CAS
-commit. A re-delivered batch replans to all-``dup_existing_near`` —
-at-least-once delivery composes to an exactly-once corpus, the same
-idempotency argument as the exact-fp stream (``dedup_stream.py``).
+(``dedup.incremental_near_dedup``): band the new docs ONCE with the
+shared scheme (``dedup.lsh_band_keys``, pinned via localCheckpoint so
+the signature pipeline — the dominant per-batch cost — is not
+re-planned for the state commit), probe the corpus band-bucket state
+for collisions, elect min-id keepers within the batch, then commit
+the kept docs' band keys back through the state store's CAS commit.
+Idempotency under at-least-once delivery: on a re-delivered batch the
+previously-KEPT docs' keys are already in state, so they replan to
+``dup_existing_near`` and the state commit is a no-op; previously-
+DROPPED docs replan to the same dropped verdicts (the classification
+is deterministic given state — a ``dup_batch_near`` doc whose keeper
+was itself dropped stays ``dup_batch_near``, its bucket key was never
+admitted). Either way the corpus state is exactly-once; unlike the
+exact-fp stream, the replayed VERDICT labels are not uniformly
+``dup_existing`` (see incremental_near_dedup's recall note).
 
 The state is band keys only (``LSH_BANDS`` short strings per kept
 doc): day-N cost is O(batch + corpus-band-keys), never O(corpus
@@ -60,14 +68,17 @@ def near_dedup_batch(
     """
     base = store.latest_version()
     bands = read_bands(spark, store)
-    verdicts = incremental_near_dedup(batch, bands, text_col).localCheckpoint(
-        eager=True
-    )
+    # band the batch ONCE and pin it: the classifier and the state
+    # commit both consume these keys, and without the checkpoint the
+    # signature pipeline (tokenize -> shingle -> 8x md5 min-agg, the
+    # dominant per-batch cost) would re-plan for each consumer
+    # (r5 code review)
+    batch_bands = lsh_band_keys(batch, text_col).localCheckpoint(eager=True)
+    verdicts = incremental_near_dedup(
+        batch, bands, text_col, batch_bands=batch_bands
+    ).localCheckpoint(eager=True)
     kept_ids = verdicts.filter(F.col("verdict") == "kept").select("doc_id")
-    kept_keys = (
-        lsh_band_keys(batch.join(kept_ids, "doc_id"), text_col)
-        .select("band_key")
-    )
+    kept_keys = batch_bands.join(kept_ids, "doc_id").select("band_key")
     new_state = bands.select("band_key").unionByName(kept_keys).distinct()
     store.commit(new_state, op="near-dedup-batch", expected_version=base)
     return verdicts
