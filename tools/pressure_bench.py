@@ -27,7 +27,12 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 QUERIES = ["dd3_minhash_lsh_pairs", "dd5_jaccard_pairs",
            "dd12_winnow_pairs", "dd14_semantic_dedup",
-           "dd17_simhash_hamming_pairs", "pipe7_clean_shuffle_pack"]
+           "dd17_simhash_hamming_pairs", "pipe7_clean_shuffle_pack",
+           # r5 session-2 additions: the grouped-array span audit
+           # (linear per-group buffering is its one pressure surface),
+           # the band-state near-dup probe, and the DSIR bucket fold
+           "dd21_repeated_ngram_coverage", "dd23_incremental_near_dedup",
+           "samp7_dsir_importance"]
 
 CHILD = r"""
 import json, sys, time, urllib.request
