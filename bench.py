@@ -118,6 +118,7 @@ HEADLINE = [
     # dominates at test scale. dd23 is the incremental classifier.
     "dd23_incremental_near_dedup",
     "dq2_referential_integrity",
+    "s15_mutual_knn_graph",
 ]
 
 

@@ -1759,3 +1759,31 @@ def test_repeated_ngram_coverage_matches_python_model(spark, docs_toks, n):
         for r in dedup.repeated_ngram_coverage(df, n=n).collect()
     }
     assert got == model
+
+
+def test_s15_mutuality_prunes_hub(spark):
+    """Mutual-kNN with k=1 on a constructed cell: two tight twins
+    pick each other; a hub vector near both picks only its single
+    nearest, so hub edges die for lack of reciprocity while the twin
+    edge survives. All vectors share one cell (single centroid)."""
+    from trello_github_etl_spark.operators import similarity
+
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (4 - len(xs))
+
+    rows = [
+        (1, vec(1.0, 0.0)),        # twin A
+        (2, vec(0.999, 0.01)),     # twin B (A's and B's nearest)
+        (3, vec(0.7, 0.7)),        # hub: closest to A among {A,B}? no —
+    ]                              # its top-1 is A or B, but their top-1
+    emb = spark.createDataFrame(   # is each other -> no mutual hub edge
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, vec(1.0, 0.5))], "cent_id long, c_vec array<double>"
+    )
+    edges = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.mutual_knn_graph(emb, cents, k=1).collect()
+    }
+    assert edges == {(1, 2)}

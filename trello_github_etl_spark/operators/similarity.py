@@ -971,3 +971,77 @@ def matryoshka_rerank_topk(
         "q_id", "vec_id"
     )
     return _exact_rerank(cand, queries, targets, topk, query_vec, target_vec)
+
+
+def mutual_knn_graph(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Mutual k-NN graph over the corpus — the candidate structure
+    semantic-dedup and diversity-sampling pipelines build first
+    (SemDeDup's within-cluster graph, k-NN-based coreset selection):
+    an undirected edge (a, b) survives iff b is among a's k nearest
+    IN-CELL neighbors AND a is among b's. Mutuality prunes hub
+    vectors (a centroid-ish vector near everything ranks in many
+    top-k lists, but its own top-k keeps only k of them).
+
+    Returns (vec_a, vec_b, cos) with vec_a < vec_b.
+
+    Scale shape: candidates come from the IVF cell equi-join (dd14's
+    pinned shape — never all-pairs; ~|cell| fan-in per vector), each
+    undirected candidate is scored ONCE (a<b join), then doubled into
+    directed rows for the per-source top-k window; the final
+    mutuality check is one groupBy on the undirected key counting
+    surviving directions (=2). Norms ride from ivf_assign, so the
+    whole operator is: one narrow assignment pass, one cell-keyed
+    shuffle, one src-keyed window shuffle, one pair-keyed groupBy.
+    Ties in the top-k window break (cos DESC, neighbor id ASC) —
+    deterministic on both engines given the strict-fold cosines.
+    """
+    from pyspark.sql.window import Window
+
+    cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("va"),
+            F.col(f"b.{id_col}").alias("vb"),
+            cosine_prenormed(
+                F.col(f"a.{vec_col}"),
+                F.col(f"b.{vec_col}"),
+                F.col("a._norm"),
+                F.col("b._norm"),
+            ).alias("cos"),
+        )
+    )
+    directed = pairs.select(
+        F.col("va").alias("src"), F.col("vb").alias("dst"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("vb").alias("src"), F.col("va").alias("dst"), "cos"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos").desc(), F.col("dst").asc()
+    )
+    ranked = directed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    return (
+        ranked.groupBy(
+            F.least("src", "dst").alias("vec_a"),
+            F.greatest("src", "dst").alias("vec_b"),
+        )
+        .agg(F.count("*").alias("_dirs"), F.max("cos").alias("cos"))
+        .filter(F.col("_dirs") == 2)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -2433,3 +2433,65 @@ def dd23_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.incremental_near_dedup(batch, corpus_bands)
+
+
+S15_K = 3
+
+
+@query(
+    "s15_mutual_knn_graph",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
+      WHERE vec_id < {similarity.NUM_CENTROIDS}
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {{cos_tc}} DESC, c.cent_id ASC) AS rn
+        FROM embeddings t, cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {{cos_ab}} AS cos
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    directed AS (
+      SELECT va AS src, vb AS dst, cos FROM pairs
+      UNION ALL
+      SELECT vb, va, cos FROM pairs
+    ),
+    ranked AS (
+      SELECT src, dst, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+      FROM directed
+    )
+    SELECT least(src, dst) AS vec_a, greatest(src, dst) AS vec_b,
+           MAX(cos) AS cos
+    FROM ranked WHERE rk <= {S15_K}
+    GROUP BY least(src, dst), greatest(src, dst)
+    HAVING COUNT(*) = 2
+    """.replace("{cos_tc}", _sql_cosine("t.embedding", "c.c_vec"))
+       .replace("{cos_ab}", _sql_cosine("a.embedding", "b.embedding")),
+)
+def s15_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus (k=3, IVF-cell
+    candidates): the SemDeDup/coreset candidate structure. See
+    operators/similarity.mutual_knn_graph — cell equi-join
+    candidates, one scoring pass per undirected pair, per-source
+    top-k window, mutuality as a 2-direction count."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    # same centroid SET as dd14's coarse cells (raw vec_id < 16), so
+    # the shared cache key makes the driver-side collect a hit when
+    # both run in one session
+    return similarity.mutual_knn_graph(
+        emb, cents, k=S15_K, cache_key=f"ivf16|{sf_dir}"
+    )
