@@ -47,6 +47,15 @@ REPRESENTATIVE = [
     # (ivf_assign scores an inlined — possibly empty — centroid
     # literal per row, so zero centroids just yields zero rows).
     "t15_readability", "dd15_semantic_dedup_nlist64",
+    # round-5 session 2: span audit (grouped-array), keeper election
+    # (components over zero pairs), incremental near-dup (empty band
+    # state + empty batch bar its literal row), vocab/OOV, epoch mix,
+    # DSIR fold, mutual-kNN graph, FK audit, adapted TPC-H tail
+    "dd21_repeated_ngram_coverage", "dd22_dup_cluster_keepers",
+    "dd23_incremental_near_dedup", "t16_vocab_coverage",
+    "samp6_epoch_mix", "samp7_dsir_importance", "s15_mutual_knn_graph",
+    "dq2_referential_integrity", "tpch2_min_cost_supplier",
+    "tpch11_important_parts", "tpch20_excess_suppliers",
 ]
 
 
