@@ -299,3 +299,23 @@ def test_observe_quality_metrics_ride_the_action(spark):
     assert got["n_rows"] == 4
     assert got["null_v"] == 2
     assert got["null_id"] == 0
+
+
+def test_join_view_delta_cross_term(spark):
+    """The bilinear identity's cross term: a delta-A row matching
+    ONLY a delta-B row must appear exactly once (dropping dA⋈dB
+    misses it; the naive (A∪dA)⋈dB ∪ dA⋈B double-counts dA⋈dB).
+    Base-base matches must NOT appear (they are already in the
+    view)."""
+    from trello_github_etl_spark.operators.ivm import join_view_delta
+
+    A = spark.createDataFrame([(1, "a1")], "k long, av string")
+    dA = spark.createDataFrame([(2, "a2")], "k long, av string")
+    B = spark.createDataFrame([(1, "b1")], "k long, bv string")
+    dB = spark.createDataFrame([(1, "b1x"), (2, "b2")], "k long, bv string")
+    rows = sorted(
+        (r.k, r.av, r.bv)
+        for r in join_view_delta(A, dA, B, dB, on="k").collect()
+    )
+    # (1,a1,b1) is base⋈base -> excluded; every other pairing once
+    assert rows == [(1, "a1", "b1x"), (2, "a2", "b2")]

@@ -63,3 +63,37 @@ def retraction(
         *[(-F.col(m)).alias(m) for m in measures],
         (-F.col(count_col)).alias(count_col),
     )
+
+
+def join_view_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Delta of the equi-join view A ⋈ B under insert deltas — the
+    classic bilinear IVM identity:
+
+        Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    (the cross term keeps rows matching ONLY across the two deltas —
+    dropping it is the textbook double-count-avoidance bug in the
+    naive (A∪ΔA)⋈ΔB formulation). Returns the delta multiset;
+    appending it to the materialized view IS the refresh.
+
+    Scale shape: refresh cost is the two delta-side joins — at
+    100 TB the deltas are batch-sized, so both big-side terms plan
+    as a broadcast of the delta against a streaming scan of the
+    base (never base ⋈ base, never a re-join of the full view), and
+    the cross term is delta ⋈ delta (tiny). Insert-only by
+    contract: retractions generalize by carrying a sign column
+    (merge_agg_state's pattern) — a retraction in ΔA emits its
+    matching view rows negated; MIN/MAX-style views stay
+    non-maintainable under deletes (module docstring).
+    """
+    return (
+        delta_a.join(base_b, on)
+        .unionByName(base_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )

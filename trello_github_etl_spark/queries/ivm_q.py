@@ -136,3 +136,62 @@ def ivm3_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_value").cast("double").alias("sum_value"),
     ).orderBy("month", "event_type")
+
+
+@query(
+    "ivm4_join_view_delta",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+    ),
+    da AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_linenumber <= 3
+    ),
+    db AS (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_linenumber > 3
+    ),
+    full_v AS (
+      SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_quantity
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM da) o
+      JOIN (SELECT * FROM b UNION ALL SELECT * FROM db) l
+        ON o.o_orderkey = l.l_orderkey
+    ),
+    old_v AS (
+      SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_quantity
+      FROM a o JOIN b l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT * FROM full_v EXCEPT ALL SELECT * FROM old_v
+    """,
+)
+def ivm4_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: new orders (ΔA, the
+    post-cutoff batch) and late-arriving lineitems (ΔB, linenumber
+    > 3) refresh the materialized orders⋈lineitem view through the
+    bilinear delta ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the view is never
+    re-joined. The ORACLE computes the delta SEMANTICALLY —
+    (A∪ΔA)⋈(B∪ΔB) EXCEPT ALL A⋈B — so a hash match PROVES the
+    incremental algebra equals recompute-minus-old on the full
+    multiset, cross term and all (dropping ΔA⋈ΔB double-counts or
+    misses rows matching only across the deltas; this gate catches
+    exactly that class)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    cut = F.lit(_CUTOFF).cast("timestamp")
+    a = o.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    da = o.filter(F.col("o_orderdate") >= cut).drop("o_orderdate")
+    b = li.filter(F.col("l_linenumber") <= 3)
+    db = li.filter(F.col("l_linenumber") > 3)
+    return ivm.join_view_delta(a, da, b, db, on="o_orderkey").select(
+        "o_orderkey", "o_orderpriority", "l_linenumber", "l_quantity"
+    )
