@@ -1787,3 +1787,35 @@ def test_s15_mutuality_prunes_hub(spark):
         for r in similarity.mutual_knn_graph(emb, cents, k=1).collect()
     }
     assert edges == {(1, 2)}
+
+
+def test_pipe10_manifest_detects_reorder_and_drop(spark, tmp_path):
+    """The shard manifest fingerprint is ORDER-PROVING: identical on
+    re-run, changed by dropping a doc — and because each contribution
+    bakes in its rank, a same-shard swap of two docs' positions would
+    change it too (positions enter the hash, the sum only makes the
+    aggregation order-free)."""
+    import os
+
+    import __spark_entry__ as entry
+
+    rows = [(i, "x y z", "en", "s", 5) for i in range(200)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    q = entry.queries()["pipe10_shard_plan"]
+    a = {r.shard_id: (r.n_docs, r.n_chars, r.manifest_fp) for r in q(spark, sf).collect()}
+    b = {r.shard_id: (r.n_docs, r.n_chars, r.manifest_fp) for r in q(spark, sf).collect()}
+    assert a == b and len(a) == 8  # deterministic re-run, all shards hit
+    # drop one doc -> exactly the shards at-or-after its rank change
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2)
+    spark.createDataFrame(
+        rows[:-1], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf2, "documents.parquet"))
+    c = {r.shard_id: (r.n_docs, r.n_chars, r.manifest_fp) for r in q(spark, sf2).collect()}
+    assert c != a
+    changed = [s for s in a if a[s] != c.get(s)]
+    assert len(changed) == 1  # only the dropped doc's shard moved

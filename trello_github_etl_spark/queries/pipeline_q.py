@@ -1442,3 +1442,86 @@ def samp7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (imp_mean >= 1.0).alias("keep"),
         )
     )
+
+
+PIPE10_SHARDS = 8
+
+
+@query(
+    "pipe10_shard_plan",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             {_sql_hash_bucket('shard|', PIPE10_SHARDS)} AS shard_id,
+             {_sql_hash_bucket('order|', 1_000_000_000)} AS ord
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, shard_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY shard_id ORDER BY ord ASC, doc_id ASC) AS rank
+      FROM assigned
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CAST(CAST(TRY_CAST('0x' || substr(md5(
+                 CAST(doc_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR)
+               ), 1, 15) AS UBIGINT) AS BIGINT) AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS manifest_fp
+    FROM ranked GROUP BY shard_id
+    """,
+)
+def pipe10_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer planning: assign every doc to one of 8 output shards
+    (salted-hash sharding — uniform by construction, independent of
+    the intra-shard order hash) and fix a deterministic write order
+    within each shard (pipe6's shuffle-order idea, scoped per
+    shard). The manifest fingerprint PROVES the order without ever
+    collecting a shard: each doc contributes h60(doc_id ':' rank) —
+    the rank bakes the position into the hash, so any reorder,
+    drop or duplicate changes the sum — while the SUM itself is
+    order-insensitive exact DECIMAL, so the aggregation never needs
+    the shard materialized in sequence.
+
+    Scale shape: one narrow pass computes both hashes, one
+    shard-keyed window ranks (WindowExec sorts within the shard
+    partition and spills if needed — never a driver collect, never
+    a SinglePartition), and the same exchange serves the final
+    per-shard aggregate. Re-running the plan on the same corpus
+    reproduces identical fingerprints — the idempotent-writer
+    precondition; a downstream writer that lays out files in rank
+    order can be audited against the manifest at any time."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    assigned = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        _hash_bucket("shard|", F.col("doc_id"), PIPE10_SHARDS).alias(
+            "shard_id"
+        ),
+        _hash_bucket("order|", F.col("doc_id"), 1_000_000_000).alias("ord"),
+    )
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("ord").asc(), F.col("doc_id").asc()
+    )
+    ranked = assigned.withColumn("rank", F.row_number().over(w))
+    contrib = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("rank").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return ranked.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum(contrib.cast("decimal(38,0)")).alias("manifest_fp"),
+    )
