@@ -119,6 +119,8 @@ HEADLINE = [
     "dd23_incremental_near_dedup",
     "dq2_referential_integrity",
     "s15_mutual_knn_graph",
+    "ivm4_join_view_delta",
+    "pipe10_shard_plan",
 ]
 
 

@@ -314,3 +314,13 @@ def test_tpch11_tpch20_read_lineitem_once(spark):
     for name in ("tpch11_important_parts", "tpch20_excess_suppliers"):
         plan = _plan(_q(spark, name))
         assert plan.count("lineitem.parquet") == 1, name
+
+
+def test_pipe10_no_single_partition_one_scan(spark):
+    """The shard manifest must never globally sort or collect a
+    shard: one corpus scan, shard-keyed window + agg on the same
+    exchange, zero SinglePartition operators."""
+    plan = _plan(_q(spark, "pipe10_shard_plan"))
+    assert "SinglePartition" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 2  # round-robin + shard key
