@@ -319,3 +319,23 @@ def test_join_view_delta_cross_term(spark):
     )
     # (1,a1,b1) is base⋈base -> excluded; every other pairing once
     assert rows == [(1, "a1", "b1x"), (2, "a2", "b2")]
+
+
+def test_signed_join_delta_cancellation(spark):
+    """Z-relation netting: deleting the only order while a lineitem
+    arrives for it makes the (deleted-order x new-lineitem) tuple
+    appear +1 via A-side-base x dB and -1 via dA x dB — those MUST
+    net to zero, leaving exactly one retraction of the old view row."""
+    from trello_github_etl_spark.operators.ivm import signed_join_view_delta
+
+    A = spark.createDataFrame([(1, "p")], "k long, av string")
+    dA = spark.createDataFrame([(1, "p", -1)], "k long, av string, sign int")
+    B = spark.createDataFrame([(1, "old")], "k long, bv string")
+    dB = spark.createDataFrame([(1, "new", 1)], "k long, bv string, sign int")
+    rows = {
+        (r.k, r.av, r.bv): r.net
+        for r in signed_join_view_delta(
+            A, dA, B, dB, on="k", view_cols=["k", "av", "bv"]
+        ).collect()
+    }
+    assert rows == {(1, "p", "old"): -1}

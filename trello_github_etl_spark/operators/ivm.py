@@ -97,3 +97,53 @@ def join_view_delta(
         .unionByName(base_a.join(delta_b, on))
         .unionByName(delta_a.join(delta_b, on))
     )
+
+
+def signed_join_view_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str] | str,
+    view_cols: list[str],
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Join-view maintenance under inserts AND deletes — the signed
+    (Z-relation) generalization of :func:`join_view_delta`, the
+    algebra DBSP / differential dataflow build on: deltas carry a
+    ``sign`` column (+1 insert, -1 delete of an existing base row),
+    and the bilinear identity holds over signed multisets with sign
+    MULTIPLICATION on the cross term:
+
+        Δ(A ⋈ B) = (ΔA ⋈ B)·sa ∪ (A ⋈ ΔB)·sb ∪ (ΔA ⋈ ΔB)·sa·sb
+
+    Signed contributions can cancel (a deleted order × an inserted
+    lineitem of the same key produces +1 and -1 rows of the same
+    view tuple through different terms), so the result is NETTED:
+    group by the view columns, sum the signs, drop net-zero rows.
+    Returns ``view_cols + [net]`` — apply to a stored view by adding
+    ``net`` copies (negative = retract). Correctness gate: the net
+    frame must equal the per-row count difference between the
+    recomputed new view and the old view — that is exactly what the
+    ivm5 oracle checks.
+
+    Scale shape: same as the insert-only identity (delta-side joins
+    broadcast against streaming base scans; base never joins base)
+    plus ONE hash-aggregate on the view columns — the netting
+    shuffle, sized by the delta's blast radius, not the view.
+    """
+    sa = F.col(sign_col)
+    t1 = delta_a.join(base_b, on).select(*view_cols, sa.alias("_s"))
+    t2 = base_a.join(delta_b, on).select(*view_cols, sa.alias("_s"))
+    da = delta_a.withColumnRenamed(sign_col, "_sa")
+    db = delta_b.withColumnRenamed(sign_col, "_sb")
+    t3 = da.join(db, on).select(
+        *view_cols, (F.col("_sa") * F.col("_sb")).alias("_s")
+    )
+    return (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .groupBy(*view_cols)
+        .agg(F.sum("_s").alias("net"))
+        .filter(F.col("net") != 0)
+    )

@@ -195,3 +195,102 @@ def ivm4_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.join_view_delta(a, da, b, db, on="o_orderkey").select(
         "o_orderkey", "o_orderpriority", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "ivm5_signed_join_delta",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+    ),
+    ins_a AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+    ),
+    new_a AS (
+      SELECT * FROM a WHERE o_orderkey % 7 <> 0
+      UNION ALL SELECT * FROM ins_a
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_linenumber <= 3
+    ),
+    ins_b AS (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_linenumber IN (4, 5)
+    ),
+    new_b AS (
+      SELECT * FROM b WHERE l_orderkey % 5 <> 0
+      UNION ALL SELECT * FROM ins_b
+    ),
+    oldv AS (
+      SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_quantity
+      FROM a o JOIN b l ON o.o_orderkey = l.l_orderkey
+    ),
+    newv AS (
+      SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_quantity
+      FROM new_a o JOIN new_b l ON o.o_orderkey = l.l_orderkey
+    ),
+    co AS (
+      SELECT o_orderkey, o_orderpriority, l_linenumber, l_quantity,
+             COUNT(*) AS c
+      FROM oldv GROUP BY ALL
+    ),
+    cn AS (
+      SELECT o_orderkey, o_orderpriority, l_linenumber, l_quantity,
+             COUNT(*) AS c
+      FROM newv GROUP BY ALL
+    )
+    SELECT o_orderkey, o_orderpriority, l_linenumber, l_quantity,
+           CAST(COALESCE(cn.c, 0) - COALESCE(co.c, 0) AS BIGINT) AS net
+    FROM cn FULL JOIN co
+      USING (o_orderkey, o_orderpriority, l_linenumber, l_quantity)
+    WHERE COALESCE(cn.c, 0) - COALESCE(co.c, 0) <> 0
+    """,
+)
+def ivm5_signed_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance under a MIXED batch — new orders arrive
+    (+1), every %7 old order is deleted (-1), late lineitems arrive
+    (+1), every %5 order's early lineitems are deleted (-1) — through
+    the signed bilinear identity with sign multiplication on the
+    cross term (the Z-relation algebra DBSP/differential dataflow
+    maintain views in). The oracle recomputes BOTH view versions and
+    diffs their per-row counts, so a hash match proves the signed
+    incremental algebra equals new-minus-old on the full multiset —
+    including cancellations (a deleted order x an inserted lineitem
+    of one key produces +1/-1 of the same tuple via different terms;
+    the netting aggregate must zero them)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    cut = F.lit(_CUTOFF).cast("timestamp")
+    a = o.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    da = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .drop("o_orderdate")
+        .withColumn("sign", F.lit(1))
+        .unionByName(
+            a.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+                "sign", F.lit(-1)
+            )
+        )
+    )
+    b = li.filter(F.col("l_linenumber") <= 3)
+    db = (
+        li.filter(F.col("l_linenumber").isin(4, 5))
+        .withColumn("sign", F.lit(1))
+        .unionByName(
+            b.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "sign", F.lit(-1)
+            )
+        )
+    )
+    return ivm.signed_join_view_delta(
+        a, da, b, db,
+        on="o_orderkey",
+        view_cols=["o_orderkey", "o_orderpriority", "l_linenumber", "l_quantity"],
+    )
