@@ -121,6 +121,7 @@ HEADLINE = [
     "s15_mutual_knn_graph",
     "ivm4_join_view_delta",
     "pipe10_shard_plan",
+    "ivm5_signed_join_delta",
 ]
 
 
