@@ -339,3 +339,79 @@ def test_signed_join_delta_cancellation(spark):
         ).collect()
     }
     assert rows == {(1, "p", "old"): -1}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2)), max_size=6),
+    b=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2)), max_size=6),
+    ins_a=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2)), max_size=4),
+    ins_b=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2)), max_size=4),
+    del_a=st.data(),
+)
+def test_signed_join_delta_matches_recompute_model(
+    spark, a, b, ins_a, ins_b, del_a
+):
+    """Model-based: the signed bilinear delta must equal the per-row
+    count diff of brute-force recompute for ARBITRARY small signed
+    batches — duplicate rows, multi-deletes, cancellations and all.
+    Deletes are sampled from the actual base multisets (a delete of
+    a non-existent row is a caller error by contract)."""
+    from collections import Counter
+
+    from trello_github_etl_spark.operators.ivm import signed_join_view_delta
+
+    da_del = del_a.draw(
+        st.lists(st.sampled_from(a), max_size=len(a)) if a else st.just([])
+    )
+    db_del = del_a.draw(
+        st.lists(st.sampled_from(b), max_size=len(b)) if b else st.just([])
+    )
+    # a multiset delete cannot remove more copies than exist
+    da_del = [r for i, r in enumerate(da_del) if da_del[:i].count(r) < a.count(r)]
+    db_del = [r for i, r in enumerate(db_del) if db_del[:i].count(r) < b.count(r)]
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema) if rows else (
+            spark.createDataFrame([], schema)
+        )
+
+    A = df(a, "k long, av long")
+    B = df(b, "k long, bv long")
+    dA = df(
+        [(k, v, 1) for k, v in ins_a] + [(k, v, -1) for k, v in da_del],
+        "k long, av long, sign int",
+    )
+    dB = df(
+        [(k, v, 1) for k, v in ins_b] + [(k, v, -1) for k, v in db_del],
+        "k long, bv long, sign int",
+    )
+    got = {
+        (r.k, r.av, r.bv): r.net
+        for r in signed_join_view_delta(
+            A, dA, B, dB, on="k", view_cols=["k", "av", "bv"]
+        ).collect()
+    }
+
+    def join(xs, ys):
+        return Counter(
+            (k, av, bv) for k, av in xs for k2, bv in ys if k == k2
+        )
+
+    new_a = list(a) + list(ins_a)
+    for r in da_del:
+        new_a.remove(r)
+    new_b = list(b) + list(ins_b)
+    for r in db_del:
+        new_b.remove(r)
+    model = join(new_a, new_b)
+    model.subtract(join(a, b))
+    assert got == {t: n for t, n in model.items() if n != 0}

@@ -1819,3 +1819,28 @@ def test_pipe10_manifest_detects_reorder_and_drop(spark, tmp_path):
     assert c != a
     changed = [s for s in a if a[s] != c.get(s)]
     assert len(changed) == 1  # only the dropped doc's shard moved
+
+
+def test_pipe10_invariant_to_input_partitioning(spark, tmp_path):
+    """The shard manifest must not depend on how the input happens to
+    be partitioned — repartitioned and coalesced reads of the same
+    corpus produce identical fingerprints (the property that makes
+    the manifest an audit tool rather than a run artifact)."""
+    import os
+
+    import __spark_entry__ as entry
+
+    rows = [(i, "w " * (i % 9), "en", "s", 2 * (i % 9)) for i in range(150)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    base = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base.repartition(17).write.parquet(os.path.join(sf, "documents.parquet"))
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2)
+    base.coalesce(1).write.parquet(os.path.join(sf2, "documents.parquet"))
+    q = entry.queries()["pipe10_shard_plan"]
+    a = sorted(map(tuple, q(spark, sf).collect()))
+    c = sorted(map(tuple, q(spark, sf2).collect()))
+    assert a == c
