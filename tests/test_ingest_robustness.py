@@ -111,14 +111,31 @@ def test_format_agnostic_ingestion_equivalence(spark, tmp_path):
         d = os.path.join(str(tmp_path), fmt)
         w = base.write.mode("overwrite")
         if fmt == "csv":
-            w = w.option("header", True)
-        getattr(w, "format")(fmt).save(d)
+            # multiLine + an explicit empty/null sentinel pair: the
+            # default CSV read splits embedded newlines into rows and
+            # reads a written '' back as NULL — either would fail the
+            # equality for reasons unrelated to the format-agnostic
+            # property under test (r5 code review)
+            w = (
+                w.option("header", True)
+                .option("escape", '"')
+                .option("emptyValue", "")
+                .option("nullValue", "\\N")
+            )
+        w.format(fmt).save(d)
         r = spark.read
         if fmt == "csv":
-            r = r.option("header", True).schema(schema)
+            r = (
+                r.option("header", True)
+                .option("multiLine", True)
+                .option("escape", '"')
+                .option("emptyValue", "")
+                .option("nullValue", "\\N")
+                .schema(schema)
+            )
         else:
             r = r.schema(schema)
-        back = getattr(r, "format")(fmt).load(d)
+        back = r.format(fmt).load(d)
         got = sorted(
             (row.doc_id, row.text, row.lang, row.source, row.n_chars)
             for row in back.collect()

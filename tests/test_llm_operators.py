@@ -1844,3 +1844,30 @@ def test_pipe10_invariant_to_input_partitioning(spark, tmp_path):
     a = sorted(map(tuple, q(spark, sf).collect()))
     c = sorted(map(tuple, q(spark, sf2).collect()))
     assert a == c
+
+
+def test_pipe10_fingerprint_is_rank_sensitive(spark):
+    """The ORDER-PROVING property itself: the same doc set with two
+    ranks swapped must produce a different manifest sum — i.e. the
+    per-doc contribution really bakes the position in (a regression
+    to h60(doc_id) alone would pass the re-run and drop tests but
+    not this one). Checked on the exact engine expression."""
+    from pyspark.sql import functions as F
+
+    from trello_github_etl_spark.operators.dedup import _token_hash60
+
+    def fp(pairs):
+        df = spark.createDataFrame(pairs, "doc_id long, rank int")
+        contrib = _token_hash60(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("rank").cast("string"),
+            )
+        )
+        return df.agg(
+            F.sum(contrib.cast("decimal(38,0)")).alias("fp")
+        ).collect()[0].fp
+
+    assert fp([(7, 1), (9, 2)]) != fp([(7, 2), (9, 1)])
+    assert fp([(7, 1), (9, 2)]) == fp([(9, 2), (7, 1)])  # set-order free

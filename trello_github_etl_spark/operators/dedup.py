@@ -1237,33 +1237,21 @@ def semantic_dedup(
     more Lloyd rounds on the centroids (s9) or a secondary probe.
     """
     from trello_github_etl_spark.operators.similarity import (
-        cosine_prenormed,
+        cell_pairs,
         ivf_assign,
     )
 
     cells = ivf_assign(
         embeddings, centroids, 1, vec_col, id_col, cache_key
     )
-    x, y = cells.alias("x"), cells.alias("y")
+    # the shared pinned cell-equi-join shape (similarity.cell_pairs —
+    # one definition with s15's mutual-kNN graph; r5 code review)
     pairs = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .withColumn(
-            "cos",
-            cosine_prenormed(
-                F.col(f"x.{vec_col}"),
-                F.col(f"y.{vec_col}"),
-                F.col("x._norm"),
-                F.col("y._norm"),
-            ),
-        )
+        cell_pairs(cells, vec_col, id_col)
         .filter(F.col("cos") >= threshold)
         .select(
-            F.col(f"x.{id_col}").alias("doc_a"),
-            F.col(f"y.{id_col}").alias("doc_b"),
+            F.col("va").alias("doc_a"),
+            F.col("vb").alias("doc_b"),
         )
     )
     groups = connected_components_auto(

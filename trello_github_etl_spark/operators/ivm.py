@@ -132,9 +132,15 @@ def signed_join_view_delta(
     plus ONE hash-aggregate on the view columns — the netting
     shuffle, sized by the delta's blast radius, not the view.
     """
-    sa = F.col(sign_col)
-    t1 = delta_a.join(base_b, on).select(*view_cols, sa.alias("_s"))
-    t2 = base_a.join(delta_b, on).select(*view_cols, sa.alias("_s"))
+    # resolve the sign FROM ITS DELTA FRAME, never by bare name: a
+    # base frame carrying a same-named column (cascaded Z-relation
+    # setups) would make F.col(sign_col) ambiguous — r5 code review
+    t1 = delta_a.join(base_b, on).select(
+        *view_cols, delta_a[sign_col].alias("_s")
+    )
+    t2 = base_a.join(delta_b, on).select(
+        *view_cols, delta_b[sign_col].alias("_s")
+    )
     da = delta_a.withColumnRenamed(sign_col, "_sa")
     db = delta_b.withColumnRenamed(sign_col, "_sb")
     t3 = da.join(db, on).select(

@@ -973,6 +973,38 @@ def matryoshka_rerank_topk(
     return _exact_rerank(cand, queries, targets, topk, query_vec, target_vec)
 
 
+def cell_pairs(
+    cells: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Column:
+    """Scored within-cell candidate pairs from an ``ivf_assign``
+    frame — THE pinned cell-equi-join shape (never all-pairs) shared
+    by SemDeDup (dd14/dd15 via dedup.semantic_dedup) and the
+    mutual-kNN graph (s15). One definition so the id tie-break and
+    prenormed-cosine handling cannot fork between the two call sites
+    (r5 code review — the _rank_topk consolidation's lesson).
+    Returns (va, vb, cos) with va < vb."""
+    x, y = cells.alias("x"), cells.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("va"),
+            F.col(f"y.{id_col}").alias("vb"),
+            cosine_prenormed(
+                F.col(f"x.{vec_col}"),
+                F.col(f"y.{vec_col}"),
+                F.col("x._norm"),
+                F.col("y._norm"),
+            ).alias("cos"),
+        )
+    )
+
+
 def mutual_knn_graph(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -991,44 +1023,40 @@ def mutual_knn_graph(
 
     Returns (vec_a, vec_b, cos) with vec_a < vec_b.
 
-    Scale shape: candidates come from the IVF cell equi-join (dd14's
-    pinned shape — never all-pairs; ~|cell| fan-in per vector), each
-    undirected candidate is scored ONCE (a<b join), then doubled into
-    directed rows for the per-source top-k window; the final
-    mutuality check is one groupBy on the undirected key counting
-    surviving directions (=2). Norms ride from ivf_assign, so the
-    whole operator is: one narrow assignment pass, one cell-keyed
-    shuffle, one src-keyed window shuffle, one pair-keyed groupBy.
-    Ties in the top-k window break (cos DESC, neighbor id ASC) —
-    deterministic on both engines given the strict-fold cosines.
+    Scale shape: candidates come from the IVF cell equi-join
+    (cell_pairs — dd14's pinned shape, never all-pairs; ~|cell|
+    fan-in per vector), each undirected candidate is scored ONCE and
+    then EXPLODED into its two directed rows — a union of two
+    references to the pairs frame would physically re-run the join
+    and the cosine folds (Spark dedups exchanges under a union, not
+    join subtrees; r5 code review). The final mutuality check is one
+    groupBy on the undirected key counting surviving directions
+    (=2). Norms ride from ivf_assign, so the whole operator is: one
+    narrow assignment pass, one cell-keyed shuffle, one src-keyed
+    window shuffle, one pair-keyed groupBy. Ties in the top-k window
+    break (cos DESC, neighbor id ASC) — deterministic on both
+    engines given the strict-fold cosines.
     """
     from pyspark.sql.window import Window
 
+    from trello_github_etl_spark.operators.gen import exploded
+
     cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
-    a, b = cells.alias("a"), cells.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("va"),
-            F.col(f"b.{id_col}").alias("vb"),
-            cosine_prenormed(
-                F.col(f"a.{vec_col}"),
-                F.col(f"b.{vec_col}"),
-                F.col("a._norm"),
-                F.col("b._norm"),
-            ).alias("cos"),
-        )
+    pairs = cell_pairs(cells, vec_col, id_col)
+    both_dirs = F.array(
+        F.struct(
+            F.col("va").alias("src"),
+            F.col("vb").alias("dst"),
+            F.col("cos").alias("cos"),
+        ),
+        F.struct(
+            F.col("vb").alias("src"),
+            F.col("va").alias("dst"),
+            F.col("cos").alias("cos"),
+        ),
     )
-    directed = pairs.select(
-        F.col("va").alias("src"), F.col("vb").alias("dst"), "cos"
-    ).unionByName(
-        pairs.select(
-            F.col("vb").alias("src"), F.col("va").alias("dst"), "cos"
-        )
+    directed = exploded(pairs, [], both_dirs, "e").select(
+        "e.src", "e.dst", "e.cos"
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cos").desc(), F.col("dst").asc()

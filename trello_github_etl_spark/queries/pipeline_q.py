@@ -1465,9 +1465,7 @@ PIPE10_SHARDS = 8
     SELECT shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           CAST(SUM(CAST(CAST(TRY_CAST('0x' || substr(md5(
-                 CAST(doc_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR)
-               ), 1, 15) AS UBIGINT) AS BIGINT) AS DECIMAL(38,0)))
+           CAST(SUM(CAST({SQL_H60.format(x="CAST(doc_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR)")} AS DECIMAL(38,0)))
              AS DECIMAL(38,0)) AS manifest_fp
     FROM ranked GROUP BY shard_id
     """,
@@ -1505,21 +1503,17 @@ def pipe10_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ord").asc(), F.col("doc_id").asc()
     )
     ranked = assigned.withColumn("rank", F.row_number().over(w))
-    contrib = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("doc_id").cast("string"),
-                    F.col("rank").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from trello_github_etl_spark.operators.dedup import _token_hash60
+
+    # the engine's ONE 60-bit md5 hash (dedup._token_hash60) — not a
+    # re-implementation; its SQL twin below is SQL_H60 (r5 review)
+    contrib = _token_hash60(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("rank").cast("string"),
+        )
+    )
     return ranked.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
