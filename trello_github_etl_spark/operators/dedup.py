@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1197,14 +1199,31 @@ def winnow_pairs(
     )
 
 
+SEMDEDUP_NLIST_MIN = 16
+SEMDEDUP_NLIST_MAX = 4096
+
+
+def semantic_dedup_nlist(n: int) -> int:
+    """Corpus-adaptive coarse-cell count: ceil(√N) clamped to
+    [SEMDEDUP_NLIST_MIN, SEMDEDUP_NLIST_MAX] (FAISS's nlist≈√N rule,
+    measured as THE SemDeDup scale lever in SCALE.md lessons 25/26 —
+    within-cell pair work is O(N²/nlist), so a static nlist makes the
+    operator quadratic in corpus growth while √N keeps it ~O(N^1.5)
+    with an O(N·√N·dim) assignment pass).  IEEE sqrt is correctly
+    rounded, so an oracle's CEIL(SQRT(COUNT(*))) lands on the same
+    integer for every representable N."""
+    return max(SEMDEDUP_NLIST_MIN, min(SEMDEDUP_NLIST_MAX, math.ceil(math.sqrt(max(n, 1)))))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     threshold: float = 0.92,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
     checkpoint_dir: str | None = None,
+    nlist: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the corpus,
@@ -1235,12 +1254,34 @@ def semantic_dedup(
     vectors always co-locate (same argmax), so exact-duplicate recall
     is 1.0 by construction; raise recall on borderline pairs with
     more Lloyd rounds on the centroids (s9) or a secondary probe.
+
+    Cell-count policy (VERDICT r5 #1): when ``centroids`` is None the
+    operator SELF-SEEDS — one corpus count picks
+    ``nlist = semantic_dedup_nlist(N)`` (√N clamped; override with an
+    explicit ``nlist``) and the ``nlist`` lowest-``id_col`` vectors
+    become the seeds (dd14's deterministic lowest-id convention, a
+    driver-side TakeOrdered of KB-scale rows).  A static cell count is
+    the first plan to die at 100×: per-cell population grows linearly
+    with the corpus and pair work quadratically per cell, which is
+    exactly dd14's old 10.4× sf0.1→sf1 ratio under nlist=16.  Callers
+    with trained centroids (s9 k-means) still pass them explicitly.
     """
     from trello_github_etl_spark.operators.similarity import (
         cell_pairs,
         ivf_assign,
     )
 
+    if centroids is None:
+        k = nlist if nlist is not None else semantic_dedup_nlist(embeddings.count())
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+            )
+        )
+        if cache_key is not None:
+            cache_key = f"{cache_key}|auto{k}"
     cells = ivf_assign(
         embeddings, centroids, 1, vec_col, id_col, cache_key
     )
