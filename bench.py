@@ -122,6 +122,8 @@ HEADLINE = [
     "ivm4_join_view_delta",
     "pipe10_shard_plan",
     "ivm5_signed_join_delta",
+    # round-7 additions
+    "dd24_semantic_dedup_auto",
 ]
 
 

@@ -56,6 +56,9 @@ REPRESENTATIVE = [
     "samp6_epoch_mix", "samp7_dsir_importance", "s15_mutual_knn_graph",
     "dq2_referential_integrity", "tpch2_min_cost_supplier",
     "tpch11_important_parts", "tpch20_excess_suppliers",
+    # round-7: self-seeding SemDeDup (count=0 → clamp floor k=16 →
+    # limit(16) of nothing → ivf_assign's empty-centroid branch)
+    "dd24_semantic_dedup_auto",
 ]
 
 

@@ -19,8 +19,6 @@ Scale design:
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1199,20 +1197,15 @@ def winnow_pairs(
     )
 
 
-SEMDEDUP_NLIST_MIN = 16
-SEMDEDUP_NLIST_MAX = 4096
-
-
 def semantic_dedup_nlist(n: int) -> int:
-    """Corpus-adaptive coarse-cell count: ceil(√N) clamped to
-    [SEMDEDUP_NLIST_MIN, SEMDEDUP_NLIST_MAX] (FAISS's nlist≈√N rule,
-    measured as THE SemDeDup scale lever in SCALE.md lessons 25/26 —
-    within-cell pair work is O(N²/nlist), so a static nlist makes the
-    operator quadratic in corpus growth while √N keeps it ~O(N^1.5)
-    with an O(N·√N·dim) assignment pass).  IEEE sqrt is correctly
-    rounded, so an oracle's CEIL(SQRT(COUNT(*))) lands on the same
-    integer for every representable N."""
-    return max(SEMDEDUP_NLIST_MIN, min(SEMDEDUP_NLIST_MAX, math.ceil(math.sqrt(max(n, 1)))))
+    """Corpus-adaptive coarse-cell count — delegates to the canonical
+    similarity.auto_nlist (ceil(√N) clamped to [16, 4096]; FAISS's
+    nlist≈√N rule, measured as THE SemDeDup scale lever in SCALE.md
+    lessons 25/26). One definition shared with the mutual-kNN graph
+    so the two cell-equi-join operators cannot drift apart."""
+    from trello_github_etl_spark.operators.similarity import auto_nlist
+
+    return auto_nlist(n)
 
 
 def semantic_dedup(
@@ -1255,33 +1248,40 @@ def semantic_dedup(
     is 1.0 by construction; raise recall on borderline pairs with
     more Lloyd rounds on the centroids (s9) or a secondary probe.
 
-    Cell-count policy (VERDICT r5 #1): when ``centroids`` is None the
-    operator SELF-SEEDS — one corpus count picks
-    ``nlist = semantic_dedup_nlist(N)`` (√N clamped; override with an
-    explicit ``nlist``) and the ``nlist`` lowest-``id_col`` vectors
-    become the seeds (dd14's deterministic lowest-id convention, a
-    driver-side TakeOrdered of KB-scale rows).  A static cell count is
-    the first plan to die at 100×: per-cell population grows linearly
-    with the corpus and pair work quadratically per cell, which is
-    exactly dd14's old 10.4× sf0.1→sf1 ratio under nlist=16.  Callers
-    with trained centroids (s9 k-means) still pass them explicitly.
+    Cell-count policy (VERDICT r5 #1 / r6 #1): when ``centroids`` is
+    None the operator SELF-SEEDS via similarity.auto_seed_centroids —
+    one corpus count picks ``nlist = semantic_dedup_nlist(N)`` (√N
+    clamped; override with an explicit ``nlist``) and the ``nlist``
+    lowest-``id_col`` vectors become the seeds (deterministic, oracle
+    replayable with ROW_NUMBER), re-numbered to dense cent_ids 0..k-1
+    so non-integer ``id_col`` corpora work too (r6 advice). The
+    returned ``cell`` values on this path are therefore dense seed
+    RANKS, not raw seed ids. A static cell count is the first plan to
+    die at 100×: per-cell population grows linearly with the corpus
+    and pair work quadratically per cell, which is exactly dd14's old
+    10.4× sf0.1→sf1 ratio under nlist=16. Callers with trained
+    centroids (s9 k-means) still pass them explicitly — ``nlist``
+    alongside explicit centroids raises, and the auto cache-key
+    suffix folds in both k and N so same-k corpora sharing a base key
+    cannot serve each other stale seeds.
     """
     from trello_github_etl_spark.operators.similarity import (
+        auto_seed_centroids,
         cell_pairs,
         ivf_assign,
     )
 
     if centroids is None:
-        k = nlist if nlist is not None else semantic_dedup_nlist(embeddings.count())
-        centroids = (
-            embeddings.orderBy(id_col)
-            .limit(k)
-            .select(
-                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
-            )
+        centroids, suffix = auto_seed_centroids(
+            embeddings, nlist, vec_col, id_col
         )
         if cache_key is not None:
-            cache_key = f"{cache_key}|auto{k}"
+            cache_key = cache_key + suffix
+    elif nlist is not None:
+        raise ValueError(
+            "nlist applies only to the self-seeding path; pass either "
+            "centroids or nlist, not both"
+        )
     cells = ivf_assign(
         embeddings, centroids, 1, vec_col, id_col, cache_key
     )

@@ -14,6 +14,7 @@ no RNG state (computed once driver-side, shipped as literals).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -168,6 +169,80 @@ def lsh_topk(
 
 NUM_CENTROIDS = 16
 NPROBE = 2
+
+# Corpus-adaptive coarse-cell clamp (FAISS's nlist≈√N rule): the
+# canonical definition — dedup.semantic_dedup_nlist delegates here so
+# SemDeDup and the mutual-kNN graph cannot drift apart.
+IVF_NLIST_MIN = 16
+IVF_NLIST_MAX = 4096
+
+
+def auto_nlist(n: int) -> int:
+    """ceil(√N) clamped to [IVF_NLIST_MIN, IVF_NLIST_MAX]. Within-cell
+    pair work is O(N²/nlist): a STATIC nlist makes any cell-equi-join
+    operator quadratic in corpus growth (SCALE.md lessons 25/26 —
+    dd14's old 10.4× sf0.1→sf1 ratio under nlist=16), while √N keeps
+    it ~O(N^1.5) with an O(N·√N·dim) assignment pass. IEEE sqrt is
+    correctly rounded, so an oracle's CEIL(SQRT(COUNT(*))) lands on
+    the same integer for every representable N."""
+    return max(IVF_NLIST_MIN, min(IVF_NLIST_MAX, math.ceil(math.sqrt(max(n, 1)))))
+
+
+def auto_seed_centroids(
+    embeddings: DataFrame,
+    nlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, str]:
+    """Self-seeding coarse centroids: the ``k`` lowest-``id_col``
+    vectors (deterministic, engine-replayable — a SQL oracle selects
+    the same rows with ROW_NUMBER() OVER (ORDER BY id)), re-numbered
+    to DENSE cent_ids 0..k-1. The re-numbering matters twice: (a)
+    ivf_assign inlines ``int(cent_id)`` literals, so raw corpus ids
+    would restrict the auto path to integer id columns (r6 advice);
+    (b) dense ids keep the downstream ``cell`` values bounded by k
+    regardless of the id domain. The renumber is order-preserving in
+    ``id_col``, so the lowest-cent_id tie-break is identical to
+    ranking by raw seed id.
+
+    ``k`` is ``auto_nlist(count)`` when ``nlist`` is None (one
+    driver-side count job — at 100 TB a parquet COUNT(*) is footer
+    metadata, not a scan), else the validated explicit ``nlist``.
+
+    Returns ``(centroids, key_suffix)``. Callers memoizing through
+    ``_collect_centroids`` MUST append ``key_suffix`` to their base
+    cache key: it folds in both k and (on the auto path) the corpus
+    count N, so two corpora sharing a base key cannot silently reuse
+    each other's seeds even when both clamp to the same k. The base
+    key must still identify the corpus source (same contract as
+    ``_collect_centroids``).
+
+    Scale note: the seed TakeOrdered is a driver-side top-k of ≤
+    IVF_NLIST_MAX KB-scale rows; the row_number window runs on those
+    ≤ 4096 rows post-limit, never on the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    if nlist is not None and nlist < 1:
+        raise ValueError(f"nlist must be >= 1, got {nlist}")
+    if nlist is None:
+        n = embeddings.count()
+        k = auto_nlist(n)
+        suffix = f"|auto-k{k}-n{n}"
+    else:
+        k = nlist
+        suffix = f"|auto-k{k}"
+    seeds = embeddings.select(id_col, vec_col).orderBy(id_col).limit(k)
+    # partitionBy on a constant = the same single-partition window over
+    # the ≤ IVF_NLIST_MAX seed rows, without WindowExec's global-window
+    # WARN firing on every plan build
+    w = Window.partitionBy(F.lit(0)).orderBy(id_col)
+    cents = seeds.select(
+        (F.row_number().over(w) - F.lit(1)).alias("cent_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    return cents, suffix
+
 
 # Single-flight centroid cache: collecting the (tiny) centroid table
 # is a driver-side catalog read, memoized per key exactly like the
@@ -977,7 +1052,7 @@ def cell_pairs(
     cells: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> Column:
+) -> DataFrame:
     """Scored within-cell candidate pairs from an ``ivf_assign``
     frame — THE pinned cell-equi-join shape (never all-pairs) shared
     by SemDeDup (dd14/dd15 via dedup.semantic_dedup) and the
@@ -1007,11 +1082,12 @@ def cell_pairs(
 
 def mutual_knn_graph(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     k: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
+    nlist: int | None = None,
 ) -> DataFrame:
     """Mutual k-NN graph over the corpus — the candidate structure
     semantic-dedup and diversity-sampling pipelines build first
@@ -1036,11 +1112,31 @@ def mutual_knn_graph(
     window shuffle, one pair-keyed groupBy. Ties in the top-k window
     break (cos DESC, neighbor id ASC) — deterministic on both
     engines given the strict-fold cosines.
+
+    Cell-count policy (VERDICT r6 #1c): when ``centroids`` is None
+    the operator SELF-SEEDS via auto_seed_centroids — √N clamped
+    cells (override with ``nlist``), lowest-id seeds. A static cell
+    count was the repo's worst sf0.1→sf1 scaler (s15 at 8.9× under
+    nlist=16); per-cell population grows linearly with the corpus and
+    pair work quadratically. Callers with trained centroids (s9
+    k-means) still pass them explicitly — ``nlist`` alongside
+    explicit centroids is a contradiction and raises.
     """
     from pyspark.sql.window import Window
 
     from trello_github_etl_spark.operators.gen import exploded
 
+    if centroids is None:
+        centroids, suffix = auto_seed_centroids(
+            embeddings, nlist, vec_col, id_col
+        )
+        if cache_key is not None:
+            cache_key = cache_key + suffix
+    elif nlist is not None:
+        raise ValueError(
+            "nlist applies only to the self-seeding path; pass either "
+            "centroids or nlist, not both"
+        )
     cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
     pairs = cell_pairs(cells, vec_col, id_col)
     both_dirs = F.array(

@@ -2099,17 +2099,38 @@ def t14_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.92
 
 
-def _semdedup_oracle(k: int = similarity.NUM_CENTROIDS) -> str:
+def _semdedup_oracle(k: int | str = similarity.NUM_CENTROIDS) -> str:
+    """DuckDB replay of semantic_dedup. ``k`` is either a static cell
+    count (cents = raw vec_id < k, dd14/dd15's convention) or the
+    string 'auto', replaying the self-seeding path: derive
+    nlist = CEIL(SQRT(COUNT(*))) clamped to [16, 4096] (IEEE sqrt is
+    correctly rounded, so DuckDB and the JVM land on the same integer
+    for every representable N — operators/dedup.py docstring), seeds
+    = the nlist lowest-id rows OF THE UNION CORPUS re-numbered to
+    dense cent_ids 0..k-1 (ROW_NUMBER()-1, order-preserving, so the
+    lowest-cent_id tie-break matches ranking by raw seed id)."""
+    if k == "auto":
+        cents = """
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id,
+             embedding AS c_vec
+      FROM base
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (
+        SELECT GREATEST(16, LEAST(4096, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
+        FROM base
+      )
+        """
+    else:
+        cents = f"""
+      SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
+      WHERE vec_id < {k}
+        """
     return f"""
     WITH RECURSIVE base AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
     ),
-    cents AS (
-      SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
-      WHERE vec_id < {k}
-    ),
+    cents AS ({cents}),
     cells AS (
       SELECT vec_id, embedding, cent_id AS cell FROM (
         SELECT t.vec_id, t.embedding, c.cent_id,
@@ -2193,6 +2214,32 @@ def dd15_semantic_dedup_nlist64(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         threshold=SEMDEDUP_THRESHOLD,
         cache_key=f"ivf64|{sf_dir}",
+    )
+
+
+@query("dd24_semantic_dedup_auto", oracle=_semdedup_oracle("auto"))
+def dd24_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd14's corpus through semantic_dedup's SELF-SEEDING path
+    (centroids=None): one corpus count derives nlist = ceil(√N)
+    clamped to [16, 4096] (similarity.auto_nlist — N=510 → 23 cells
+    at sf0.01, 5,100 → 72 at sf0.1, 51,000 → 226 at sf1), seeds = the
+    nlist lowest-vec_id vectors re-numbered to dense cent_ids. This
+    is the production configuration — dd14 (static 16) and dd15
+    (static 64) stay registered as the measured receipts for WHY a
+    static cell count dies at scale (SCALE.md lessons 25/26: per-cell
+    population grows linearly, within-cell pair work quadratically);
+    dd24 is the plan that survives the 100× corpus. The oracle
+    replays the full derivation: CEIL(SQRT(COUNT(*))) on the union
+    corpus, ROW_NUMBER lowest-id seeds, then dd14's cell-assign +
+    pair-predicate + recursive-closure pipeline at the derived k."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return dedup.semantic_dedup(
+        ensure_parallelism(emb.unionByName(dups)),
+        threshold=SEMDEDUP_THRESHOLD,
+        cache_key=f"ivfauto|{sf_dir}",
     )
 
 
@@ -2440,23 +2487,28 @@ S15_K = 3
 
 @query(
     "s15_mutual_knn_graph",
-    oracle=f"""
+    oracle="""
     WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
-      WHERE vec_id < {similarity.NUM_CENTROIDS}
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id,
+             embedding AS c_vec
+      FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (
+        SELECT GREATEST(16, LEAST(4096, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
+        FROM embeddings
+      )
     ),
     cells AS (
       SELECT vec_id, embedding, cent_id AS cell FROM (
         SELECT t.vec_id, t.embedding, c.cent_id,
                ROW_NUMBER() OVER (
                  PARTITION BY t.vec_id
-                 ORDER BY {{cos_tc}} DESC, c.cent_id ASC) AS rn
+                 ORDER BY {cos_tc} DESC, c.cent_id ASC) AS rn
         FROM embeddings t, cents c
       ) WHERE rn = 1
     ),
     pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
-             {{cos_ab}} AS cos
+             {cos_ab} AS cos
       FROM cells a JOIN cells b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
     ),
@@ -2473,25 +2525,29 @@ S15_K = 3
     )
     SELECT least(src, dst) AS vec_a, greatest(src, dst) AS vec_b,
            MAX(cos) AS cos
-    FROM ranked WHERE rk <= {S15_K}
+    FROM ranked WHERE rk <= {k}
     GROUP BY least(src, dst), greatest(src, dst)
     HAVING COUNT(*) = 2
     """.replace("{cos_tc}", _sql_cosine("t.embedding", "c.c_vec"))
-       .replace("{cos_ab}", _sql_cosine("a.embedding", "b.embedding")),
+       .replace("{cos_ab}", _sql_cosine("a.embedding", "b.embedding"))
+       .replace("{k}", str(S15_K)),
 )
 def s15_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual k-NN graph over the embedding corpus (k=3, IVF-cell
     candidates): the SemDeDup/coreset candidate structure. See
     operators/similarity.mutual_knn_graph — cell equi-join
     candidates, one scoring pass per undirected pair, per-source
-    top-k window, mutuality as a 2-direction count."""
+    top-k window, mutuality as a 2-direction count.
+
+    Cell count is SELF-SEEDED (VERDICT r6 #1c): ceil(√N) clamped
+    cells from the nlist lowest-id seeds (N=500 → 23 cells at sf0.01,
+    5,000 → 71 at sf0.1, 50,000 → 224 at sf1). The previous static
+    nlist=16 made this the repo's worst sf0.1→sf1 scaler (8.9× on 10×
+    data — within-cell pair work is O(N²/nlist)); the oracle replays
+    the same CEIL(SQRT(COUNT(*))) + ROW_NUMBER lowest-id derivation.
+    The auto cache-key suffix (|auto-k<k>-n<N>) keys the seed
+    cache per corpus, replacing the old dd14-shared ivf16 key."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
-    )
-    # same centroid SET as dd14's coarse cells (raw vec_id < 16), so
-    # the shared cache key makes the driver-side collect a hit when
-    # both run in one session
     return similarity.mutual_knn_graph(
-        emb, cents, k=S15_K, cache_key=f"ivf16|{sf_dir}"
+        emb, k=S15_K, cache_key=f"ivfauto-s15|{sf_dir}"
     )
