@@ -678,8 +678,23 @@ def test_stream_incremental_near_dedup_exactly_once(spark, tmp_path):
     assert v2_replay[11] == "dup_existing_near"  # now in state
     assert v2_replay[12] == "dup_existing_near"
     assert v2_replay[13] == "no_signature"  # never admitted
-    assert store.latest_version() == 3
-    assert [c.op for c in store.history()] == ["near-dedup-batch"] * 3
+    # the replay admitted nothing, so its byte-identical state is NOT
+    # committed as a fresh version (ADVICE r5/r6: no-op commits churn
+    # version history under at-least-once delivery) — version stays 2
+    assert store.latest_version() == 2
+    assert [c.op for c in store.history()] == ["near-dedup-batch"] * 2
+    state_after = sorted(r.band_key for r in read_bands(spark, store).collect())
+    # an EMPTY batch is also a no-op: no version, no state change
+    empty = near_dedup_batch(spark, store, docs([]).filter("doc_id < 0"))
+    assert empty.count() == 0
+    assert store.latest_version() == 2
+    # a second full replay: still flat
+    near_dedup_batch(spark, store, docs(batch2)).collect()
+    assert store.latest_version() == 2
+    assert (
+        sorted(r.band_key for r in read_bands(spark, store).collect())
+        == state_after
+    )
 
 
 def test_stream_near_dedup_via_foreachbatch(spark, tmp_path):
@@ -756,3 +771,162 @@ def test_stream_near_dedup_via_foreachbatch(spark, tmp_path):
     assert verdicts[1] == "dup_existing_near"  # near-copy of bootstrap
     assert verdicts[2] == "kept"
     assert verdicts[3] == "dup_existing_near"  # near-copy of batch-1 keeper
+
+
+def test_composed_ingest_crash_replay_equals_batch(spark, tmp_path):
+    """The composed loop (streaming/composed_stream.py): ingest →
+    near-dup gate → rollup merge → sink → band admit over 4 real
+    micro-batches (file source, one file per trigger), with an
+    INJECTED CRASH mid-sink on batch 2 — after the rollup merged,
+    before the band state admitted — then a checkpoint restart. Final
+    band state, rollup state, and sink receipts must all equal a
+    one-shot batch recompute over the full corpus; the crashed batch's
+    kept doc must appear TWICE in the raw sink log (the honest
+    at-least-once window) but once in the deduped receipt set."""
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from trello_github_etl_spark.operators.dedup import (
+        incremental_near_dedup,
+        lsh_band_keys,
+    )
+    from trello_github_etl_spark.plans.state_store import VersionedStateStore
+    from trello_github_etl_spark.streaming.composed_stream import stream_ingest
+    from trello_github_etl_spark.streaming.neardup_stream import (
+        BAND_SCHEMA,
+        read_bands,
+    )
+    from trello_github_etl_spark.streaming.rollup_stream import read_rollup
+
+    fam = {
+        "A": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "B": "one two three four five six seven eight nine ten",
+        "C": "red orange yellow green blue indigo violet pink brown black",
+        "D": "north south east west up down left right front back",
+        "E": "cat dog bird fish horse cow sheep goat duck hen",
+    }
+    batches = [
+        [(1, fam["A"], "web"), (2, fam["B"], "books")],
+        [(10, fam["A"] + " tailword", "web"), (11, fam["C"], "web")],
+        [(20, fam["D"], "books"), (21, fam["D"] + " extraword", "books")],
+        [(30, fam["C"] + " tailtoken", "web"), (31, fam["E"], "books")],
+    ]
+    all_rows = [r for b in batches for r in b]
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            for doc_id, text, source in rows:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": doc_id, "text": text, "source": source}
+                    )
+                    + "\n"
+                )
+        now = time.time()
+        age = (len(batches) - i) * 120
+        os.utime(p, (now - age, now - age))
+
+    sink_log = str(tmp_path / "sink.jsonl")
+    crash_marker = str(tmp_path / "crashed.marker")
+    store = VersionedStateStore(str(tmp_path / "bands"))
+    rollup_dir = str(tmp_path / "rollup")
+    os.makedirs(rollup_dir)
+
+    def transport(payload, _log=sink_log, _marker=crash_marker):
+        import json as _j
+        import os as _os
+
+        with open(_log, "a") as f:
+            f.write(_j.dumps({"id": payload["doc_id"]}) + "\n")
+        if payload["doc_id"] == 20 and not _os.path.exists(_marker):
+            with open(_marker, "w") as f:
+                f.write("x")
+            raise RuntimeError("injected crash mid-sink (batch 2)")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        return (
+            stream_ingest(
+                stream,
+                store,
+                rollup_dir,
+                str(tmp_path / "ckpt"),
+                transport,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    with pytest.raises(StreamingQueryException):
+        q1.awaitTermination(300)
+    assert os.path.exists(crash_marker)  # the crash actually fired
+    # mid-crash state: batch 2's rollup already merged, bands NOT yet
+    # admitted (3 admits so far: b0 + b1 -> versions 1..2)
+    assert store.latest_version() == 2
+
+    q2 = start()  # restart from the same checkpoint: b2 replays, b3 runs
+    q2.awaitTermination(300)
+
+    # --- batch recompute oracle: the whole corpus as ONE batch over
+    # empty state (families are designed so min-id-per-family keepers
+    # agree between incremental arrival order and one-shot election)
+    corpus = spark.createDataFrame(
+        all_rows, "doc_id long, text string, source string"
+    )
+    one_shot = incremental_near_dedup(
+        corpus, spark.createDataFrame([], BAND_SCHEMA)
+    )
+    batch_kept_ids = sorted(
+        r.doc_id for r in one_shot.filter("verdict = 'kept'").collect()
+    )
+    assert batch_kept_ids == [1, 2, 11, 20, 31]
+    batch_kept = corpus.join(
+        spark.createDataFrame([(i,) for i in batch_kept_ids], "doc_id long"),
+        "doc_id",
+    )
+
+    # 1. band state == batch recompute's kept-doc band keys
+    stream_bands = sorted(r.band_key for r in read_bands(spark, store).collect())
+    batch_bands = sorted(
+        r.band_key
+        for r in lsh_band_keys(batch_kept).select("band_key").distinct().collect()
+    )
+    assert stream_bands == batch_bands
+    # one admit per batch (every batch kept >= 1 doc), CAS-ordered
+    assert store.latest_version() == 4
+    assert [c.op for c in store.history()] == ["composed-ingest"] * 4
+
+    # 2. rollup state == one-shot aggregate over batch-kept docs
+    rollup, last_id = read_rollup(
+        spark, rollup_dir, "source string, tokens long, n_docs long"
+    )
+    got = {
+        r.source: (r.tokens, r.n_docs) for r in rollup.collect()
+    }
+    expect = {
+        r.source: (r.tokens, r.n_docs)
+        for r in batch_kept.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()
+    }
+    assert got == expect == {"web": (20, 2), "books": (30, 3)}
+    assert last_id == 3  # batches 0..3 all merged exactly once
+
+    # 3. sink receipts: deduped set == kept set; raw log shows doc 20
+    # delivered twice (once in the crashed attempt, once on replay)
+    raw = [e["id"] for e in _read_log(sink_log)]
+    assert sorted(set(raw)) == batch_kept_ids
+    assert raw.count(20) == 2
+    assert all(raw.count(i) == 1 for i in (1, 2, 11, 31))

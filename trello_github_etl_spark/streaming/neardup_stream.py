@@ -79,6 +79,15 @@ def near_dedup_batch(
     ).localCheckpoint(eager=True)
     kept_ids = verdicts.filter(F.col("verdict") == "kept").select("doc_id")
     kept_keys = batch_bands.join(kept_ids, "doc_id").select("band_key")
+    # Empty or fully-replayed batch ⇒ zero kept docs ⇒ the "new" state
+    # would be byte-identical to the old one. Committing it anyway
+    # churns a fresh version per replay (at-least-once delivery makes
+    # replays routine, and each no-op version is a full state rewrite
+    # the vacuum later has to walk) — skip instead (ADVICE r5/r6).
+    # The isEmpty probe is a limit-1 scan over the already-pinned
+    # batch_bands join, not a recompute of the signature pipeline.
+    if kept_keys.isEmpty():
+        return verdicts
     new_state = bands.select("band_key").unionByName(kept_keys).distinct()
     store.commit(new_state, op="near-dedup-batch", expected_version=base)
     return verdicts

@@ -41,6 +41,60 @@ def read_rollup(
     return df, int(version[1:])
 
 
+def merge_rollup_delta(
+    delta: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    keys: list[str],
+    measure_names: list[str],
+    count_col: str = "n_rows",
+) -> bool:
+    """Merge one micro-batch's pre-aggregated delta into the rollup
+    state at ``state_dir``; returns False when ``batch_id`` was
+    already merged (the effectively-once replay gate). Factored out of
+    stream_rollup so composed pipelines (composed_stream.py) share the
+    identical gate + pointer-flip transaction instead of forking it.
+    """
+    spark = delta.sparkSession
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in delta.schema.fields
+    )
+    state, last_id = read_rollup(spark, state_dir, schema_str)
+    if batch_id <= last_id:
+        # replayed batch: already merged (effectively-once).
+        # OPERATIONAL CONSTRAINT (r4 code review): batch ids are a
+        # property of the streaming CHECKPOINT lineage — if the
+        # checkpoint is reset while state_dir survives, the new
+        # lineage restarts at batch 0 and this gate would silently
+        # skip genuinely new batches up to last_id. state_dir and
+        # checkpoint_dir must live and die TOGETHER.
+        return False
+    merged = merge_agg_state(state, delta, keys, measure_names, count_col)
+    # SUM widens decimal precision per merge (18,2 -> 28,2 ->
+    # 38,2); pin measures back to the delta's types so the stored
+    # schema is stable across arbitrarily many batches. Ceiling
+    # (r4 code review): once a running total exceeds the DELTA
+    # type's range the non-ANSI cast yields NULL — callers whose
+    # totals can outgrow a batch's natural type should aggregate
+    # the delta at the wide type up front (e.g. sum over
+    # decimal(38,2)) so the pinned type carries the headroom.
+    merged = merged.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in delta.schema.fields
+            if f.name not in keys
+        ],
+    )
+    version = f"v{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    tmp = os.path.join(state_dir, "LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(state_dir, "LATEST"))
+    return True
+
+
 def stream_rollup(
     batches: DataFrame,
     state_dir: str,
@@ -58,51 +112,13 @@ def stream_rollup(
     os.makedirs(state_dir, exist_ok=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         delta = batch_df.groupBy(*keys).agg(
             *[expr.alias(name) for name, expr in measures.items()],
             F.count(F.lit(1)).alias(count_col),
         )
-        schema_str = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in delta.schema.fields
+        merge_rollup_delta(
+            delta, state_dir, batch_id, keys, list(measures.keys()), count_col
         )
-        state, last_id = read_rollup(spark, state_dir, schema_str)
-        if batch_id <= last_id:
-            # replayed batch: already merged (effectively-once).
-            # OPERATIONAL CONSTRAINT (r4 code review): batch ids are a
-            # property of the streaming CHECKPOINT lineage — if the
-            # checkpoint is reset while state_dir survives, the new
-            # lineage restarts at batch 0 and this gate would silently
-            # skip genuinely new batches up to last_id. state_dir and
-            # checkpoint_dir must live and die TOGETHER.
-            return
-        merged = merge_agg_state(
-            state, delta, keys, list(measures.keys()), count_col
-        )
-        # SUM widens decimal precision per merge (18,2 -> 28,2 ->
-        # 38,2); pin measures back to the delta's types so the stored
-        # schema is stable across arbitrarily many batches. Ceiling
-        # (r4 code review): once a running total exceeds the DELTA
-        # type's range the non-ANSI cast yields NULL — callers whose
-        # totals can outgrow a batch's natural type should aggregate
-        # the delta at the wide type up front (e.g. sum over
-        # decimal(38,2)) so the pinned type carries the headroom.
-        merged = merged.select(
-            *[F.col(k) for k in keys],
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in delta.schema.fields
-                if f.name not in keys
-            ],
-        )
-        version = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, version)
-        )
-        tmp = os.path.join(state_dir, "LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, os.path.join(state_dir, "LATEST"))
 
     return (
         batches.writeStream.foreachBatch(merge_batch)
