@@ -127,6 +127,25 @@ HEADLINE = [
 ]
 
 
+def _calibration_secs(spark) -> float:
+    """Constant-work CPU reference (VERDICT r5 #4): hash-fold 50M
+    synthetic longs on all cores — zero I/O, zero data dependence, so
+    the median of 3 runs measures THIS MACHINE under THIS driver, not
+    the queries. Driver-to-driver bench comparisons divide by it
+    instead of eyeballing ±20% machine noise: a query delta that
+    tracks the calibration delta is the machine; one that doesn't is
+    the code. xxhash64 summed as decimal so the fold can't overflow
+    or be constant-folded away."""
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(cast(xxhash64(id) as decimal(38,0))) AS h"
+        ).write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
     registry.load_all()
     spark = get_spark("bench")
@@ -142,6 +161,9 @@ def main() -> None:
     spark.range(0, 32, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    calibration = _calibration_secs(spark)
+    print(f"# calibration: {calibration}s", file=sys.stderr)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # Optional subset (e.g. the sf1 heavy-hitter bench): comma list.
@@ -185,7 +207,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Spread/min-max detail: stderr + sibling file, never the stdout
     # JSON line (the driver tail-captures stdout; keep that line small).
-    detail = {"spread": spread, "runs": n_runs}
+    detail = {"spread": spread, "runs": n_runs, "calibration_secs": calibration}
     print(f"# spread: {json.dumps(detail)}", file=sys.stderr)
     # Only a FULL headline run may overwrite the sibling artifact — a
     # SPARK_GRAFT_BENCH_QUERIES subset run would silently clobber it
@@ -220,6 +242,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_secs": calibration,
             }
         )
     )

@@ -126,3 +126,36 @@ def test_auto_path_accepts_string_ids(spark):
     # group exemplars are min-id within group
     for r in rows:
         assert r["group_id"] <= r["sid"] or r["verdict"] == "kept"
+
+
+def test_ivf_assign_broadcast_path_bit_identical(spark, monkeypatch):
+    """ivf_assign's two centroid-shipping strategies — inlined
+    literals (k <= IVF_INLINE_MAX) and the one-row broadcast array
+    (k above it; SCALE.md lesson 34) — must be bit-identical: same
+    fold expression, same doubles (pickle round-trips float64 exactly
+    like repr), same lowest-cent_id tie-break."""
+    emb = _emb(spark)
+    cents, _ = similarity.auto_seed_centroids(emb, nlist=8)
+    lit1 = sorted(
+        similarity.ivf_assign(emb, cents, 1)
+        .select("vec_id", "cell", "_norm")
+        .collect()
+    )
+    lit2 = sorted(
+        similarity.ivf_assign(emb, cents, 3)
+        .select("vec_id", "cell", "_norm", "_crank")
+        .collect()
+    )
+    monkeypatch.setattr(similarity, "IVF_INLINE_MAX", 2)
+    bc1 = sorted(
+        similarity.ivf_assign(emb, cents, 1)
+        .select("vec_id", "cell", "_norm")
+        .collect()
+    )
+    bc2 = sorted(
+        similarity.ivf_assign(emb, cents, 3)
+        .select("vec_id", "cell", "_norm", "_crank")
+        .collect()
+    )
+    assert lit1 == bc1
+    assert lit2 == bc2

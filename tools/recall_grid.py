@@ -1,18 +1,27 @@
-"""Recall@k grid for the ANN serving chain (VERDICT r4 #4).
+"""Recall@k grid for the ANN serving chain (VERDICT r4 #4, r5 #2).
 
 Recall tests existed (s5 dominance, s8/s13 refine contracts) but no
 committed accuracy-vs-cost artifact; this tool measures recall@10
 against exact brute force for every approximate retrieval operator
-across its parameter knobs and writes RECALL.json:
+across its parameter knobs, on TWO corpora, and writes RECALL.json:
 
-    {"sf": ..., "k": 10, "n_queries": N,
-     "grids": {"s2_lsh": [{"num_planes": 8, "recall_at_10": r,
-                           "mean_retrieved": m, "secs": t}, ...], ...}}
+    {"k": 10, "panels": {
+        "uniform":   {"corpus": ..., "n_queries": N, "grids": {...}},
+        "clustered": {"corpus": ..., "n_queries": N, "grids": {...}}}}
+
+- **uniform**: the driver's synthetic embeddings table — near-uniform
+  directions, the HARDEST ANN case (no cluster structure to exploit;
+  absolute recall is a lower bound vs real corpora).
+- **clustered**: a deterministic mixture-of-Gaussians fixture (50
+  unit-norm centers, 40 members each, per-coord noise σ=0.06 at
+  dim 64 ⇒ within-cluster cosine ≈ 0.9 vs cross-cluster ≈ 0 — the
+  realistic shape of trained text embeddings). Generated on demand
+  under .data/emb_clustered (gitignored, seed-pinned ⇒ reproducible).
 
 Query set and corpus mirror the registered queries exactly
-(queries = vec_id % 100 == 0 over the embeddings table; centroids /
-PQ seeds are the same lowest-id deterministic conventions), so the
-numbers describe the operators as shipped, not a tuned variant.
+(queries = vec_id % 100 == 0; centroids / PQ seeds are the same
+lowest-id deterministic conventions), so the numbers describe the
+operators as shipped, not a tuned variant.
 
 Usage: python tools/recall_grid.py [--sf /root/testdata/sf0.1]
                                    [--out RECALL.json]
@@ -27,9 +36,8 @@ import sys
 import time
 
 # the repo that owns this file, never a hardcoded checkout path
-sys.path.insert(
-    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -38,6 +46,35 @@ from trello_github_etl_spark.operators import similarity  # noqa: E402
 from trello_github_etl_spark.session import get_spark  # noqa: E402
 
 K = 10
+
+# mixture-of-Gaussians fixture knobs (seed-pinned => reproducible)
+MOG_N = 2000
+MOG_DIM = 64
+MOG_CLUSTERS = 50
+MOG_SIGMA = 0.06
+MOG_SEED = 7
+
+
+def make_clustered(spark, path: str) -> None:
+    """Write the mixture-of-Gaussians embeddings fixture: 50 unit
+    centers ~ N(0,I)/|.|, members = center + N(0, σ²I) assigned
+    round-robin (vec_id % 50), so the lowest-16 centroid convention
+    lands one seed in 16 DISTINCT clusters and every query's true
+    top-10 is in-cluster. σ=0.06 at dim 64 ⇒ E|noise| ≈ 0.48 ⇒
+    within-cluster cosine ≈ 1/√(1+0.23) ≈ 0.90, cross ≈ 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(MOG_SEED)
+    centers = rng.normal(size=(MOG_CLUSTERS, MOG_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = np.arange(MOG_N) % MOG_CLUSTERS
+    vecs = centers[assign] + rng.normal(scale=MOG_SIGMA, size=(MOG_N, MOG_DIM))
+    rows = [
+        (int(i), [float(x) for x in vecs[i]]) for i in range(MOG_N)
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
 
 
 def _sets(df) -> dict[int, set[int]]:
@@ -59,18 +96,8 @@ def _recall(truth: dict[int, set[int]], got: dict[int, set[int]]) -> dict:
     }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", default="RECALL.json")
-    args = ap.parse_args()
-
-    spark = get_spark("recall_grid")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    emb = load_table(spark, args.sf, "embeddings").select(
-        "vec_id", "embedding"
-    )
+def run_panel(spark, emb, corpus_label: str) -> dict:
+    """The full operator×knob grid over one embedding corpus."""
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -82,7 +109,7 @@ def main() -> int:
     t0 = time.time()
     truth = _sets(similarity.brute_force_topk(qs, emb, K))
     brute_secs = round(time.time() - t0, 2)
-    print(f"brute-force truth: {len(truth)} queries in {brute_secs}s")
+    print(f"[{corpus_label}] brute-force truth: {len(truth)} queries in {brute_secs}s")
 
     grids: dict[str, list[dict]] = {}
 
@@ -91,7 +118,7 @@ def main() -> int:
         rec = _recall(truth, _sets(thunk()))
         rec.update(knobs, secs=round(time.time() - t0, 2))
         grids.setdefault(family, []).append(rec)
-        print(f"{family} {knobs}: recall@10={rec['recall_at_10']}"
+        print(f"[{corpus_label}] {family} {knobs}: recall@10={rec['recall_at_10']}"
               f" retrieved={rec['mean_retrieved']} {rec['secs']}s")
 
     for planes in (4, 8, 12):
@@ -118,13 +145,14 @@ def main() -> int:
     for m in (4, 8, 16):
         run("s12_pq", {"m_subspaces": m, "codebook": similarity.PQ_CODEBOOK},
             lambda mm=m: similarity.pq_topk(
-                qs, emb, seeds, K, m=mm, cache_key=f"recall|s12|{mm}|{args.sf}"))
+                qs, emb, seeds, K, m=mm,
+                cache_key=f"recall|{corpus_label}|s12|{mm}"))
 
     for shortlist in (10, 25, 50, 100):
         run("s13_pq_rerank", {"shortlist": shortlist, "m_subspaces": 8},
             lambda s=shortlist: similarity.pq_rerank_topk(
                 qs, emb, seeds, K, shortlist=s,
-                cache_key=f"recall|s13|{args.sf}"))
+                cache_key=f"recall|{corpus_label}|s13"))
 
     for prefix in (8, 16, 32):
         run("s14_matryoshka", {"prefix_dim": prefix, "shortlist": 25},
@@ -135,21 +163,57 @@ def main() -> int:
             lambda s=shortlist: similarity.matryoshka_rerank_topk(
                 qs, emb, K, shortlist=s, prefix_dim=16))
 
-    artifact = {
-        "sf": args.sf,
-        "k": K,
+    return {
+        "corpus": corpus_label,
         "n_queries": len(truth),
         "brute_force_secs": brute_secs,
-        "note": (
-            "testdata embeddings are synthetic near-uniform vectors with"
-            " no cluster structure, so absolute recall is a lower bound"
-            " vs real embedding corpora (uniform data is the hardest ANN"
-            " case); the artifact's value is the monotone knob curves"
-            " (nprobe/shortlist/prefix_dim up => recall up,"
-            " planes up => recall down) and the measured"
-            " accuracy-per-second trade between family members"
-        ),
         "grids": grids,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="RECALL.json")
+    args = ap.parse_args()
+
+    spark = get_spark("recall_grid")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb_uniform = load_table(spark, args.sf, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mog_path = os.path.join(_REPO, ".data", "emb_clustered")
+    if not os.path.exists(os.path.join(mog_path, "_SUCCESS")):
+        make_clustered(spark, mog_path)
+    emb_clustered = spark.read.parquet(mog_path).select("vec_id", "embedding")
+
+    panels = {
+        "uniform": run_panel(spark, emb_uniform, "uniform"),
+        "clustered": run_panel(spark, emb_clustered, "clustered"),
+    }
+    panels["uniform"]["corpus"] = args.sf
+    panels["clustered"]["corpus"] = (
+        f"mixture-of-gaussians n={MOG_N} dim={MOG_DIM}"
+        f" clusters={MOG_CLUSTERS} sigma={MOG_SIGMA} seed={MOG_SEED}"
+    )
+
+    artifact = {
+        "version": 2,
+        "k": K,
+        "note": (
+            "two panels, same operator/knob grid: 'uniform' is the"
+            " driver's synthetic near-uniform embeddings (the hardest"
+            " ANN case — no cluster structure to exploit; absolute"
+            " recall there is a lower bound), 'clustered' is a"
+            " seed-pinned 50-cluster mixture-of-Gaussians with"
+            " within-cluster cosine ~0.9 (the realistic shape of"
+            " trained text embeddings). Read the monotone knob curves"
+            " (nprobe/shortlist/prefix_dim up => recall up, planes up"
+            " => recall down) within a panel and the uniform->"
+            "clustered recall lift across panels."
+        ),
+        "panels": panels,
     }
     with open(args.out, "w") as fh:
         json.dump(artifact, fh, indent=1)

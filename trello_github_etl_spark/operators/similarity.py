@@ -175,6 +175,12 @@ NPROBE = 2
 # SemDeDup and the mutual-kNN graph cannot drift apart.
 IVF_NLIST_MIN = 16
 IVF_NLIST_MAX = 4096
+# Above this cell count ivf_assign ships centroids as a one-row
+# broadcast instead of inlined literals (see ivf_assign). 64 keeps
+# every registered static-nlist query (k=16 dd14/s4, k=64 dd15) on
+# the measured-faster literal path while the adaptive √N paths switch
+# as soon as the corpus pushes k past it.
+IVF_INLINE_MAX = 64
 
 
 def auto_nlist(n: int) -> int:
@@ -328,19 +334,51 @@ def ivf_assign(
     # milliseconds. repr() emits the shortest round-tripping decimal
     # and the D suffix parses as DOUBLE, so every inlined literal is
     # bit-identical to the collected JVM value.
-    def _d(x: float) -> str:
-        return repr(float(x)) + "D"
-
-    packed = "array({})".format(
-        ", ".join(
-            "named_struct('cid', {cid}, 'cn', {cn}, 'cv', array({cv}))".format(
-                cid=int(r["cent_id"]),
-                cn=_d(r["_cn"]),
-                cv=", ".join(_d(x) for x in r["c_vec"]),
-            )
-            for r in cent_rows
+    #
+    # But literal inlining is itself O(k·dim) in PLAN size: at k=143
+    # (dd24's sf1 auto cell count) the parse+analyze of ~9.4k literals
+    # costs ~4.7 s per plan build, and at the k=4096 clamp it would be
+    # minutes — the plan, not the data, becomes the scale-killer
+    # (SCALE.md lesson 34). Above IVF_INLINE_MAX the packed centroid
+    # array therefore ships as a ONE-ROW BROADCAST joined onto every
+    # row instead: identical fold expression referencing a column
+    # rather than a literal (bit-identical results — pickled doubles
+    # round-trip exactly like repr'd ones), O(1) plan size, one
+    # BroadcastNestedLoopJoin against a single k×(dim+2)-double row
+    # (73 KB at k=143, 2 MB at the 4096 clamp).
+    if len(cent_rows) > IVF_INLINE_MAX:
+        packed = "`__cents__`"
+        cents_row = vectors.sparkSession.createDataFrame(
+            [
+                (
+                    [
+                        (
+                            int(r["cent_id"]),
+                            float(r["_cn"]),
+                            [float(x) for x in r["c_vec"]],
+                        )
+                        for r in cent_rows
+                    ],
+                )
+            ],
+            "__cents__ array<struct<cid:int,cn:double,cv:array<double>>>",
         )
-    )
+        vn = vn.crossJoin(F.broadcast(cents_row))
+    else:
+
+        def _d(x: float) -> str:
+            return repr(float(x)) + "D"
+
+        packed = "array({})".format(
+            ", ".join(
+                "named_struct('cid', {cid}, 'cn', {cn}, 'cv', array({cv}))".format(
+                    cid=int(r["cent_id"]),
+                    cn=_d(r["_cn"]),
+                    cv=", ".join(_d(x) for x in r["c_vec"]),
+                )
+                for r in cent_rows
+            )
+        )
     # SQL twin of dot(): strict left fold, cast-to-double per element.
     sql_dot = (
         "aggregate(zip_with(`{v}`, c.cv, (x, y) ->"
