@@ -1871,3 +1871,67 @@ def test_pipe10_fingerprint_is_rank_sensitive(spark):
 
     assert fp([(7, 1), (9, 2)]) != fp([(7, 2), (9, 1)])
     assert fp([(7, 1), (9, 2)]) == fp([(9, 2), (7, 1)])  # set-order free
+
+
+def test_lsh_star_edges_same_components(spark):
+    """lsh_candidate_edges (O(d) star edges per band group — the r7
+    giant-dup-cluster fix, SCALE.md lesson 35) must yield the EXACT
+    same connected components as the O(d²) pair emitter: both close
+    over the band-sharing relation, the star just routes it through
+    the group's min-id hub. Corpus includes a planted 12-member
+    exact-dup cluster so a multi-member band group actually exists."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clone_src = docs.filter(F.col("doc_id") % 7 == 0).limit(1)
+    clones = clone_src.crossJoin(
+        spark.range(1, 13).select((F.col("id") + 900000).alias("new_id"))
+    ).select(F.col("new_id").alias("doc_id"), "text")
+    corpus = docs.unionByName(clones)
+
+    via_pairs = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            dedup.minhash_lsh_pairs(corpus)
+        ).collect()
+    }
+    via_star = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            dedup.lsh_candidate_edges(corpus)
+        ).collect()
+    }
+    assert via_pairs == via_star
+    assert len(via_star) >= 13  # the planted cluster is in there
+    # star edge count for a d-member band group is d-1 per band, and
+    # the 12 clones + source share every band: strictly fewer edges
+    n_pairs = dedup.minhash_lsh_pairs(corpus).count()
+    n_star = dedup.lsh_candidate_edges(corpus).count()
+    assert n_star < n_pairs
+
+
+def test_minhash_lsh_pairs_band_df_cap(spark):
+    """max_band_df (r7 skew lever): a planted 12-member dup cluster's
+    band groups exceed the cap and are dropped BEFORE pair expansion;
+    sub-cap pairs are untouched."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clone_src = docs.filter(F.col("doc_id") % 7 == 0).limit(1)
+    clones = clone_src.crossJoin(
+        spark.range(1, 13).select((F.col("id") + 900000).alias("new_id"))
+    ).select(F.col("new_id").alias("doc_id"), "text")
+    corpus = docs.unionByName(clones)
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(corpus).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(corpus, max_band_df=5).collect()
+    }
+    big = {p for p in uncapped if p[0] >= 900000 or p[1] >= 900000}
+    assert len(big) >= 66  # C(12,2) within the clone cluster
+    assert capped <= uncapped
+    # every clone-cluster pair came from a 13-member band group -> gone
+    assert not (capped & big)

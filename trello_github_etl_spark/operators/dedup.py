@@ -292,14 +292,37 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_hashes: int = NUM_MINHASHES,
     bands: int = LSH_BANDS,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: equal signature rows in ≥1 LSH band.
 
     Both sides share the banding subtree (lsh_band_keys), so AQE
     plans a ReusedExchange for the second side instead of recomputing
     signatures.
+
+    ``max_band_df`` is the candidate-inflation lever (dd17's
+    HAMMING_BAND_DF / dd7's max_shingle_df analog, added by the r7
+    skew stress): a band key shared by d docs emits O(d²) pairs — a
+    10k-member duplicate cluster is 4 bands × C(10k,2) ≈ 200M joined
+    rows before distinct (measured: buckles at sf1, SCALE.md lesson
+    35). The cap drops band groups with document frequency above it
+    BEFORE expansion. NOTE the semantics: unlike boilerplate
+    shingles, a hot BAND usually marks a genuine giant dup cluster,
+    so capping here trades recall on exactly those docs — consumers
+    that only need CONNECTIVITY should use lsh_candidate_edges
+    (O(d) star edges, no recall trade) instead; the cap is for
+    pair-LIST consumers that must bound output size.
     """
     banded = lsh_band_keys(docs, text_col, num_hashes, bands)
+    if max_band_df is not None:
+        df_w = banded.groupBy("band_key").agg(
+            F.count(F.lit(1)).alias("_bdf")
+        )
+        banded = (
+            banded.join(df_w, "band_key")
+            .filter(F.col("_bdf") <= max_band_df)
+            .drop("_bdf")
+        )
     # Kept as a self-join (unlike jaccard_pairs' grouped-pair
     # expansion): banded rows are only `bands` per doc and the
     # signature subtree dominates cost, so the reused exchange on the
@@ -317,6 +340,43 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+
+
+def lsh_candidate_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """STAR edges over the LSH band groups: per band key, one edge
+    from the group's min doc_id (the hub) to every other member —
+    O(d) edges per d-doc group instead of minhash_lsh_pairs' O(d²)
+    pairs, with IDENTICAL connected components (any two docs sharing
+    a band are joined through the hub, and components are closed
+    under exactly these band-sharing relations).
+
+    This is the giant-dup-cluster scale fix (r7 skew stress, SCALE.md
+    lesson 35): a 10k-member exact-dup cluster emits 4 bands ×
+    9,999 star edges (~40k) where the pair emitter explodes into
+    ~200M joined rows. Clustering consumers (dup_clusters /
+    dup_cluster_keepers) use this; pair-list consumers that score or
+    verify each candidate pair (dd3's oracle contract, jaccard
+    verification) keep the pair emitters.
+
+    Shape: groupBy(band_key).min + an equi-join back on band_key —
+    same key on both sides, so Catalyst plans ONE exchange reused by
+    both the aggregate and the probe; no per-group array buffers
+    (a window-min would buffer the whole 10k-row group per partition,
+    and collect_set would build a 10k-element agg buffer).
+    """
+    banded = lsh_band_keys(docs, text_col, num_hashes, bands)
+    hubs = banded.groupBy("band_key").agg(F.min("doc_id").alias("doc_a"))
+    return (
+        banded.join(hubs, "band_key")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -915,9 +975,15 @@ def dup_clusters(
     text_col: str = "text",
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs → connected duplicate clusters."""
+    """MinHash-LSH candidates → connected duplicate clusters.
+
+    Edges come from lsh_candidate_edges (star edges, O(d) per band
+    group) rather than the O(d²) pair emitter — components are
+    IDENTICAL (both close over the band-sharing relation; pinned by
+    test_lsh_star_edges_same_components) and a 10k-member dup
+    cluster stays linear (r7 skew stress, SCALE.md lesson 35)."""
     return connected_components(
-        minhash_lsh_pairs(docs, text_col), checkpoint_dir=checkpoint_dir
+        lsh_candidate_edges(docs, text_col), checkpoint_dir=checkpoint_dir
     )
 
 
@@ -926,10 +992,11 @@ def dup_clusters_twostar(
     text_col: str = "text",
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """MinHash-LSH pairs → clusters via large-star/small-star (the
-    giant-component-safe path)."""
+    """LSH star edges → clusters via large-star/small-star (the
+    giant-component-safe path; same edge construction as
+    dup_clusters)."""
     return connected_components_twostar(
-        minhash_lsh_pairs(docs, text_col), checkpoint_dir=checkpoint_dir
+        lsh_candidate_edges(docs, text_col), checkpoint_dir=checkpoint_dir
     )
 
 
