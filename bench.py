@@ -124,6 +124,7 @@ HEADLINE = [
     "ivm5_signed_join_delta",
     # round-7 additions
     "dd24_semantic_dedup_auto",
+    "dd25_lsh_star_edges",
 ]
 
 

@@ -57,8 +57,10 @@ REPRESENTATIVE = [
     "dq2_referential_integrity", "tpch2_min_cost_supplier",
     "tpch11_important_parts", "tpch20_excess_suppliers",
     # round-7: self-seeding SemDeDup (count=0 → clamp floor k=16 →
-    # limit(16) of nothing → ivf_assign's empty-centroid branch)
+    # limit(16) of nothing → ivf_assign's empty-centroid branch) and
+    # star edges (empty banding → empty hubs → empty edge list)
     "dd24_semantic_dedup_auto",
+    "dd25_lsh_star_edges",
 ]
 
 

@@ -410,6 +410,31 @@ _registry.ORACLES["dd3_minhash_lsh_pairs"] = (
 )
 
 
+@query("dd25_lsh_star_edges", oracle=None)  # assigned below, shared chain
+def dd25_lsh_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd3's candidate relation as STAR edges (r7 skew stress,
+    SCALE.md lesson 35): per LSH band group, one edge from the
+    group's min-doc_id hub to each other member — O(d) per d-member
+    group where dd3's pair list is O(d²), with identical connected
+    components (dup_clusters/dd6/dd9/dd22 route through this;
+    measured against a 10k-member dup family: 10,031 edges vs
+    49,995,240 pairs, SKEW_sf1.json)."""
+    return dedup.lsh_candidate_edges(_augmented_docs(spark, sf_dir))
+
+
+_registry.ORACLES["dd25_lsh_star_edges"] = (
+    "WITH " + _LSH_PAIRS_CHAIN + """,
+    hubs AS (
+      SELECT band, k1, k2, MIN(doc_id) AS doc_a
+      FROM banded GROUP BY band, k1, k2
+    )
+    SELECT DISTINCT h.doc_a, b.doc_id AS doc_b
+    FROM banded b JOIN hubs h USING (band, k1, k2)
+    WHERE b.doc_id <> h.doc_a
+    """
+)
+
+
 _SQL_SPLIT_OF = (
     "CASE WHEN " + SQL_H60.format(x="'split|' || CAST({d} AS VARCHAR)")
     + " % 100 < 80 THEN 'train' WHEN "
