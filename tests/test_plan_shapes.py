@@ -324,3 +324,32 @@ def test_pipe10_no_single_partition_one_scan(spark):
     assert "SinglePartition" not in plan
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") <= 2  # round-robin + shard key
+
+
+def test_ivf_assignment_broadcast_path_shape(spark):
+    """Above IVF_INLINE_MAX cells the centroid table ships as a
+    ONE-ROW broadcast (SCALE.md lesson 34): the plan must carry a
+    BroadcastNestedLoopJoin against the single packed row and NO
+    shuffle exchange beyond ensure_parallelism's round-robin — the
+    assignment stays one pass over the corpus either way. The
+    literal path (k <= IVF_INLINE_MAX) stays join-free."""
+    from trello_github_etl_spark.io import load_table
+    from trello_github_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    big_cents, _ = similarity.auto_seed_centroids(
+        emb, nlist=similarity.IVF_INLINE_MAX + 1
+    )
+    plan = _plan(similarity.ivf_assign(emb, big_cents, 1))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # no data shuffle: the only partitioning movements allowed are
+    # ensure_parallelism's round-robin and the seed-prep single
+    # partition (k rows); the corpus is never hash/range-repartitioned
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    small_cents, _ = similarity.auto_seed_centroids(emb, nlist=4)
+    small_plan = _plan(similarity.ivf_assign(emb, small_cents, 1))
+    assert "Join" not in small_plan

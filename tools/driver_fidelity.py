@@ -42,6 +42,8 @@ DEFAULT_SAMPLE = [
     "s13_pq_rerank_topk",  # codebook collect + broadcast refine (r4)
     "dd21_repeated_ngram_coverage",  # grouped-array span audit (r5)
     "samp7_dsir_importance",  # sorted-fold double determinism (r5)
+    "dd24_semantic_dedup_auto",  # count→√N seeds→broadcast cents (r7)
+    "dd25_lsh_star_edges",  # band-hub star relation (r7)
 ]
 
 

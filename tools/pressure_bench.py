@@ -32,7 +32,12 @@ QUERIES = ["dd3_minhash_lsh_pairs", "dd5_jaccard_pairs",
            # (linear per-group buffering is its one pressure surface),
            # the band-state near-dup probe, and the DSIR bucket fold
            "dd21_repeated_ngram_coverage", "dd23_incremental_near_dedup",
-           "samp7_dsir_importance"]
+           "samp7_dsir_importance",
+           # r7 additions: the self-seeding SemDeDup (sqrt(N) cells ⇒
+           # k=143 at sf1 through the broadcast-centroid path), the
+           # adaptive mutual-kNN graph, and the star-edge relation
+           "dd24_semantic_dedup_auto", "s15_mutual_knn_graph",
+           "dd25_lsh_star_edges"]
 
 CHILD = r"""
 import json, sys, time, urllib.request
