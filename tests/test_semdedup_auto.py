@@ -159,3 +159,23 @@ def test_ivf_assign_broadcast_path_bit_identical(spark, monkeypatch):
     )
     assert lit1 == bc1
     assert lit2 == bc2
+
+
+def test_auto_nlist_properties_hypothesis():
+    """Property pins for the √N clamp (no Spark needed): bounded,
+    monotone, and exactly ceil(√N) in the unclamped band."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**14))
+    def check(n):
+        k = similarity.auto_nlist(n)
+        assert similarity.IVF_NLIST_MIN <= k <= similarity.IVF_NLIST_MAX
+        assert k <= similarity.auto_nlist(n + 1)  # monotone
+        if 256 <= n <= 4096**2:
+            assert k == math.ceil(math.sqrt(n))
+
+    check()

@@ -810,7 +810,16 @@ def pagerank(
     Scale shape: per round one join edges⋈ranks + one sum shuffle on
     the destination — the components round structure with a value
     aggregate instead of a min; lineage truncated per round
-    (localCheckpoint / reliable with ``checkpoint_dir``)."""
+    (localCheckpoint / reliable with ``checkpoint_dir``).
+
+    Giant-family caveat (r7 skew stress): PageRank's VALUES depend on
+    the true pair multiset, so the star-edge relation
+    (lsh_candidate_edges) is NOT a drop-in here — a 10k-member dup
+    family means feeding it minhash_lsh_pairs is O(d²)
+    (SKEW_sf1.json: 50M pairs). Cap the emitter
+    (``max_band_df``) before ranking; a capped-out giant family is
+    better handled by dd22's keeper election over star-edge
+    components, which never materializes the pair list."""
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
