@@ -183,7 +183,15 @@ def main() -> int:
     emb_uniform = load_table(spark, args.sf, "embeddings").select(
         "vec_id", "embedding"
     )
-    mog_path = os.path.join(_REPO, ".data", "emb_clustered")
+    # knobs baked into the path, so editing MOG_* can never silently
+    # reuse a stale fixture while the artifact claims new parameters
+    # (r7 code review)
+    mog_path = os.path.join(
+        _REPO,
+        ".data",
+        f"emb_clustered_n{MOG_N}_d{MOG_DIM}_c{MOG_CLUSTERS}"
+        f"_s{MOG_SIGMA}_seed{MOG_SEED}",
+    )
     if not os.path.exists(os.path.join(mog_path, "_SUCCESS")):
         make_clustered(spark, mog_path)
     emb_clustered = spark.read.parquet(mog_path).select("vec_id", "embedding")

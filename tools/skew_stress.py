@@ -106,7 +106,14 @@ def build_corpus(spark):
             (
                 F.pow(
                     F.pmod(
-                        F.xxhash64(F.lit(CLUSTER_START * DOC_TOKENS) + i),
+                        # cast to long: xxhash64 hashes int32 and int64
+                        # inputs differently, and the background text
+                        # hashes doc_id*DOC_TOKENS+i as LONG — without
+                        # the cast the clone text would not be doc
+                        # 40000's token stream (r7 code review)
+                        F.xxhash64(
+                            F.lit(CLUSTER_START * DOC_TOKENS).cast("long") + i
+                        ),
                         F.lit(1_000_000),
                     )
                     / F.lit(1_000_000.0),

@@ -377,9 +377,23 @@ def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_augmented_docs(spark, sf_dir))
 
 
-# The LSH candidate-pair chain, shared by dd3 (emits the pairs) and
-# dd16 (runs PageRank over them).
-_LSH_PAIRS_CHAIN = f"""docs AS ({SQL_AUGMENTED_DOCS}),
+# The LSH candidate-pair chain, shared by dd3/dd11/dd19 (pair
+# consumers), dd25 (star edges) and dd16 (PageRank). ``max_band_df``
+# replays minhash_lsh_pairs' band-df cap: band groups above the cap
+# are dropped BEFORE pair expansion (the r7 giant-family lever).
+def _lsh_pairs_chain(max_band_df: int | None = None) -> str:
+    pair_src = "banded"
+    capped = ""
+    if max_band_df is not None:
+        pair_src = "banded_capped"
+        capped = f""",
+    banded_capped AS (
+      SELECT doc_id, band, k1, k2 FROM (
+        SELECT b.*, COUNT(*) OVER (PARTITION BY band, k1, k2) AS bdf
+        FROM banded b
+      ) WHERE bdf <= {max_band_df}
+    )"""
+    return f"""docs AS ({SQL_AUGMENTED_DOCS}),
     toks AS (
       SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM docs
     ),
@@ -395,13 +409,16 @@ _LSH_PAIRS_CHAIN = f"""docs AS ({SQL_AUGMENTED_DOCS}),
       SELECT doc_id, b.band,
              g[b.band*2 + 1] AS k1, g[b.band*2 + 2] AS k2
       FROM sig, (VALUES (0), (1), (2), (3)) b(band)
-    ),
+    ){capped},
     cand_pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
+      FROM {pair_src} a JOIN {pair_src} b
         ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
        AND a.doc_id < b.doc_id
     )"""
+
+
+_LSH_PAIRS_CHAIN = _lsh_pairs_chain()
 
 from trello_github_etl_spark import registry as _registry  # noqa: E402
 
@@ -526,9 +543,12 @@ def dd19_near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("split_a") != F.col("split_b"))
 
 
+PAGERANK_BAND_DF = 20
+
+
 @query(
     "dd16_pagerank_dup_graph",
-    oracle="WITH RECURSIVE " + _LSH_PAIRS_CHAIN + """,
+    oracle="WITH RECURSIVE " + _lsh_pairs_chain(PAGERANK_BAND_DF) + """,
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM cand_pairs
       UNION ALL
@@ -555,8 +575,19 @@ def dd16_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive CTE replays the exact trajectory): ranks the
     hub documents of near-dup families, the centrality alternative
     to min-id exemplar choice and the template-hub signal dd11's
-    triangles approximate locally."""
-    pairs = dedup.minhash_lsh_pairs(_augmented_docs(spark, sf_dir))
+    triangles approximate locally.
+
+    Band-df capped (r7 skew stress / code review): PageRank's values
+    need the true pair MULTISET, so the star-edge relation is not a
+    drop-in — but feeding it uncapped pairs makes it the one O(d²)
+    consumer on skewed corpora (a 10k-member family is 50M pairs,
+    SKEW_sf1.json). The cap drops giant band groups pre-expansion on
+    BOTH engines; on the driver corpora no group reaches 20 docs, so
+    the capped results are identical to the historical uncapped ones
+    (three-scale re-verified)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _augmented_docs(spark, sf_dir), max_band_df=PAGERANK_BAND_DF
+    )
     return dedup.pagerank(pairs)
 
 
@@ -2135,12 +2166,14 @@ def _semdedup_oracle(k: int | str = similarity.NUM_CENTROIDS) -> str:
     dense cent_ids 0..k-1 (ROW_NUMBER()-1, order-preserving, so the
     lowest-cent_id tie-break matches ranking by raw seed id)."""
     if k == "auto":
-        cents = """
+        cents = f"""
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id,
              embedding AS c_vec
       FROM base
       QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (
-        SELECT GREATEST(16, LEAST(4096, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
+        SELECT GREATEST({similarity.IVF_NLIST_MIN},
+                        LEAST({similarity.IVF_NLIST_MAX},
+                              CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
         FROM base
       )
         """
@@ -2518,7 +2551,8 @@ S15_K = 3
              embedding AS c_vec
       FROM embeddings
       QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (
-        SELECT GREATEST(16, LEAST(4096, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
+        SELECT GREATEST({nmin}, LEAST({nmax},
+                        CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
         FROM embeddings
       )
     ),
@@ -2555,7 +2589,9 @@ S15_K = 3
     HAVING COUNT(*) = 2
     """.replace("{cos_tc}", _sql_cosine("t.embedding", "c.c_vec"))
        .replace("{cos_ab}", _sql_cosine("a.embedding", "b.embedding"))
-       .replace("{k}", str(S15_K)),
+       .replace("{k}", str(S15_K))
+       .replace("{nmin}", str(similarity.IVF_NLIST_MIN))
+       .replace("{nmax}", str(similarity.IVF_NLIST_MAX)),
 )
 def s15_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual k-NN graph over the embedding corpus (k=3, IVF-cell

@@ -41,13 +41,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trello_github_etl_spark.operators.dedup import (
-    incremental_near_dedup,
-    lsh_band_keys,
-)
 from trello_github_etl_spark.plans.state_store import VersionedStateStore
 from trello_github_etl_spark.sources.rest_sink import SinkConfig, run_sink
-from trello_github_etl_spark.streaming.neardup_stream import read_bands
+from trello_github_etl_spark.streaming.neardup_stream import (
+    admit_kept,
+    classify_batch,
+)
 from trello_github_etl_spark.streaming.rollup_stream import (
     merge_rollup_delta,
 )
@@ -71,45 +70,47 @@ def ingest_batch(
     ``groupBy(source).agg(sum(token_count) AS tokens, count AS n_docs)``
     over KEPT docs only — the canonical "what did we actually admit
     per source" training-data ledger."""
-    base = band_store.latest_version()
-    bands = read_bands(spark, band_store)
-    batch_bands = lsh_band_keys(batch, text_col).localCheckpoint(eager=True)
-    verdicts = incremental_near_dedup(
-        batch, bands, text_col, batch_bands=batch_bands
-    ).localCheckpoint(eager=True)
+    # 1. classify (shared transaction half — neardup_stream)
+    base, bands, batch_bands, verdicts = classify_batch(
+        spark, band_store, batch, text_col
+    )
     kept = batch.join(
         verdicts.filter(F.col("verdict") == "kept").select("doc_id"), "doc_id"
     ).localCheckpoint(eager=True)
 
-    # 2. rollup merge (batch-id gated ⇒ effectively-once)
-    delta = kept.groupBy(source_col).agg(
-        F.sum(F.size(F.split(F.col(text_col), " ")))
-        .cast("long")
-        .alias("tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    merge_rollup_delta(
-        delta, rollup_dir, batch_id, [source_col], ["tokens"], "n_docs"
-    )
-
-    # 3. sink kept docs (at-least-once; idempotent doc_id keys)
-    kwargs = {} if sleep is None else {"sleep": sleep}
-    run_sink(
-        kept.select("doc_id", source_col), transport, sink_cfg, **kwargs
-    )
-
-    # 4. admit kept docs' band keys (CAS + no-op skip, same shape as
-    # neardup_stream.near_dedup_batch)
-    kept_keys = batch_bands.join(
-        kept.select("doc_id"), "doc_id"
-    ).select("band_key")
-    if not kept_keys.isEmpty():
-        new_state = (
-            bands.select("band_key").unionByName(kept_keys).distinct()
+    if not kept.isEmpty():
+        # 2. rollup merge (batch-id gated ⇒ effectively-once). An
+        # all-dup batch skips the merge entirely — merging an empty
+        # delta would rewrite the whole state as a byte-identical new
+        # version, the same churn admit_kept's no-op skip prevents
+        # (r7 code review); the gate doesn't need to advance, a
+        # replayed skipped batch just skips again.
+        delta = kept.groupBy(source_col).agg(
+            F.sum(F.size(F.split(F.col(text_col), " ")))
+            .cast("long")
+            .alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
-        band_store.commit(
-            new_state, op="composed-ingest", expected_version=base
+        merge_rollup_delta(
+            delta, rollup_dir, batch_id, [source_col], ["tokens"], "n_docs"
         )
+
+        # 3. sink kept docs (at-least-once; idempotent doc_id keys)
+        kwargs = {} if sleep is None else {"sleep": sleep}
+        run_sink(
+            kept.select("doc_id", source_col), transport, sink_cfg, **kwargs
+        )
+
+    # 4. admit kept docs' band keys (shared transaction half:
+    # CAS + no-op skip)
+    admit_kept(
+        band_store,
+        bands,
+        batch_bands,
+        kept.select("doc_id"),
+        base,
+        op="composed-ingest",
+    )
     return verdicts
 
 

@@ -49,6 +49,64 @@ def read_bands(spark: SparkSession, store: VersionedStateStore) -> DataFrame:
     return store.read(spark)
 
 
+def classify_batch(
+    spark: SparkSession,
+    store: VersionedStateStore,
+    batch: DataFrame,
+    text_col: str = "text",
+) -> tuple[int, DataFrame, DataFrame, DataFrame]:
+    """The CLASSIFY half of the near-dup micro-batch transaction:
+    returns (base_version, bands, batch_bands, verdicts). Shared by
+    near_dedup_batch and composed_stream.ingest_batch so the pinning
+    discipline cannot fork (r7 code review).
+
+    The batch is banded ONCE and pinned: the classifier and the later
+    state commit both consume these keys, and without the checkpoint
+    the signature pipeline (tokenize -> shingle -> 8x md5 min-agg,
+    the dominant per-batch cost) would re-plan for each consumer
+    (r5 code review). Verdicts are pinned BEFORE any state advance,
+    so callers' returned frames and committed keys describe the same
+    classification.
+    """
+    base = store.latest_version()
+    bands = read_bands(spark, store)
+    batch_bands = lsh_band_keys(batch, text_col).localCheckpoint(eager=True)
+    verdicts = incremental_near_dedup(
+        batch, bands, text_col, batch_bands=batch_bands
+    ).localCheckpoint(eager=True)
+    return base, bands, batch_bands, verdicts
+
+
+def admit_kept(
+    store: VersionedStateStore,
+    bands: DataFrame,
+    batch_bands: DataFrame,
+    kept_ids: DataFrame,
+    base: int,
+    op: str = "near-dedup-batch",
+) -> bool:
+    """The ADMIT half: CAS-commit the kept docs' band keys; returns
+    False on the no-op skip. The commit carries the state version the
+    classification read as its CAS expectation — two racing
+    micro-batch executors cannot both publish (one aborts loudly and
+    retries on re-delivery).
+
+    Empty or fully-replayed batch ⇒ zero kept docs ⇒ the "new" state
+    would be byte-identical to the old one. Committing it anyway
+    churns a fresh version per replay (at-least-once delivery makes
+    replays routine, and each no-op version is a full state rewrite
+    the vacuum later has to walk) — skip instead (ADVICE r5/r6).
+    The isEmpty probe is a limit-1 scan over the already-pinned
+    batch_bands join, not a recompute of the signature pipeline.
+    """
+    kept_keys = batch_bands.join(kept_ids, "doc_id").select("band_key")
+    if kept_keys.isEmpty():
+        return False
+    new_state = bands.select("band_key").unionByName(kept_keys).distinct()
+    store.commit(new_state, op=op, expected_version=base)
+    return True
+
+
 def near_dedup_batch(
     spark: SparkSession,
     store: VersionedStateStore,
@@ -56,40 +114,12 @@ def near_dedup_batch(
     text_col: str = "text",
 ) -> DataFrame:
     """One micro-batch: classify, commit kept docs' band keys,
-    return verdicts.
-
-    The commit carries the state version the classification read as
-    its CAS expectation — two racing micro-batch executors cannot
-    both publish (one aborts loudly and retries on re-delivery).
-    localCheckpoint pins the verdicts BEFORE the state advances, so
-    the returned frame and the committed keys describe the same
-    classification (re-planning after the commit would see the new
-    state and flip every kept doc to dup_existing_near).
-    """
-    base = store.latest_version()
-    bands = read_bands(spark, store)
-    # band the batch ONCE and pin it: the classifier and the state
-    # commit both consume these keys, and without the checkpoint the
-    # signature pipeline (tokenize -> shingle -> 8x md5 min-agg, the
-    # dominant per-batch cost) would re-plan for each consumer
-    # (r5 code review)
-    batch_bands = lsh_band_keys(batch, text_col).localCheckpoint(eager=True)
-    verdicts = incremental_near_dedup(
-        batch, bands, text_col, batch_bands=batch_bands
-    ).localCheckpoint(eager=True)
+    return verdicts (classify_batch + admit_kept)."""
+    base, bands, batch_bands, verdicts = classify_batch(
+        spark, store, batch, text_col
+    )
     kept_ids = verdicts.filter(F.col("verdict") == "kept").select("doc_id")
-    kept_keys = batch_bands.join(kept_ids, "doc_id").select("band_key")
-    # Empty or fully-replayed batch ⇒ zero kept docs ⇒ the "new" state
-    # would be byte-identical to the old one. Committing it anyway
-    # churns a fresh version per replay (at-least-once delivery makes
-    # replays routine, and each no-op version is a full state rewrite
-    # the vacuum later has to walk) — skip instead (ADVICE r5/r6).
-    # The isEmpty probe is a limit-1 scan over the already-pinned
-    # batch_bands join, not a recompute of the signature pipeline.
-    if kept_keys.isEmpty():
-        return verdicts
-    new_state = bands.select("band_key").unionByName(kept_keys).distinct()
-    store.commit(new_state, op="near-dedup-batch", expected_version=base)
+    admit_kept(store, bands, batch_bands, kept_ids, base)
     return verdicts
 
 
