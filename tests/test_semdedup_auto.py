@@ -179,3 +179,27 @@ def test_auto_nlist_properties_hypothesis():
             assert k == math.ceil(math.sqrt(n))
 
     check()
+
+
+def test_auto_count_cache_single_flight(spark, monkeypatch):
+    """The corpus-count memo (same contract as _CENTROID_CACHE): a
+    keyed second call must not re-run the count job; an unkeyed call
+    must never populate or read the cache."""
+    emb = _emb(spark)
+    similarity._AUTO_COUNT_CACHE.clear()
+    _, s1 = similarity.auto_seed_centroids(emb, cache_key="t|corpus")
+    assert similarity._AUTO_COUNT_CACHE == {"t|corpus": emb.count()}
+
+    def boom(self):
+        raise AssertionError("count re-ran despite cache hit")
+
+    from pyspark.sql import DataFrame as _DF
+
+    monkeypatch.setattr(_DF, "count", boom)
+    _, s2 = similarity.auto_seed_centroids(emb, cache_key="t|corpus")
+    assert s1 == s2  # same derived k and n
+    monkeypatch.undo()
+    # unkeyed: counts every time, cache untouched
+    similarity._AUTO_COUNT_CACHE.clear()
+    similarity.auto_seed_centroids(emb)
+    assert similarity._AUTO_COUNT_CACHE == {}

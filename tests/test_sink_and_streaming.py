@@ -930,3 +930,54 @@ def test_composed_ingest_crash_replay_equals_batch(spark, tmp_path):
     assert sorted(set(raw)) == batch_kept_ids
     assert raw.count(20) == 2
     assert all(raw.count(i) == 1 for i in (1, 2, 11, 31))
+
+
+def test_composed_ingest_all_dup_batch_is_full_noop(spark, tmp_path):
+    """An all-dup micro-batch through the composed loop must be a
+    complete no-op (r7 code review): no band-state version, no rollup
+    version directory, no sink deliveries — an empty delta merged
+    anyway would rewrite the whole rollup state byte-identically."""
+    import json as _json
+
+    from trello_github_etl_spark.plans.state_store import VersionedStateStore
+    from trello_github_etl_spark.streaming.composed_stream import ingest_batch
+    from trello_github_etl_spark.streaming.rollup_stream import read_rollup
+
+    store = VersionedStateStore(str(tmp_path / "bands"))
+    rollup_dir = str(tmp_path / "rollup")
+    os.makedirs(rollup_dir)
+    sink_log = str(tmp_path / "sink.jsonl")
+
+    def transport(payload, _log=sink_log):
+        import json as _j
+
+        with open(_log, "a") as f:
+            f.write(_j.dumps({"id": payload["doc_id"]}) + "\n")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ingest_batch(
+        spark, store, rollup_dir, docs([(1, text, "web")]), 0, transport
+    )
+    assert store.latest_version() == 1
+    rollup_dirs = sorted(os.listdir(rollup_dir))
+    schema = "source string, tokens long, n_docs long"
+    state0 = sorted(read_rollup(spark, rollup_dir, schema)[0].collect())
+
+    # batch 1: a near-copy only → every doc dup → full no-op
+    ingest_batch(
+        spark,
+        store,
+        rollup_dir,
+        docs([(2, text + " tailword", "web")]),
+        1,
+        transport,
+    )
+    assert store.latest_version() == 1  # no band version
+    assert sorted(os.listdir(rollup_dir)) == rollup_dirs  # no v1 dir
+    assert sorted(read_rollup(spark, rollup_dir, schema)[0].collect()) == state0
+    assert [e["id"] for e in _read_log(sink_log)] == [1]  # nothing new sent

@@ -1349,7 +1349,7 @@ def semantic_dedup(
 
     if centroids is None:
         centroids, suffix = auto_seed_centroids(
-            embeddings, nlist, vec_col, id_col
+            embeddings, nlist, vec_col, id_col, cache_key
         )
         if cache_key is not None:
             cache_key = cache_key + suffix
