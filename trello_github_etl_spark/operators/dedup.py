@@ -1347,10 +1347,12 @@ def semantic_dedup(
         ivf_assign,
     )
 
+    auto_k: int | None = None
     if centroids is None:
         centroids, suffix = auto_seed_centroids(
             embeddings, nlist, vec_col, id_col, cache_key
         )
+        auto_k = int(suffix.split("-k")[1].split("-")[0])
         if cache_key is not None:
             cache_key = cache_key + suffix
     elif nlist is not None:
@@ -1358,13 +1360,34 @@ def semantic_dedup(
             "nlist applies only to the self-seeding path; pass either "
             "centroids or nlist, not both"
         )
-    cells = ivf_assign(
-        embeddings, centroids, 1, vec_col, id_col, cache_key
-    )
+    cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
+    pair_src = cells
+    if auto_k is not None:
+        # Auto path only (k=√N ⇒ enough cells for join parallelism):
+        # (a) localCheckpoint pins the O(N·k·dim) assignment ONCE —
+        # the pair self-join and the final verdict join key on
+        # different columns, so without the pin the assignment pass
+        # runs twice per query (measured at sf1/k=143: ~5 s of ~10 s);
+        # (b) the pair source is then explicitly repartitioned k-ways
+        # BY CELL: over a checkpointed source the self-join replans as
+        # SMJ behind Exchange hashpartitioning + AQEShuffleRead, and
+        # AQE coalesces that shuffle by INPUT bytes (6 MB at sf1 → 7
+        # partitions) while the join's real cost is the O(Σ|cell|²)
+        # cosine folds in the join condition, which AQE cannot see —
+        # a 4.5× parallelism collapse, SCALE.md lesson 36. An
+        # explicit numPartitions repartition is exempt from AQE
+        # coalescing and satisfies the join's distribution, so both
+        # sides reuse this one exchange and per-task work is bounded
+        # by per-cell occupancy. Static-centroid callers (dd14/dd15
+        # receipts, s9-trained) keep their original plan: with few
+        # cells an equi-join's parallelism is ≤ #cells regardless,
+        # which is one more reason a static cell count dies at scale.
+        cells = cells.localCheckpoint(eager=True)
+        pair_src = cells.repartition(auto_k, F.col("cell"))
     # the shared pinned cell-equi-join shape (similarity.cell_pairs —
     # one definition with s15's mutual-kNN graph; r5 code review)
     pairs = (
-        cell_pairs(cells, vec_col, id_col)
+        cell_pairs(pair_src, vec_col, id_col)
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("va").alias("doc_a"),

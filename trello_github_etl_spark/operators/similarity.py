@@ -1183,10 +1183,12 @@ def mutual_knn_graph(
 
     from trello_github_etl_spark.operators.gen import exploded
 
+    auto_k: int | None = None
     if centroids is None:
         centroids, suffix = auto_seed_centroids(
             embeddings, nlist, vec_col, id_col, cache_key
         )
+        auto_k = int(suffix.split("-k")[1].split("-")[0])
         if cache_key is not None:
             cache_key = cache_key + suffix
     elif nlist is not None:
@@ -1195,6 +1197,18 @@ def mutual_knn_graph(
             "centroids or nlist, not both"
         )
     cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
+    if auto_k is not None:
+        # auto path: explicit k-way repartition BY CELL before the
+        # self-join — an explicit numPartitions exchange is exempt
+        # from AQE's byte-based coalescing, which otherwise collapses
+        # the pair stage's parallelism while its real cost (the
+        # cosine folds in the join condition) is invisible to byte
+        # stats (semantic_dedup's auto path, SCALE.md lesson 36).
+        # Both self-join sides reuse this one exchange, per-task work
+        # is bounded by per-cell occupancy, and the corpus side is
+        # never broadcast (the locally-fast BHJ-of-the-corpus plan
+        # dies at scale).
+        cells = cells.repartition(auto_k, F.col("cell"))
     pairs = cell_pairs(cells, vec_col, id_col)
     both_dirs = F.array(
         F.struct(
