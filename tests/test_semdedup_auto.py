@@ -28,10 +28,11 @@ def test_auto_nlist_clamp_edges():
     assert similarity.auto_nlist(0) == 16
     assert similarity.auto_nlist(256) == 16
     assert similarity.auto_nlist(257) == 17  # ceil(sqrt(257)) = 17
-    # the dd14/dd24 fixture sizes (union corpus = N + N/50)
+    # the dd14/dd24 fixture sizes (union corpus = N + N/50):
+    # sf0.01 -> 510, sf0.1 -> 2040, sf1 -> 20400
     assert similarity.auto_nlist(510) == 23
-    assert similarity.auto_nlist(5100) == 72
-    assert similarity.auto_nlist(51000) == 226
+    assert similarity.auto_nlist(2040) == 46
+    assert similarity.auto_nlist(20400) == 143
     # ceiling clamp: 4096 cells max (4096² = 16.7M vectors)
     assert similarity.auto_nlist(4096**2) == 4096
     assert similarity.auto_nlist(10**9) == 4096

@@ -2280,7 +2280,7 @@ def dd24_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd14's corpus through semantic_dedup's SELF-SEEDING path
     (centroids=None): one corpus count derives nlist = ceil(√N)
     clamped to [16, 4096] (similarity.auto_nlist — N=510 → 23 cells
-    at sf0.01, 5,100 → 72 at sf0.1, 51,000 → 226 at sf1), seeds = the
+    at sf0.01, 2,040 → 46 at sf0.1, 20,400 → 143 at sf1), seeds = the
     nlist lowest-vec_id vectors re-numbered to dense cent_ids. This
     is the production configuration — dd14 (static 16) and dd15
     (static 64) stay registered as the measured receipts for WHY a
@@ -2602,7 +2602,7 @@ def s15_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cell count is SELF-SEEDED (VERDICT r6 #1c): ceil(√N) clamped
     cells from the nlist lowest-id seeds (N=500 → 23 cells at sf0.01,
-    5,000 → 71 at sf0.1, 50,000 → 224 at sf1). The previous static
+    2,000 → 45 at sf0.1, 20,000 → 142 at sf1). The previous static
     nlist=16 made this the repo's worst sf0.1→sf1 scaler (8.9× on 10×
     data — within-cell pair work is O(N²/nlist)); the oracle replays
     the same CEIL(SQRT(COUNT(*))) + ROW_NUMBER lowest-id derivation.
