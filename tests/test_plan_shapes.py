@@ -339,7 +339,7 @@ def test_ivf_assignment_broadcast_path_shape(spark):
     emb = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", "embedding"
     )
-    big_cents, _ = similarity.auto_seed_centroids(
+    big_cents, _, _ = similarity.auto_seed_centroids(
         emb, nlist=similarity.IVF_INLINE_MAX + 1
     )
     plan = _plan(similarity.ivf_assign(emb, big_cents, 1))
@@ -350,6 +350,6 @@ def test_ivf_assignment_broadcast_path_shape(spark):
     # partition (k rows); the corpus is never hash/range-repartitioned
     assert "hashpartitioning" not in plan.lower()
     assert "rangepartitioning" not in plan.lower()
-    small_cents, _ = similarity.auto_seed_centroids(emb, nlist=4)
+    small_cents, _, _ = similarity.auto_seed_centroids(emb, nlist=4)
     small_plan = _plan(similarity.ivf_assign(emb, small_cents, 1))
     assert "Join" not in small_plan

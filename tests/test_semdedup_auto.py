@@ -62,11 +62,11 @@ def test_auto_seed_suffix_folds_k_and_n(spark):
     emb = _emb(spark)
     n = emb.count()
     k = similarity.auto_nlist(n)
-    _, suffix = similarity.auto_seed_centroids(emb)
-    assert suffix == f"|auto-k{k}-n{n}"
+    _, suffix, got_k = similarity.auto_seed_centroids(emb)
+    assert suffix == f"|auto-k{k}-n{n}" and got_k == k
     # explicit nlist skips the count job: k-only suffix
-    _, suffix_k = similarity.auto_seed_centroids(emb, nlist=7)
-    assert suffix_k == "|auto-k7"
+    _, suffix_k, got_k7 = similarity.auto_seed_centroids(emb, nlist=7)
+    assert suffix_k == "|auto-k7" and got_k7 == 7
 
 
 def test_semantic_dedup_auto_equals_explicit(spark):
@@ -103,7 +103,7 @@ def test_semantic_dedup_auto_equals_explicit(spark):
 
 def test_mutual_knn_auto_equals_explicit(spark):
     emb = _emb(spark)
-    cents, _ = similarity.auto_seed_centroids(emb)
+    cents, _, _ = similarity.auto_seed_centroids(emb)
     auto = sorted(similarity.mutual_knn_graph(emb, k=3).collect())
     explicit = sorted(similarity.mutual_knn_graph(emb, cents, k=3).collect())
     assert auto == explicit
@@ -136,7 +136,7 @@ def test_ivf_assign_broadcast_path_bit_identical(spark, monkeypatch):
     fold expression, same doubles (pickle round-trips float64 exactly
     like repr), same lowest-cent_id tie-break."""
     emb = _emb(spark)
-    cents, _ = similarity.auto_seed_centroids(emb, nlist=8)
+    cents, _, _ = similarity.auto_seed_centroids(emb, nlist=8)
     lit1 = sorted(
         similarity.ivf_assign(emb, cents, 1)
         .select("vec_id", "cell", "_norm")
@@ -180,27 +180,3 @@ def test_auto_nlist_properties_hypothesis():
             assert k == math.ceil(math.sqrt(n))
 
     check()
-
-
-def test_auto_count_cache_single_flight(spark, monkeypatch):
-    """The corpus-count memo (same contract as _CENTROID_CACHE): a
-    keyed second call must not re-run the count job; an unkeyed call
-    must never populate or read the cache."""
-    emb = _emb(spark)
-    similarity._AUTO_COUNT_CACHE.clear()
-    _, s1 = similarity.auto_seed_centroids(emb, cache_key="t|corpus")
-    assert similarity._AUTO_COUNT_CACHE == {"t|corpus": emb.count()}
-
-    def boom(self):
-        raise AssertionError("count re-ran despite cache hit")
-
-    from pyspark.sql import DataFrame as _DF
-
-    monkeypatch.setattr(_DF, "count", boom)
-    _, s2 = similarity.auto_seed_centroids(emb, cache_key="t|corpus")
-    assert s1 == s2  # same derived k and n
-    monkeypatch.undo()
-    # unkeyed: counts every time, cache untouched
-    similarity._AUTO_COUNT_CACHE.clear()
-    similarity.auto_seed_centroids(emb)
-    assert similarity._AUTO_COUNT_CACHE == {}

@@ -937,8 +937,6 @@ def test_composed_ingest_all_dup_batch_is_full_noop(spark, tmp_path):
     complete no-op (r7 code review): no band-state version, no rollup
     version directory, no sink deliveries — an empty delta merged
     anyway would rewrite the whole rollup state byte-identically."""
-    import json as _json
-
     from trello_github_etl_spark.plans.state_store import VersionedStateStore
     from trello_github_etl_spark.streaming.composed_stream import ingest_batch
     from trello_github_etl_spark.streaming.rollup_stream import read_rollup

@@ -1349,10 +1349,16 @@ def semantic_dedup(
 
     auto_k: int | None = None
     if centroids is None:
-        centroids, suffix = auto_seed_centroids(
-            embeddings, nlist, vec_col, id_col, cache_key
+        centroids, suffix, seed_k = auto_seed_centroids(
+            embeddings, nlist, vec_col, id_col
         )
-        auto_k = int(suffix.split("-k")[1].split("-")[0])
+        if nlist is None:
+            # only the true √N derivation guarantees enough cells for
+            # the pin+repartition below to buy parallelism (and an
+            # eager checkpoint job a plan-only caller didn't ask
+            # for); explicit-nlist self-seeders own their k and keep
+            # the plain plan
+            auto_k = seed_k
         if cache_key is not None:
             cache_key = cache_key + suffix
     elif nlist is not None:

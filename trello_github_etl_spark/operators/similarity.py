@@ -194,21 +194,12 @@ def auto_nlist(n: int) -> int:
     return max(IVF_NLIST_MIN, min(IVF_NLIST_MAX, math.ceil(math.sqrt(max(n, 1)))))
 
 
-# Single-flight corpus-count cache for the auto-seed path, same
-# contract as _CENTROID_CACHE: the key IDENTIFIES THE CORPUS — a hit
-# skips the count job entirely, so reusing a key for a different (or
-# grown) corpus silently derives a stale k. Key on the data's
-# identity (source path + seed rule), never a constant.
-_AUTO_COUNT_CACHE: dict[str, int] = {}
-
-
 def auto_seed_centroids(
     embeddings: DataFrame,
     nlist: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    cache_key: str | None = None,
-) -> tuple[DataFrame, str]:
+) -> tuple[DataFrame, str, int]:
     """Self-seeding coarse centroids: the ``k`` lowest-``id_col``
     vectors (deterministic, engine-replayable — a SQL oracle selects
     the same rows with ROW_NUMBER() OVER (ORDER BY id)), re-numbered
@@ -224,13 +215,14 @@ def auto_seed_centroids(
     driver-side count job — at 100 TB a parquet COUNT(*) is footer
     metadata, not a scan), else the validated explicit ``nlist``.
 
-    Returns ``(centroids, key_suffix)``. Callers memoizing through
+    Returns ``(centroids, key_suffix, k)``. Callers memoizing through
     ``_collect_centroids`` MUST append ``key_suffix`` to their base
     cache key: it folds in both k and (on the auto path) the corpus
     count N, so two corpora sharing a base key cannot silently reuse
     each other's seeds even when both clamp to the same k. The base
     key must still identify the corpus source (same contract as
-    ``_collect_centroids``).
+    ``_collect_centroids``). ``k`` is returned directly so callers
+    never re-derive it by parsing the display suffix.
 
     Scale note: the seed TakeOrdered is a driver-side top-k of ≤
     IVF_NLIST_MAX KB-scale rows; the row_number window runs on those
@@ -241,17 +233,13 @@ def auto_seed_centroids(
     if nlist is not None and nlist < 1:
         raise ValueError(f"nlist must be >= 1, got {nlist}")
     if nlist is None:
-        # one count job per corpus per session: at 100 TB a COUNT(*)
-        # is parquet footer metadata, but the file LISTING behind it
-        # is not free — memoize under the caller's corpus-identifying
-        # key (bench reruns and multi-operator sessions over one
-        # corpus pay it once)
-        if cache_key is not None and cache_key in _AUTO_COUNT_CACHE:
-            n = _AUTO_COUNT_CACHE[cache_key]
-        else:
-            n = embeddings.count()
-            if cache_key is not None:
-                _AUTO_COUNT_CACHE[cache_key] = n
+        # the count job runs EVERY call by design: memoizing it under
+        # the caller's base cache key would silently defeat the
+        # suffix's stale-seed defense below — a grown corpus under a
+        # reused key must produce a fresh n, hence a fresh suffix,
+        # hence a centroid-cache miss (r7 code review reverted
+        # exactly such a memo)
+        n = embeddings.count()
         k = auto_nlist(n)
         suffix = f"|auto-k{k}-n{n}"
     else:
@@ -266,7 +254,7 @@ def auto_seed_centroids(
         (F.row_number().over(w) - F.lit(1)).alias("cent_id"),
         F.col(vec_col).alias("c_vec"),
     )
-    return cents, suffix
+    return cents, suffix, k
 
 
 # Single-flight centroid cache: collecting the (tiny) centroid table
@@ -1185,10 +1173,18 @@ def mutual_knn_graph(
 
     auto_k: int | None = None
     if centroids is None:
-        centroids, suffix = auto_seed_centroids(
-            embeddings, nlist, vec_col, id_col, cache_key
+        # NOTE: the unpacked cell count must NOT be named ``k`` — it
+        # would shadow the kNN neighbor-count parameter and silently
+        # turn the top-k filter into top-nlist (caught by
+        # test_mutual_knn_auto_equals_explicit)
+        centroids, suffix, seed_k = auto_seed_centroids(
+            embeddings, nlist, vec_col, id_col
         )
-        auto_k = int(suffix.split("-k")[1].split("-")[0])
+        if nlist is None:
+            # only the true √N derivation guarantees enough cells for
+            # the repartition below to buy parallelism; explicit-nlist
+            # self-seeders own their k and keep the plain plan
+            auto_k = seed_k
         if cache_key is not None:
             cache_key = cache_key + suffix
     elif nlist is not None:
