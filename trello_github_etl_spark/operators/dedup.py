@@ -1293,6 +1293,7 @@ def semantic_dedup(
     cache_key: str | None = None,
     checkpoint_dir: str | None = None,
     nlist: int | None = None,
+    pair_blocks: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the corpus,
@@ -1340,6 +1341,17 @@ def semantic_dedup(
     alongside explicit centroids raises, and the auto cache-key
     suffix folds in both k and N so same-k corpora sharing a base key
     cannot serve each other stale seeds.
+
+    ``pair_blocks`` (default 1) forwards to similarity.cell_pairs'
+    giant-cell skew lever: B>1 spreads one cell's O(c²) cosine work
+    over B² tasks with an IDENTICAL pair multiset (so the oracle and
+    the returned frame are bit-unchanged — it is purely a physical
+    re-plan). Use it when the corpus is dup-heavy (near-identical
+    vectors share an argmax, so real dup clusters concentrate in few
+    cells) or when #cells < cores pins the pair stage below machine
+    parallelism (dd14's static-16 receipt). On the auto path B>1
+    replaces the per-cell repartition (the blocked join carries its
+    own pinned (cell, blk, partner) exchange).
     """
     from trello_github_etl_spark.operators.similarity import (
         auto_seed_centroids,
@@ -1389,11 +1401,17 @@ def semantic_dedup(
         # cells an equi-join's parallelism is ≤ #cells regardless,
         # which is one more reason a static cell count dies at scale.
         cells = cells.localCheckpoint(eager=True)
-        pair_src = cells.repartition(auto_k, F.col("cell"))
+        if pair_blocks == 1:
+            pair_src = cells.repartition(auto_k, F.col("cell"))
+        else:
+            # blocked join repartitions on (cell, blk, partner)
+            # itself — a per-cell repartition here would be a wasted
+            # extra exchange
+            pair_src = cells
     # the shared pinned cell-equi-join shape (similarity.cell_pairs —
     # one definition with s15's mutual-kNN graph; r5 code review)
     pairs = (
-        cell_pairs(pair_src, vec_col, id_col)
+        cell_pairs(pair_src, vec_col, id_col, pair_blocks)
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("va").alias("doc_a"),

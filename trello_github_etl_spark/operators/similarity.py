@@ -1097,6 +1097,7 @@ def cell_pairs(
     cells: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    blocks: int = 1,
 ) -> DataFrame:
     """Scored within-cell candidate pairs from an ``ivf_assign``
     frame — THE pinned cell-equi-join shape (never all-pairs) shared
@@ -1104,14 +1105,79 @@ def cell_pairs(
     mutual-kNN graph (s15). One definition so the id tie-break and
     prenormed-cosine handling cannot fork between the two call sites
     (r5 code review — the _rank_topk consolidation's lesson).
-    Returns (va, vb, cos) with va < vb."""
-    x, y = cells.alias("x"), cells.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    Returns (va, vb, cos) with va < vb.
+
+    ``blocks`` (default 1 = the original pinned shape, untouched) is
+    the GIANT-CELL skew lever: with the plain cell equi-join, one
+    task owns one cell, so a cell holding c vectors does c²/2 cosine
+    folds alone while every other core idles — and dup-heavy corpora
+    (SemDeDup's actual target) produce exactly such cells, because
+    near-identical vectors share an argmax by construction. With
+    blocks=B each row is hashed into one of B sub-blocks on
+    ``id_col`` and replicated against every partner block, so the
+    join key becomes (cell, own-block, partner-block): the same pair
+    multiset comes out (each unordered pair matches on exactly one
+    ordered block combination — the smaller-id row's partner pick
+    equal to the larger-id row's own block, and vice versa), but one
+    cell's quadratic work is now spread over B² independent tasks of
+    ≤ (c/B)² folds. Total cosine work is UNCHANGED (the blocking
+    partitions the pair enumeration exactly — no candidate is scored
+    twice or wasted); the price is a B× row replication through the
+    pair shuffle. Both sides are explicitly repartitioned on their
+    key columns with a pinned partition count because AQE coalesces
+    shuffles on input BYTES and cannot see the cosine folds that
+    Catalyst pushes into the join condition (SCALE.md lesson 36);
+    an explicit numPartitions repartition is exempt. A shuffle_hash
+    hint pins the join onto those exchanges — otherwise Catalyst
+    broadcasts whichever side fits under autoBroadcastJoinThreshold,
+    which at 100 TB is a broadcast of the corpus (lesson 36 (a)),
+    and sort-merge would add a per-partition sort the bounded
+    (≤ c/B)-row hash build doesn't need. Use when cell
+    occupancy is skewed or #cells < cores; the √N cell count remains
+    the asymptotic-total-work fix (blocks only spreads the work).
+    """
+    if blocks < 1:
+        raise ValueError(f"blocks must be >= 1, got {blocks}")
+    if blocks == 1:
+        x, y = cells.alias("x"), cells.alias("y")
+        cond = (F.col("x.cell") == F.col("y.cell")) & (
+            F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
         )
+    else:
+        salted = cells.withColumn(
+            "_blk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int"),
+        ).withColumn(
+            "_pb", F.explode(F.array(*[F.lit(j) for j in range(blocks)]))
+        )
+        nparts = int(
+            cells.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        # shuffle_hash pin: without it Catalyst broadcasts whichever
+        # side fits under autoBroadcastJoinThreshold — locally fast on
+        # a small fixture, dead at 100 TB where the cells frame is
+        # billions of rows (lesson 36's finding (a)); the hint keeps
+        # the join on the two explicit exchanges below, and a hash
+        # join (not sort-merge) because per-partition build sides are
+        # bounded by ≤ c/B rows of one cell-block by construction.
+        x = salted.repartition(
+            nparts, F.col("cell"), F.col("_blk"), F.col("_pb")
+        ).alias("x")
+        y = (
+            salted.repartition(
+                nparts, F.col("cell"), F.col("_pb"), F.col("_blk")
+            )
+            .hint("shuffle_hash")
+            .alias("y")
+        )
+        cond = (
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x._blk") == F.col("y._pb"))
+            & (F.col("x._pb") == F.col("y._blk"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        )
+    return (
+        x.join(y, cond)
         .select(
             F.col(f"x.{id_col}").alias("va"),
             F.col(f"y.{id_col}").alias("vb"),
@@ -1133,6 +1199,7 @@ def mutual_knn_graph(
     id_col: str = "vec_id",
     cache_key: str | None = None,
     nlist: int | None = None,
+    pair_blocks: int = 1,
 ) -> DataFrame:
     """Mutual k-NN graph over the corpus — the candidate structure
     semantic-dedup and diversity-sampling pipelines build first
@@ -1166,6 +1233,11 @@ def mutual_knn_graph(
     pair work quadratically. Callers with trained centroids (s9
     k-means) still pass them explicitly — ``nlist`` alongside
     explicit centroids is a contradiction and raises.
+
+    ``pair_blocks`` forwards to cell_pairs' giant-cell skew lever
+    (see its docstring): B>1 spreads one cell's quadratic candidate
+    scoring over B² tasks with an identical pair multiset — the kNN
+    ranking downstream is untouched, so the graph is bit-identical.
     """
     from pyspark.sql.window import Window
 
@@ -1204,8 +1276,11 @@ def mutual_knn_graph(
         # is bounded by per-cell occupancy, and the corpus side is
         # never broadcast (the locally-fast BHJ-of-the-corpus plan
         # dies at scale).
-        cells = cells.repartition(auto_k, F.col("cell"))
-    pairs = cell_pairs(cells, vec_col, id_col)
+        if pair_blocks == 1:
+            cells = cells.repartition(auto_k, F.col("cell"))
+        # blocked join (pair_blocks > 1) repartitions on
+        # (cell, blk, partner) itself — skip the wasted exchange
+    pairs = cell_pairs(cells, vec_col, id_col, pair_blocks)
     both_dirs = F.array(
         F.struct(
             F.col("va").alias("src"),
