@@ -2301,6 +2301,33 @@ def dd24_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dd26_semantic_dedup_blocked", oracle=_semdedup_oracle("auto"))
+def dd26_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd24 under the giant-cell block-salting lever
+    (pair_blocks=4): the within-cell self-join runs as the blocked
+    (cell, blk, partner) shuffle-hash join instead of one task per
+    cell. The pair multiset — and therefore the whole output frame —
+    is IDENTICAL by construction (each unordered pair matches exactly
+    one ordered block combination; tests/test_cell_blocks.py asserts
+    bit-equality, BLOCKS_sf1.json measures 13.5× on a 6,000-member
+    one-cell dup family), so dd24's oracle applies verbatim. Registered
+    so the driver's DuckDB gate exercises the skew lever every round,
+    not just the default plan: on real dup-heavy corpora near-identical
+    vectors share an argmax by construction, making this the
+    production configuration whenever occupancy is skewed
+    (SCALE.md lesson 37)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return dedup.semantic_dedup(
+        ensure_parallelism(emb.unionByName(dups)),
+        threshold=SEMDEDUP_THRESHOLD,
+        cache_key=f"ivfauto|{sf_dir}",
+        pair_blocks=4,
+    )
+
+
 @query(
     "s14_matryoshka_rerank",
     oracle=f"""
