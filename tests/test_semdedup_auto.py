@@ -64,9 +64,11 @@ def test_auto_seed_suffix_folds_k_and_n(spark):
     k = similarity.auto_nlist(n)
     _, suffix, got_k = similarity.auto_seed_centroids(emb)
     assert suffix == f"|auto-k{k}-n{n}" and got_k == k
-    # explicit nlist skips the count job: k-only suffix
+    # explicit nlist also folds the corpus count: a corpus changing
+    # under a reused base cache key must miss the centroid cache on
+    # this path too (r7 advice)
     _, suffix_k, got_k7 = similarity.auto_seed_centroids(emb, nlist=7)
-    assert suffix_k == "|auto-k7" and got_k7 == 7
+    assert suffix_k == f"|auto-k7-n{n}" and got_k7 == 7
 
 
 def test_semantic_dedup_auto_equals_explicit(spark):

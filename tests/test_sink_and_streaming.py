@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.operators.textstats import token_count
 from trello_github_etl_spark.sources.rest_sink import (
     RateLimited,
     SinkConfig,
@@ -916,7 +917,7 @@ def test_composed_ingest_crash_replay_equals_batch(spark, tmp_path):
         r.source: (r.tokens, r.n_docs)
         for r in batch_kept.groupBy("source")
         .agg(
-            F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("tokens"),
             F.count(F.lit(1)).alias("n_docs"),
         )
         .collect()

@@ -315,6 +315,17 @@ def minhash_lsh_pairs(
     """
     banded = lsh_band_keys(docs, text_col, num_hashes, bands)
     if max_band_df is not None:
+        # pin the banded subtree ONCE: with the cap on, it feeds the
+        # band-df aggregate AND (via the probe join) both self-join
+        # sides — three consumers whose shared child is the dominant
+        # signature pipeline (tokenize/shingle/md5 min-agg). Unlike
+        # the uncapped self-join below, the aggregate's exchange
+        # partitioning doesn't line up for a guaranteed
+        # ReusedExchange, so without the pin the signatures can
+        # recompute per consumer (r7 advice). Lazy checkpoint: the
+        # RDD materializes on the query's own first job, then every
+        # consumer reads the persisted partitions.
+        banded = banded.localCheckpoint(eager=False)
         df_w = banded.groupBy("band_key").agg(
             F.count(F.lit(1)).alias("_bdf")
         )

@@ -211,15 +211,15 @@ def auto_seed_centroids(
     ``id_col``, so the lowest-cent_id tie-break is identical to
     ranking by raw seed id.
 
-    ``k`` is ``auto_nlist(count)`` when ``nlist`` is None (one
-    driver-side count job — at 100 TB a parquet COUNT(*) is footer
-    metadata, not a scan), else the validated explicit ``nlist``.
+    ``k`` is ``auto_nlist(count)`` when ``nlist`` is None, else the
+    validated explicit ``nlist``; either way one driver-side count
+    job runs (see the in-body note).
 
     Returns ``(centroids, key_suffix, k)``. Callers memoizing through
     ``_collect_centroids`` MUST append ``key_suffix`` to their base
-    cache key: it folds in both k and (on the auto path) the corpus
-    count N, so two corpora sharing a base key cannot silently reuse
-    each other's seeds even when both clamp to the same k. The base
+    cache key: it folds in both k and the corpus count N (on BOTH
+    paths), so two corpora sharing a base key cannot silently reuse
+    each other's seeds even when both land on the same k. The base
     key must still identify the corpus source (same contract as
     ``_collect_centroids``). ``k`` is returned directly so callers
     never re-derive it by parsing the display suffix.
@@ -232,19 +232,23 @@ def auto_seed_centroids(
 
     if nlist is not None and nlist < 1:
         raise ValueError(f"nlist must be >= 1, got {nlist}")
+    # the count job runs EVERY call by design: memoizing it under
+    # the caller's base cache key would silently defeat the
+    # suffix's stale-seed defense below — a grown corpus under a
+    # reused key must produce a fresh n, hence a fresh suffix,
+    # hence a centroid-cache miss (r7 code review reverted exactly
+    # such a memo). It runs on BOTH paths: an explicit-nlist suffix
+    # without corpus identity would serve stale seeds from
+    # _CENTROID_CACHE when the corpus changes under a reused base
+    # key — the exact staleness the auto path defends against (r7
+    # advice). At 100 TB a parquet COUNT(*) is footer metadata, not
+    # a scan.
+    n = embeddings.count()
     if nlist is None:
-        # the count job runs EVERY call by design: memoizing it under
-        # the caller's base cache key would silently defeat the
-        # suffix's stale-seed defense below — a grown corpus under a
-        # reused key must produce a fresh n, hence a fresh suffix,
-        # hence a centroid-cache miss (r7 code review reverted
-        # exactly such a memo)
-        n = embeddings.count()
         k = auto_nlist(n)
-        suffix = f"|auto-k{k}-n{n}"
     else:
         k = nlist
-        suffix = f"|auto-k{k}"
+    suffix = f"|auto-k{k}-n{n}"
     seeds = embeddings.select(id_col, vec_col).orderBy(id_col).limit(k)
     # partitionBy on a constant = the same single-partition window over
     # the ≤ IVF_NLIST_MAX seed rows, without WindowExec's global-window
@@ -1150,9 +1154,15 @@ def cell_pairs(
         ).withColumn(
             "_pb", F.explode(F.array(*[F.lit(j) for j in range(blocks)]))
         )
-        nparts = int(
-            cells.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        # the conf value is non-integer on some platforms (e.g.
+        # "auto" under Databricks auto-optimized shuffle) — fall
+        # back to the cluster's default parallelism (r7 advice)
+        try:
+            nparts = int(
+                cells.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            nparts = cells.sparkSession.sparkContext.defaultParallelism
         # shuffle_hash pin: without it Catalyst broadcasts whichever
         # side fits under autoBroadcastJoinThreshold — locally fast on
         # a small fixture, dead at 100 TB where the cells frame is

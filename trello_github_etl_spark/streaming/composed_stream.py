@@ -41,6 +41,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trello_github_etl_spark.operators.textstats import token_count
 from trello_github_etl_spark.plans.state_store import VersionedStateStore
 from trello_github_etl_spark.sources.rest_sink import SinkConfig, run_sink
 from trello_github_etl_spark.streaming.neardup_stream import (
@@ -85,8 +86,13 @@ def ingest_batch(
         # version, the same churn admit_kept's no-op skip prevents
         # (r7 code review); the gate doesn't need to advance, a
         # replayed skipped batch just skips again.
+        # canonical tokenization (textstats.tokens regex), NOT
+        # split(text, ' ') — split counts empty strings between
+        # consecutive spaces and would make this ledger the one
+        # token metric in the repo inconsistent with every other
+        # token count (r7 advice)
         delta = kept.groupBy(source_col).agg(
-            F.sum(F.size(F.split(F.col(text_col), " ")))
+            F.sum(token_count(F.col(text_col)))
             .cast("long")
             .alias("tokens"),
             F.count(F.lit(1)).alias("n_docs"),
