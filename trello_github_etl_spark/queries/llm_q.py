@@ -452,6 +452,34 @@ _registry.ORACLES["dd25_lsh_star_edges"] = (
 )
 
 
+# Low enough to BITE on the driver corpora (augmented-docs band
+# groups reach df 5-6 at every scale; dd16's 20 never triggers
+# there), so the gate exercises the drop-before-expansion path with
+# a result that genuinely differs from dd3's.
+PAIR_LIST_BAND_DF = 3
+
+
+@query(
+    "dd27_lsh_pairs_capped",
+    oracle="WITH " + _lsh_pairs_chain(PAIR_LIST_BAND_DF)
+    + "\n    SELECT doc_a, doc_b FROM cand_pairs",
+)
+def dd27_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd3's pair list under the band-df cap (r7 VERDICT #2): band
+    groups with document frequency above the cap are dropped BEFORE
+    pair expansion, bounding a d-member dup family's contribution at
+    O(cap²) instead of O(d²) — the pair-LIST lever for giant
+    families, complementing dd25's star edges (connectivity
+    consumers) and dd26's block salting (the cell path). This
+    registers the `max_band_df` code path end-to-end so the driver
+    gates it every round; the capped subtree is pinned once via
+    localCheckpoint (three consumers share the signature pipeline,
+    see minhash_lsh_pairs)."""
+    return dedup.minhash_lsh_pairs(
+        _augmented_docs(spark, sf_dir), max_band_df=PAIR_LIST_BAND_DF
+    )
+
+
 _SQL_SPLIT_OF = (
     "CASE WHEN " + SQL_H60.format(x="'split|' || CAST({d} AS VARCHAR)")
     + " % 100 < 80 THEN 'train' WHEN "
