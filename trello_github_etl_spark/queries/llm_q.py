@@ -913,9 +913,25 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb.unionByName(dups))
 
 
+# Generous bound on the dup-graph diameter for the label-propagation
+# oracle below: driver corpora chain orig -> +100000 exact -> +200000
+# near (diameter <= 2); skewed fixtures' giant families are band
+# CLIQUES (diameter 1). Convergence is ASSERTED, not assumed — an
+# under-provisioned bound empties the oracle result and fails the
+# gate loudly instead of silently mislabeling.
+LP_ROUNDS = 12
+
 # Shared by dd6 (min-label propagation) and dd9 (large-star/small-star):
 # both algorithms must produce the identical (doc_id, cluster_id=min
-# reachable) labeling, so one transitive-closure oracle checks both.
+# reachable) labeling, so one oracle checks both. The oracle replays
+# bounded-round min-label propagation (new lbl(u) = min over u's
+# closed neighborhood of previous lbls, via self-loop edges) rather
+# than the r2-era transitive CLOSURE — closure materializes O(sum of
+# component-size²) reach rows through a multi-round self-join, which
+# is hours at sf1 and unusable on giant-family skew fixtures, while
+# LP is O(LP_ROUNDS · |edges|) (r7 VERDICT #3). The final projection
+# keeps rows only when round R == round R-1 (fixpoint), so a
+# non-converged replay mismatches on ROW COUNT, never on values.
 _CLUSTERS_CTES = f"""
     WITH RECURSIVE docs AS ({SQL_AUGMENTED_DOCS}),
     toks AS (
@@ -941,25 +957,33 @@ _CLUSTERS_CTES = f"""
        AND a.doc_id < b.doc_id
     ),
     edges AS (
-      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+      UNION ALL
+      SELECT n, n FROM (SELECT u AS n FROM pairs UNION SELECT v FROM pairs)
     ),
-    reach AS (
-      SELECT u, v FROM edges
-      UNION
-      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    lp AS (
+      SELECT n AS doc_id, n AS lbl, 0 AS it
+      FROM (SELECT u AS n FROM pairs UNION SELECT v FROM pairs)
+      UNION ALL
+      SELECT e.v AS doc_id, MIN(l.lbl) AS lbl, l.it + 1 AS it
+      FROM lp l JOIN edges e ON e.u = l.doc_id
+      WHERE l.it < {LP_ROUNDS}
+      GROUP BY e.v, l.it
+    ),
+    lp_fin AS (SELECT doc_id, lbl FROM lp WHERE it = {LP_ROUNDS}),
+    lp_prev AS (SELECT doc_id, lbl FROM lp WHERE it = {LP_ROUNDS - 1}),
+    labels AS (
+      SELECT f.doc_id, f.lbl AS cluster_id FROM lp_fin f
+      WHERE (SELECT COUNT(*) FROM lp_fin x JOIN lp_prev p USING (doc_id)
+             WHERE x.lbl <> p.lbl) = 0
     )"""
 
 _CLUSTERS_ORACLE = f"""{_CLUSTERS_CTES}
-    SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
-    FROM reach GROUP BY u
+    SELECT doc_id, cluster_id FROM labels
     """
 
 
 _KEEPERS_ORACLE = f"""{_CLUSTERS_CTES},
-    labels AS (
-      SELECT u AS doc_id, LEAST(MIN(v), u) AS cluster_id
-      FROM reach GROUP BY u
-    ),
     {_sql_quality_ctes('docs')},
     ranked AS (
       SELECT l.cluster_id, l.doc_id, qu.q,
