@@ -125,6 +125,9 @@ HEADLINE = [
     # round-7 additions
     "dd24_semantic_dedup_auto",
     "dd25_lsh_star_edges",
+    "dd26_semantic_dedup_blocked",
+    # round-8 additions
+    "dd27_lsh_pairs_capped",
 ]
 
 
