@@ -1592,11 +1592,18 @@ def dup_cluster_keepers(
     """
     from pyspark.sql.window import Window
 
-    from trello_github_etl_spark.operators.textstats import quality_score
+    from trello_github_etl_spark.operators.textstats import (
+        quality_score_of,
+        tokens,
+    )
 
     clusters = dup_clusters(docs, text_col, checkpoint_dir=checkpoint_dir)
+    # shared token projection: quality_score tokenizes twice
+    # internally (SCALE.md lesson 38)
     qual = docs.select(
-        "doc_id", quality_score(F.col(text_col)).alias("q")
+        "doc_id", tokens(F.col(text_col)).alias("_tk"), text_col
+    ).select(
+        "doc_id", quality_score_of(F.col("_tk"), F.col(text_col)).alias("q")
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("q").desc(), F.col("doc_id").asc()

@@ -29,17 +29,32 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
-def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+# ``*_of`` variants take an already-tokenized array column. Multi-stat
+# consumers should project ``tokens(text)`` ONCE and feed the column
+# to these: codegen subexpression elimination does NOT dedupe repeated
+# ``tokens()`` trees composed side-by-side in one projection, so the
+# text-taking wrappers below re-run the regex scan per stat (measured
+# at sf1: t1's four stats 1.88 s -> 1.13 s with a shared token column
+# — SCALE.md lesson 38). CollapseProject keeps the shared projection
+# materialized because the alias is non-cheap and multiply used.
+def token_count_of(toks: Column) -> Column:
+    return F.size(toks)
 
 
-def stopword_ratio(text: Column) -> Column:
-    toks = tokens(text)
+def stopword_ratio_of(toks: Column) -> Column:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         n_stop.cast("double") / F.size(toks)
     )
+
+
+def token_count(text: Column) -> Column:
+    return token_count_of(tokens(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_ratio_of(tokens(text))
 
 
 def detect_language(text: Column) -> Column:
@@ -53,14 +68,17 @@ def detect_language(text: Column) -> Column:
     ).otherwise(F.lit("other"))
 
 
-def mean_token_length(text: Column) -> Column:
-    toks = tokens(text)
+def mean_token_length_of(toks: Column) -> Column:
     total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         total.cast("double") / F.size(toks)
     )
+
+
+def mean_token_length(text: Column) -> Column:
+    return mean_token_length_of(tokens(text))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -72,16 +90,21 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
-def quality_score(text: Column) -> Column:
-    """Composite [0,1]-ish score; fixed op order for oracle parity:
-    0.4*stopword + 0.4*len_term + 0.2*(1-punct)."""
-    len_term = mean_token_length(text) / F.lit(10.0)
+def quality_score_of(toks: Column, text: Column) -> Column:
+    """quality_score over a shared token array (see the *_of note)."""
+    len_term = mean_token_length_of(toks) / F.lit(10.0)
     capped_len = F.when(len_term > 1.0, F.lit(1.0)).otherwise(len_term)
     return (
-        F.lit(0.4) * stopword_ratio(text)
+        F.lit(0.4) * stopword_ratio_of(toks)
         + F.lit(0.4) * capped_len
         + F.lit(0.2) * (F.lit(1.0) - punct_ratio(text))
     )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score; fixed op order for oracle parity:
+    0.4*stopword + 0.4*len_term + 0.2*(1-punct)."""
+    return quality_score_of(tokens(text), text)
 
 
 def sentence_count(text: Column) -> Column:
@@ -97,12 +120,9 @@ def sentence_count(text: Column) -> Column:
     )
 
 
-def syllable_count(text: Column) -> Column:
-    """Σ per-token max(1, vowel-group runs) — the standard cheap
-    syllable estimator (every word has ≥1 syllable; consecutive
-    vowels count once). Exact integer, so both engines agree."""
+def syllable_count_of(toks: Column) -> Column:
     return F.aggregate(
-        tokens(text),
+        toks,
         F.lit(0).cast("long"),
         lambda acc, t: acc
         + F.greatest(
@@ -111,18 +131,30 @@ def syllable_count(text: Column) -> Column:
     )
 
 
+def syllable_count(text: Column) -> Column:
+    """Σ per-token max(1, vowel-group runs) — the standard cheap
+    syllable estimator (every word has ≥1 syllable; consecutive
+    vowels count once). Exact integer, so both engines agree."""
+    return syllable_count_of(tokens(text))
+
+
+def flesch_reading_ease_of(toks: Column, text: Column) -> Column:
+    """Flesch over a shared token array (see the *_of note)."""
+    w = token_count_of(toks).cast("double")
+    s = sentence_count(text).cast("double")
+    sy = syllable_count_of(toks).cast("double")
+    return F.when(
+        token_count_of(toks) == 0, F.lit(None).cast("double")
+    ).otherwise(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w))
+
+
 def flesch_reading_ease(text: Column) -> Column:
     """Flesch reading ease: 206.835 − 1.015·(words/sentences) −
     84.6·(syllables/words); NULL for token-less docs. All inputs are
     exact BIGINT counts and the formula is two IEEE divisions and a
     fixed-order linear combination, so a SQL oracle reproduces it
     bit-for-bit."""
-    w = token_count(text).cast("double")
-    s = sentence_count(text).cast("double")
-    sy = syllable_count(text).cast("double")
-    return F.when(
-        token_count(text) == 0, F.lit(None).cast("double")
-    ).otherwise(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w))
+    return flesch_reading_ease_of(tokens(text), text)
 
 
 def normalize_text(text: Column) -> Column:

@@ -81,14 +81,22 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenize ONCE into a materialized projection: composing the four
+    # stats side-by-side re-runs the regexp token scan per stat (the
+    # HOF-bearing projection gets no codegen subexpression
+    # elimination) — measured at sf1: 1.88 s -> 1.13 s (SCALE.md
+    # lesson 38). Values are bit-identical; only the plan changes.
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    t = F.col("text")
-    return docs.select(
+    shared = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk"), "text"
+    )
+    tk = F.col("_tk")
+    return shared.select(
         "doc_id",
-        textstats.token_count(t).alias("n_tokens"),
-        textstats.mean_token_length(t).alias("mean_token_len"),
-        textstats.stopword_ratio(t).alias("stop_ratio"),
-        textstats.punct_ratio(t).alias("punct_ratio"),
+        textstats.token_count_of(tk).alias("n_tokens"),
+        textstats.mean_token_length_of(tk).alias("mean_token_len"),
+        textstats.stopword_ratio_of(tk).alias("stop_ratio"),
+        textstats.punct_ratio(F.col("text")).alias("punct_ratio"),
     )
 
 
@@ -160,9 +168,16 @@ def _sql_quality_ctes(src: str) -> str:
     """,
 )
 def t3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared token projection: quality_score tokenizes twice
+    # internally (mean + stopword) — see t1 / SCALE.md lesson 38
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk"), "text"
+    ).select(
+        "doc_id",
+        textstats.quality_score_of(F.col("_tk"), F.col("text")).alias(
+            "quality"
+        ),
     )
 
 
@@ -2086,13 +2101,18 @@ def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator).  One narrow pass, exact BIGINT counts, a fixed-order
     double formula — bit-reproducible in the oracle like t3."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    t = F.col("text")
-    return docs.select(
+    # shared token projection (flesch alone re-tokenizes 3x) — see
+    # t1 / SCALE.md lesson 38
+    shared = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk"), "text"
+    )
+    tk, t = F.col("_tk"), F.col("text")
+    return shared.select(
         "doc_id",
-        textstats.token_count(t).cast("long").alias("n_tokens"),
+        textstats.token_count_of(tk).cast("long").alias("n_tokens"),
         textstats.sentence_count(t).cast("long").alias("n_sentences"),
-        textstats.syllable_count(t).alias("n_syllables"),
-        textstats.flesch_reading_ease(t).alias("flesch"),
+        textstats.syllable_count_of(tk).alias("n_syllables"),
+        textstats.flesch_reading_ease_of(tk, t).alias("flesch"),
     )
 
 

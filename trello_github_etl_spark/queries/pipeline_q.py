@@ -465,12 +465,16 @@ def pipe1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chain is one narrow pass + one skew-free exchange."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
+    # shared token projection (4 tokenizations -> 1, SCALE.md lesson 38)
+    tk = F.col("_tk")
     scored = docs.select(
+        "doc_id", textstats.tokens(t).alias("_tk"), "text"
+    ).select(
         "doc_id",
         textstats.fingerprint(t).alias("fp"),
-        textstats.token_count(t).alias("n_tokens"),
-        textstats.stopword_ratio(t).alias("stop_ratio"),
-        textstats.quality_score(t).alias("quality"),
+        textstats.token_count_of(tk).alias("n_tokens"),
+        textstats.stopword_ratio_of(tk).alias("stop_ratio"),
+        textstats.quality_score_of(tk, t).alias("quality"),
     )
     keeper = F.min("doc_id").over(Window.partitionBy("fp"))
     return (
@@ -531,10 +535,13 @@ def pipe2_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata cardinality the single window IS the right plan."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
+    # shared token projection (SCALE.md lesson 38)
     scored = docs.select(
+        "doc_id", "source", textstats.tokens(t).alias("_tk"), "text"
+    ).select(
         "doc_id",
         "source",
-        textstats.quality_score(t).alias("quality"),
+        textstats.quality_score_of(F.col("_tk"), t).alias("quality"),
     )
     w = Window.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
@@ -856,12 +863,16 @@ def pipe7_clean_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     submit per epoch, with only `salt` changing."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
+    # shared token projection (4 tokenizations -> 1, SCALE.md lesson 38)
+    tk = F.col("_tk")
     scored = docs.select(
+        "doc_id", textstats.tokens(t).alias("_tk"), "text"
+    ).select(
         "doc_id",
         textstats.fingerprint(t).alias("fp"),
-        textstats.token_count(t).alias("n_tokens"),
-        textstats.stopword_ratio(t).alias("stop_ratio"),
-        textstats.quality_score(t).alias("quality"),
+        textstats.token_count_of(tk).alias("n_tokens"),
+        textstats.stopword_ratio_of(tk).alias("stop_ratio"),
+        textstats.quality_score_of(tk, t).alias("quality"),
     )
     keeper = F.min("doc_id").over(Window.partitionBy("fp"))
     kept = (
@@ -1049,7 +1060,9 @@ def pipe8_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = s1.select(
         "doc_id",
-        textstats.quality_score(F.col("text")).alias("quality"),
+        textstats.quality_score_of(F.col("_tk"), F.col("text")).alias(
+            "quality"
+        ),
         textstats.duplicate_fraction(F.col("_g2")).alias("dup_2gram_ratio"),
         textstats.top_element_ratio(F.col("_tk")).alias("top_word_ratio"),
         (
@@ -1162,14 +1175,19 @@ def pipe9_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stage x hex-byte) composite buckets + broadcast prefix sums
     (packing.curriculum_order) — no single-partition sort."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # shared token projection (SCALE.md lesson 38)
     stage = F.least(
         F.lit(9),
         F.greatest(
             F.lit(0),
-            F.floor(textstats.quality_score(F.col("text")) * 10).cast("int"),
+            F.floor(
+                textstats.quality_score_of(F.col("_tk"), F.col("text")) * 10
+            ).cast("int"),
         ),
     )
-    staged = docs.select("doc_id", stage.alias("stage"))
+    staged = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk"), "text"
+    ).select("doc_id", stage.alias("stage"))
     return packing.curriculum_order(staged)
 
 

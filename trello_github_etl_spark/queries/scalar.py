@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from trello_github_etl_spark.functions import text
 from trello_github_etl_spark.io import load_table
+from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.registry import query
 
 
@@ -162,8 +163,13 @@ def f2_index_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f3_title_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native higher-order fold (no UDF) computing the greedy word split."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Native higher-order fold (no UDF) computing the greedy word split.
+
+    The scan is parallelism-guarded (SCALE.md lesson 38): the fold is
+    compute-heavy narrow work chained directly on the scan, and a
+    single-row-group file otherwise runs it on one task (measured at
+    sf1: 2.2 s unguarded vs 0.65 s guarded)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     split = text.split_title_desc(F.col("text"))
     return docs.select(
         "doc_id",
@@ -419,7 +425,11 @@ def f_parse_check_item_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end parseChecklistItem on constructed document names."""
     from trello_github_etl_spark.functions.checklist import parse_check_item
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    # parallelism-guarded: the parse pipeline is regex-heavy narrow
+    # compute on the scan (same starved-scan exposure as f3)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 2 == 0)
     raw = (
         F.when(
             F.col("doc_id") % 3 == 0,
