@@ -928,13 +928,18 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb.unionByName(dups))
 
 
-# Generous bound on the dup-graph diameter for the label-propagation
-# oracle below: driver corpora chain orig -> +100000 exact -> +200000
-# near (diameter <= 2); skewed fixtures' giant families are band
-# CLIQUES (diameter 1). Convergence is ASSERTED, not assumed — an
-# under-provisioned bound empties the oracle result and fails the
-# gate loudly instead of silently mislabeling.
-LP_ROUNDS = 12
+# Bound on the dup-graph min-label eccentricity for the
+# label-propagation oracle below. MEASURED, not guessed: the
+# augmented sf1 corpus's band-collision graph (263k edges) converges
+# after 15 rounds — random collisions chain into long sparse paths,
+# so small diameters cannot be assumed (12 failed at sf1); the skew
+# fixture's giant family is a band CLIQUE (diameter 1) and driver
+# corpora chain orig -> +100000 -> +200000 (<= 2). 64 = 4x the
+# worst observed, and with the graph MATERIALIZED each extra round
+# costs ~20 ms at sf1 (all 15 measured rounds: 0.3 s). Convergence
+# is still ASSERTED, not assumed — a breach empties the oracle
+# result and fails the gate loudly on row count.
+LP_ROUNDS = 64
 
 # Shared by dd6 (min-label propagation) and dd9 (large-star/small-star):
 # both algorithms must produce the identical (doc_id, cluster_id=min
@@ -947,6 +952,12 @@ LP_ROUNDS = 12
 # LP is O(LP_ROUNDS · |edges|) (r7 VERDICT #3). The final projection
 # keeps rows only when round R == round R-1 (fixpoint), so a
 # non-converged replay mismatches on ROW COUNT, never on values.
+# MATERIALIZED is load-bearing twice over (measured at sf1): DuckDB
+# 1.0 inlines plain CTEs, so (a) a non-materialized `edges` re-runs
+# the whole 37.6 s minhash chain on EVERY recursive iteration, and
+# (b) every downstream reference to the recursion (fin + prev + the
+# fixpoint guard) re-runs the recursion itself — the keepers oracle
+# cost 1,329 s that way vs seconds with pairs/edges/lp_all pinned.
 _CLUSTERS_CTES = f"""
     WITH RECURSIVE docs AS ({SQL_AUGMENTED_DOCS}),
     toks AS (
@@ -965,13 +976,13 @@ _CLUSTERS_CTES = f"""
              g[b.band*2 + 1] AS k1, g[b.band*2 + 2] AS k2
       FROM sig, (VALUES (0), (1), (2), (3)) b(band)
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
        AND a.doc_id < b.doc_id
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
       UNION ALL
       SELECT n, n FROM (SELECT u AS n FROM pairs UNION SELECT v FROM pairs)
@@ -985,9 +996,12 @@ _CLUSTERS_CTES = f"""
       WHERE l.it < {LP_ROUNDS}
       GROUP BY e.v, l.it
     ),
-    lp_fin AS (SELECT doc_id, lbl FROM lp WHERE it = {LP_ROUNDS}),
-    lp_prev AS (SELECT doc_id, lbl FROM lp WHERE it = {LP_ROUNDS - 1}),
-    labels AS (
+    lp_all AS MATERIALIZED (
+      SELECT doc_id, lbl, it FROM lp WHERE it >= {LP_ROUNDS - 1}
+    ),
+    lp_fin AS (SELECT doc_id, lbl FROM lp_all WHERE it = {LP_ROUNDS}),
+    lp_prev AS (SELECT doc_id, lbl FROM lp_all WHERE it = {LP_ROUNDS - 1}),
+    labels AS MATERIALIZED (
       SELECT f.doc_id, f.lbl AS cluster_id FROM lp_fin f
       WHERE (SELECT COUNT(*) FROM lp_fin x JOIN lp_prev p USING (doc_id)
              WHERE x.lbl <> p.lbl) = 0
