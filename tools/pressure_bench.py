@@ -37,7 +37,11 @@ QUERIES = ["dd3_minhash_lsh_pairs", "dd5_jaccard_pairs",
            # k=143 at sf1 through the broadcast-centroid path), the
            # adaptive mutual-kNN graph, and the star-edge relation
            "dd24_semantic_dedup_auto", "s15_mutual_knn_graph",
-           "dd25_lsh_star_edges"]
+           "dd25_lsh_star_edges",
+           # r8 addition: the capped pair list — its banded subtree is
+           # now PINNED via lazy localCheckpoint (persisted
+           # MEMORY_AND_DISK partitions are a new pressure surface)
+           "dd27_lsh_pairs_capped"]
 
 CHILD = r"""
 import json, sys, time, urllib.request
