@@ -793,7 +793,10 @@ def test_composed_ingest_crash_replay_equals_batch(spark, tmp_path):
         lsh_band_keys,
     )
     from trello_github_etl_spark.plans.state_store import VersionedStateStore
-    from trello_github_etl_spark.streaming.composed_stream import stream_ingest
+    from trello_github_etl_spark.streaming.composed_stream import (
+        stream_ingest,
+        token_ledger_dir,
+    )
     from trello_github_etl_spark.streaming.neardup_stream import (
         BAND_SCHEMA,
         read_bands,
@@ -908,7 +911,9 @@ def test_composed_ingest_crash_replay_equals_batch(spark, tmp_path):
 
     # 2. rollup state == one-shot aggregate over batch-kept docs
     rollup, last_id = read_rollup(
-        spark, rollup_dir, "source string, tokens long, n_docs long"
+        spark,
+        token_ledger_dir(rollup_dir),
+        "source string, tokens long, n_docs long",
     )
     got = {
         r.source: (r.tokens, r.n_docs) for r in rollup.collect()
@@ -939,7 +944,10 @@ def test_composed_ingest_all_dup_batch_is_full_noop(spark, tmp_path):
     version directory, no sink deliveries — an empty delta merged
     anyway would rewrite the whole rollup state byte-identically."""
     from trello_github_etl_spark.plans.state_store import VersionedStateStore
-    from trello_github_etl_spark.streaming.composed_stream import ingest_batch
+    from trello_github_etl_spark.streaming.composed_stream import (
+        ingest_batch,
+        token_ledger_dir,
+    )
     from trello_github_etl_spark.streaming.rollup_stream import read_rollup
 
     store = VersionedStateStore(str(tmp_path / "bands"))
@@ -963,9 +971,10 @@ def test_composed_ingest_all_dup_batch_is_full_noop(spark, tmp_path):
         spark, store, rollup_dir, docs([(1, text, "web")]), 0, transport
     )
     assert store.latest_version() == 1
-    rollup_dirs = sorted(os.listdir(rollup_dir))
+    ledger = token_ledger_dir(rollup_dir)
+    rollup_dirs = sorted(os.listdir(ledger))
     schema = "source string, tokens long, n_docs long"
-    state0 = sorted(read_rollup(spark, rollup_dir, schema)[0].collect())
+    state0 = sorted(read_rollup(spark, ledger, schema)[0].collect())
 
     # batch 1: a near-copy only → every doc dup → full no-op
     ingest_batch(
@@ -977,6 +986,6 @@ def test_composed_ingest_all_dup_batch_is_full_noop(spark, tmp_path):
         transport,
     )
     assert store.latest_version() == 1  # no band version
-    assert sorted(os.listdir(rollup_dir)) == rollup_dirs  # no v1 dir
-    assert sorted(read_rollup(spark, rollup_dir, schema)[0].collect()) == state0
+    assert sorted(os.listdir(ledger)) == rollup_dirs  # no v1 dir
+    assert sorted(read_rollup(spark, ledger, schema)[0].collect()) == state0
     assert [e["id"] for e in _read_log(sink_log)] == [1]  # nothing new sent

@@ -19,7 +19,10 @@ per round on data where it ENGAGES: dd27's band-df cap drops the
 1,000-member family's bands, dd25/dd6/dd9/dd22 recover the family as
 one component through O(d) star edges, dd16's cap bounds PageRank's
 pair graph, dd24/dd26/s15 meet a 400-member single-cell embedding
-cluster, dd7/dd17/dd21 meet 20%-df boilerplate shingles.
+cluster, dd7/dd17/dd21 and the winnowing pair dd12/dd13 meet 20%-df
+boilerplate shingles (the gate asserts dd13's fingerprint-df cap
+actually ENGAGES — its kept-pair count must differ from dd12's
+uncapped count on the fixture, r8 VERDICT #4).
 
 Usage: python tools/skew_gate.py [--skip-bench]
 Exit non-zero iff any correctness row fails.
@@ -42,9 +45,12 @@ SKEW_DIR = os.path.join(ROOT, ".data", "skew")
 # sf0.01/sf0.1 where their plans don't depend on skew levers.
 SKEW_QUERIES = [
     "dd1_exact_dups",
+    "dd5_jaccard_pairs",
     "dd6_dup_clusters",
     "dd7_jaccard_df_capped",
     "dd9_dup_clusters_twostar",
+    "dd12_winnow_pairs",
+    "dd13_winnow_df_capped",
     "dd16_pagerank_dup_graph",
     "dd17_simhash_hamming_pairs",
     "dd21_repeated_ngram_coverage",
@@ -64,6 +70,8 @@ SKEW_QUERIES = [
 BENCH_QUERIES = [
     "dd1_exact_dups",
     "dd7_jaccard_df_capped",
+    "dd12_winnow_pairs",
+    "dd13_winnow_df_capped",
     "dd17_simhash_hamming_pairs",
     "dd21_repeated_ngram_coverage",
     "dd24_semantic_dedup_auto",
@@ -106,6 +114,23 @@ def main() -> int:
         print("SKEW CORRECTNESS FAILED — see CORRECTNESS_skew.json")
         return rc
 
+    # --- cap-engagement assertion (r8 VERDICT #4): dd13's
+    # fingerprint-df cap must actually bite on the fixture — a
+    # kept-pair count equal to dd12's uncapped count would mean the
+    # fixture's hot fingerprints sit below the cap and the gate is
+    # exercising dead configuration.
+    with open(os.path.join(ROOT, "CORRECTNESS_skew.json")) as fh:
+        corr = json.load(fh)
+    n12 = corr["dd12_winnow_pairs"]["spark_rows"]
+    n13 = corr["dd13_winnow_df_capped"]["spark_rows"]
+    if n12 == n13:
+        print(
+            f"SKEW GATE FAILED: dd13's df cap did not engage "
+            f"(dd12 pairs == dd13 pairs == {n12})"
+        )
+        return 1
+    print(f"dd13 cap engaged: dd12 {n12} pairs -> dd13 {n13} pairs")
+
     # --- bench -> BENCH_skew.json (bench.py's stdout JSON line, which
     # carries calibration_secs; the stderr spread detail is embedded)
     if not args.skip_bench:
@@ -114,12 +139,34 @@ def main() -> int:
             SPARK_GRAFT_SF_DIR=SKEW_DIR,
             SPARK_GRAFT_BENCH_QUERIES=",".join(BENCH_QUERIES),
         )
+        # No check=True, and scan stdout lines from the END for the
+        # JSON record (r8 advice): a bench failure or a stray trailing
+        # print must surface the captured output, not die on an
+        # uncaught CalledProcessError/JSONDecodeError with the
+        # diagnosis swallowed.
         proc = subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        rec = json.loads(line)
+        if proc.returncode != 0:
+            print(f"SKEW BENCH FAILED (exit {proc.returncode})")
+            print("--- bench stdout ---\n" + proc.stdout)
+            print("--- bench stderr ---\n" + proc.stderr)
+            return proc.returncode or 1
+        rec = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(parsed, dict) and "metric" in parsed:
+                rec = parsed
+                break
+        if rec is None:
+            print("SKEW BENCH FAILED: no JSON metric line in stdout")
+            print("--- bench stdout ---\n" + proc.stdout)
+            print("--- bench stderr ---\n" + proc.stderr)
+            return 1
         rec["sf"] = "skew"  # bench derives sf from the dir name
         for sline in proc.stderr.splitlines():
             if sline.startswith("# spread: "):

@@ -322,10 +322,16 @@ def minhash_lsh_pairs(
         # the uncapped self-join below, the aggregate's exchange
         # partitioning doesn't line up for a guaranteed
         # ReusedExchange, so without the pin the signatures can
-        # recompute per consumer (r7 advice). Lazy checkpoint: the
-        # RDD materializes on the query's own first job, then every
-        # consumer reads the persisted partitions.
-        banded = banded.localCheckpoint(eager=False)
+        # recompute per consumer (r7 advice). persist(), NOT
+        # localCheckpoint (r8 advice): the pin's only goal is
+        # avoiding recomputation, and a local checkpoint's blocks are
+        # NOT fault-tolerant — losing an executor fails the job —
+        # while a persisted frame keeps its lineage and recomputes
+        # the lost partitions. Cache lifetime: no explicit unpersist
+        # (the frame is returned inside the result's plan);
+        # ContextCleaner releases the storage when the frame is
+        # GC'd, same as every other query-scoped pin in this module.
+        banded = banded.persist()
         df_w = banded.groupBy("band_key").agg(
             F.count(F.lit(1)).alias("_bdf")
         )

@@ -488,8 +488,8 @@ def dd27_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers) and dd26's block salting (the cell path). This
     registers the `max_band_df` code path end-to-end so the driver
     gates it every round; the capped subtree is pinned once via
-    localCheckpoint (three consumers share the signature pipeline,
-    see minhash_lsh_pairs)."""
+    persist (three consumers share the signature pipeline, see
+    minhash_lsh_pairs)."""
     return dedup.minhash_lsh_pairs(
         _augmented_docs(spark, sf_dir), max_band_df=PAIR_LIST_BAND_DF
     )

@@ -36,6 +36,7 @@ corpus band keys); the corpus text is never re-read.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,26 @@ from trello_github_etl_spark.streaming.neardup_stream import (
 from trello_github_etl_spark.streaming.rollup_stream import (
     merge_rollup_delta,
 )
+
+# Token-metric version namespace for the ingest ledger. r8 switched
+# the ledger's token measure from split(text,' ') to the canonical
+# textstats regex (different UNITS: split counts empty strings
+# between consecutive spaces). A pre-change VersionedStateStore
+# ledger resumed under the new code would silently accumulate
+# regex-based deltas on top of split-based totals (r8 advice), so the
+# ledger state lives under a tokenization-versioned subdirectory:
+# resuming over an old rollup_dir starts a fresh v2 ledger instead of
+# mixing units; the old root-level state stays readable for a manual
+# backfill/migration. Bump this name if the token metric's units ever
+# change again.
+TOKEN_LEDGER_NAMESPACE = "ledger-tokens-v2"
+
+
+def token_ledger_dir(rollup_dir: str) -> str:
+    """The versioned subdirectory of ``rollup_dir`` where the ingest
+    token ledger actually lives (see TOKEN_LEDGER_NAMESPACE). Readers
+    (tests, ops tooling) must use this path, not the root."""
+    return os.path.join(rollup_dir, TOKEN_LEDGER_NAMESPACE)
 
 
 def ingest_batch(
@@ -98,7 +119,12 @@ def ingest_batch(
             F.count(F.lit(1)).alias("n_docs"),
         )
         merge_rollup_delta(
-            delta, rollup_dir, batch_id, [source_col], ["tokens"], "n_docs"
+            delta,
+            token_ledger_dir(rollup_dir),
+            batch_id,
+            [source_col],
+            ["tokens"],
+            "n_docs",
         )
 
         # 3. sink kept docs (at-least-once; idempotent doc_id keys)
