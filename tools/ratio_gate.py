@@ -19,11 +19,14 @@ from the sweeps each round and FAILS (non-zero exit) when:
    moves all of them).
 
 Noise guards: a query is only flag-eligible when its current-round
-time is >= MIN_SECS (sweep ``secs`` has 0.1 s resolution; ratios of
-0.2/0.1 are rounding, not plans). The sweep timer includes the DuckDB
-oracle + multiset compare, which is the same measurement every round
-(fine for regressions) and grows with sf (so scale ratios are an
-over-estimate — a flag is worth a look, not proof of a bad plan).
+time is >= MIN_SECS (sweep timers have 0.1 s resolution; ratios of
+0.2/0.1 are rounding, not plans). Scale ratios use the sweep's
+``spark_secs`` field (Spark build+collect only, added r9) — the
+total ``secs`` includes the DuckDB oracle + multiset compare, which
+grows with sf on ITS own plan (s1's brute-force SQL oracle is 30x
+its Spark time at sf1) and would flag half the registry for oracle
+cost. Round-over-round regression compares whichever field BOTH
+rounds carry (same units on both sides).
 
 ALLOWED_SCALE entries need a reason string — these are the
 deliberately-retained ablation receipts and attributed floors whose
@@ -102,21 +105,34 @@ def main() -> int:
     queries = {}
     scale_flags, regress_flags, allowed_hits = [], [], []
 
+    def spark_t(sweep, q):
+        """Spark-only time, falling back to total secs (pre-r9
+        artifacts lack spark_secs)."""
+        e = sweep.get(q, {})
+        return e.get("spark_secs") or e.get("secs")
+
+    def common_t(a, b, q):
+        """A (time_a, time_b) pair measured in the SAME units — the
+        finest field both artifacts carry for query q."""
+        ea, eb = a.get(q, {}), b.get(q, {})
+        if ea.get("spark_secs") and eb.get("spark_secs"):
+            return ea["spark_secs"], eb["spark_secs"]
+        if ea.get("secs") and eb.get("secs"):
+            return ea["secs"], eb["secs"]
+        return None, None
+
     # --- load normalization for the regression check
-    common = [
-        q for q in cur01
-        if q in prior
-        and cur01[q].get("secs") and prior[q].get("secs")
-    ]
-    load_ratio = statistics.median(
-        cur01[q]["secs"] / prior[q]["secs"] for q in common
-    ) if common else 1.0
+    ratios = []
+    for q in cur01:
+        c, p = common_t(cur01, prior, q)
+        if c and p:
+            ratios.append(c / p)
+    load_ratio = statistics.median(ratios) if ratios else 1.0
 
     for q in sorted(set(cur01) | set(cur1)):
-        c01 = cur01.get(q, {}).get("secs")
-        c1 = cur1.get(q, {}).get("secs")
-        p01 = prior.get(q, {}).get("secs")
-        rec = {"sf01_secs": c01, "sf1_secs": c1, "prior_sf01_secs": p01}
+        c01, c1 = spark_t(cur01, q), spark_t(cur1, q)
+        cr, pr = common_t(cur01, prior, q)
+        rec = {"sf01_secs": c01, "sf1_secs": c1, "prior_sf01_secs": pr}
 
         if c01 and c1:
             rec["scale_ratio"] = round(c1 / c01, 2)
@@ -128,10 +144,11 @@ def main() -> int:
                     rec["scale_flag"] = True
                     scale_flags.append(q)
 
-        if c01 and p01:
-            norm = (c01 / p01) / load_ratio
+        if cr and pr:
+            norm = (cr / pr) / load_ratio
             rec["regress_ratio"] = round(norm, 2)
-            if c01 >= MIN_SECS and norm > REGRESS_FLAG_X:
+            rec["regress_from"], rec["regress_to"] = pr, cr
+            if cr >= MIN_SECS and norm > REGRESS_FLAG_X:
                 rec["regress_flag"] = True
                 regress_flags.append(q)
 
@@ -168,8 +185,8 @@ def main() -> int:
                   f"({queries[q]['scale_ratio']}x on 10x data)")
     if regress_flags:
         for q in regress_flags:
-            print(f"REGRESS FLAG {q}: {queries[q]['prior_sf01_secs']}s -> "
-                  f"{queries[q]['sf01_secs']}s at sf0.1 "
+            print(f"REGRESS FLAG {q}: {queries[q]['regress_from']}s -> "
+                  f"{queries[q]['regress_to']}s at sf0.1 "
                   f"({queries[q]['regress_ratio']}x load-normalized)")
     if not scale_flags and not regress_flags:
         print("ratio gate PASS")

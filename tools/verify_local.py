@@ -95,6 +95,12 @@ def main() -> int:
             emit(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        # Spark-side wall time alone (build + collect), BEFORE the
+        # DuckDB oracle runs: `secs` includes the oracle + multiset
+        # compare, which grows with sf and pollutes scale ratios
+        # (tools/ratio_gate.py prefers this field — at sf1, s1's
+        # brute-force SQL oracle is 30x its Spark time).
+        rec["spark_secs"] = round(time.time() - t0, 2)
         rec["spark_rows"] = len(srows)
         if name not in oracles:
             rec.update(rows_match=True, schema_match=None, hash_match=None)
