@@ -2624,8 +2624,16 @@ def dd23_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.incremental_near_dedup (batch-only signatures,
     one band_key shuffle serving both the state probe and the
     within-batch keeper window) and streaming/neardup_stream.py for
-    the foreachBatch + CAS wiring over the same plan."""
-    docs = load_table(spark, sf_dir, "documents")
+    the foreachBatch + CAS wiring over the same plan.
+
+    Scale note (the r8-flagged 4.7x on 10x data, SCALE.md lesson
+    40): the registered query REBUILDS the corpus band state from
+    text so the oracle can check it — that term is O(corpus) by
+    construction and is exactly what a deployment amortizes by
+    persisting state (the streaming loop does).  The probe decomposed
+    the rest to sub-linear terms; the one real defect was this scan
+    missing the parallelism guard every sibling dd query has."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     corpus_bands = dedup.lsh_band_keys(docs).select("band_key")
     fresh = docs.filter(F.col("doc_id") % 9 == 4)
     batch = (

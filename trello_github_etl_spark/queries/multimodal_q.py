@@ -218,9 +218,22 @@ def mm5_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly DuckDB's md5(substr(text, ...)) — byte-slicing an
     # encoded utf-8 payload would silently break oracle parity on the
     # first multibyte char (r4 code review).
-    media = _augmented_docs(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"),
-        F.col("text").alias("payload"),
+    # ensure_parallelism here but NOT in _media_table: the trade
+    # documented there (worker spin-up vs compute) flips once the
+    # decode is heavy.  mm1's 2-md5 decode loses to fan-out at test
+    # scale; mm5's 60-md5-per-doc aHash on the scan's native
+    # partitioning (6 tasks at sf1) was ~90% of its wall — 4.44 s on
+    # the starved scan vs 0.94 s at 32 partitions (SCALE.md lesson
+    # 39; the r8-flagged 6.1x on 10x data was exactly this).
+    from trello_github_etl_spark.operators.parallel import (
+        ensure_parallelism,
+    )
+
+    media = ensure_parallelism(
+        _augmented_docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").alias("payload"),
+        )
     )
     fps = image_ahash(media)
     return _dedup.hamming_pairs(
