@@ -156,7 +156,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers once with the cheapest query.
-    registry.QUERIES["o4_top10_orders"](spark, SF_DIR).collect()
+    # Partial corpora (the sfN scale-probe dirs carry only
+    # documents/embeddings) can't run the relational warmup — t1 reads
+    # documents only and is similarly cheap.
+    try:
+        registry.QUERIES["o4_top10_orders"](spark, SF_DIR).collect()
+    except Exception:
+        registry.QUERIES["t1_token_stats"](spark, SF_DIR).collect()
     # Warm the PYTHON worker pool too (VERDICT r3 #3): the first
     # Arrow/mapInPandas job in a session forks 32 python workers and
     # initializes Arrow — ~1.5-2.5 s that previously landed inside

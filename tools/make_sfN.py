@@ -1,0 +1,163 @@
+"""Generate a documents+embeddings-only corpus at an arbitrary
+multiple of sf0.1 under .data/sf<N> (gitignored) — the >10x scale
+probe VERDICT r8 #5 asks for.
+
+All sf0.1→sf1 ratio evidence stops at 10x; the 128 GiB sandbox has
+room for a docs/embeddings corpus at 30–50x, where the next
+scale-killer in the dedup/similarity levers would surface while it's
+cheap to find. Only the two LLM-pipeline tables are scaled (the
+relational tables would quintuple the build time for queries this
+probe doesn't run); tools/bench-able queries at this dir are the ones
+that read documents/embeddings only (dd17/dd24/dd25/dd26/dd27/s15
+and friends).
+
+Synthesis matches tools/make_sf1.py so distributions carry over:
+- documents: the original 5,000 sf0.1 docs plus synthesized docs,
+  each sampling a template doc's (lang, source, word count) from the
+  original per-language frequency-weighted word stream — no planted
+  exact duplicates beyond the originals (plain replication would
+  quadratically blow up every blocked dedup join).
+- embeddings: the original 2,000 plus uniform vectors in the observed
+  value range, labels copied from templates.
+
+One deliberate difference: parquet is written with row_group_size
+small enough that a plain scan yields >= 32 splittable units — the
+healthy many-row-group layout a real 100 TB table has. sf1's
+single-row-group files are what ensure_parallelism guards against
+(SCALE.md lesson 38); this probe measures the levers' asymptotics,
+not that pathology again.
+
+Deterministic: numpy default_rng seeded per entity id with the SAME
+seed scheme as make_sf1 (a doc with id i is byte-identical across
+sfN dirs for every N where it exists).
+
+    python tools/make_sfN.py --mult 50        # .data/sf5 (50x sf0.1)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+
+N_DOCS_SRC = 5_000
+N_VECS_SRC = 2_000
+
+
+def synth_documents(out_dir: str, n_out: int) -> None:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{SRC}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    by_lang_words: dict[str, list[str]] = {}
+    templates = []
+    for _, text, lang, source in rows:
+        words = text.split()
+        by_lang_words.setdefault(lang, []).extend(words)
+        templates.append((words, lang, source))
+    lang_arrays = {
+        lang: np.array(ws, dtype=object) for lang, ws in by_lang_words.items()
+    }
+
+    doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
+    for doc_id, text, lang, source in rows:
+        doc_ids.append(doc_id)
+        texts.append(text)
+        langs.append(lang)
+        sources.append(source)
+        n_chars.append(len(text))
+    for i in range(N_DOCS_SRC, n_out):
+        t_words, lang, source = templates[i % N_DOCS_SRC]
+        pool = lang_arrays[lang]
+        rng = np.random.default_rng(1_000_000 + i)
+        idx = rng.integers(0, len(pool), size=len(t_words))
+        texts.append(" ".join(pool[idx]))
+        doc_ids.append(i)
+        langs.append(lang)
+        sources.append(source)
+        n_chars.append(len(texts[-1]))
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    pq.write_table(
+        table,
+        os.path.join(out_dir, "documents.parquet"),
+        row_group_size=max(1, n_out // 64),
+    )
+    print(f"documents: {len(doc_ids)} rows")
+
+
+def synth_embeddings(out_dir: str, n_out: int) -> None:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{SRC}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vec_ids = [r[0] for r in rows]
+    embs = [np.asarray(r[1], dtype=np.float32) for r in rows]
+    labels = [r[2] for r in rows]
+    lo = min(float(e.min()) for e in embs)
+    hi = max(float(e.max()) for e in embs)
+    dim = len(embs[0])
+    for i in range(N_VECS_SRC, n_out):
+        rng = np.random.default_rng(2_000_000 + i)
+        vec_ids.append(i)
+        embs.append(rng.uniform(lo, hi, size=dim).astype(np.float32))
+        labels.append(labels[i % N_VECS_SRC])
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in embs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(
+        table,
+        os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=max(1, n_out // 64),
+    )
+    print(f"embeddings: {len(vec_ids)} rows")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=50,
+                    help="multiple of sf0.1 (50 -> .data/sf5)")
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    name = f"sf{args.mult / 10:g}".replace(".0", "")
+    out_dir = os.path.join(ROOT, ".data", name)
+    done = os.path.join(out_dir, ".complete")
+    if os.path.exists(done) and not args.force:
+        print(f"{out_dir} already built (use --force to regenerate)")
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    synth_documents(out_dir, N_DOCS_SRC * args.mult)
+    synth_embeddings(out_dir, N_VECS_SRC * args.mult)
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    print(f"{name} written to {out_dir}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,15 +67,15 @@ ALLOWED_SCALE = {
         "static-cell ablation receipt paired with dd14; production "
         "config is dd26 (docstring + r6 standing terms)"
     ),
-    "mm5_image_ahash_pairs": (
-        "mapInPandas PPM-decode floor: stage-timed r9, decode is ~90% "
-        "of sf1 wall and linear in bytes; pair join is capped. "
-        "SCALE.md lesson 39"
-    ),
+    # mm5 was FIXED r9 (ratio 6.1x -> 1.4x, ensure_parallelism on the
+    # heavy decode — SCALE.md lesson 39) and is deliberately NOT
+    # allowlisted: if it ever flags again, that's a new defect.
     "dd23_incremental_near_dedup": (
-        "state ~ corpus asymptotic: the band-bucket state join grows "
-        "with admitted corpus (expected; fp-bucket-pruned like dd10). "
-        "SCALE.md lesson 40"
+        "state ~ corpus asymptotic: the oracle-checkable form rebuilds "
+        "the O(corpus) band state per run (a deployment persists it); "
+        "each term probes sub-linear and the scan guard landed r9 "
+        "(4.7x -> 2.8x), but a larger corpus multiple can legitimately "
+        "push the rebuild past 5x. SCALE.md lesson 40"
     ),
 }
 
