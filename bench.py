@@ -128,6 +128,10 @@ HEADLINE = [
     "dd26_semantic_dedup_blocked",
     # round-8 additions
     "dd27_lsh_pairs_capped",
+    # round-9 additions
+    "t17_gopher_quality_rules",
+    "t18_pii_scrub",
+    "t19_unigram_surprisal_buckets",
 ]
 
 

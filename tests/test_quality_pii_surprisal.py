@@ -1,0 +1,174 @@
+"""Unit tests for the round-9 corpus-filter operators: Gopher-style
+quality rules, PII scrubbing, unigram-surprisal bucketing, and the
+distributed exact ntile underneath it."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from trello_github_etl_spark.operators import pii, quality_rules as qr
+from trello_github_etl_spark.operators.ranking import with_global_ntile
+from trello_github_etl_spark.operators.surprisal import unigram_surprisal
+from trello_github_etl_spark.operators.textstats import tokens
+
+
+def _rules_row(spark, text: str) -> dict:
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    shared = df.select("doc_id", "text", tokens(F.col("text")).alias("_tk"))
+    rules = qr.gopher_rules(F.col("_tk"), F.col("text"))
+    out = shared.select(
+        *[rules[c].alias(c) for c in qr.RULE_COLS],
+        rules["keep"].alias("keep"),
+    ).first()
+    return out.asDict()
+
+
+def test_gopher_rules_golden_boundaries(spark):
+    ok = " ".join(["the", "be", "of", "and"] * 15)  # 60 words, mean len 2.6?
+    # mean word length of the/be/of/and = (3+2+2+3)/4 = 2.5 < 3 -> fails
+    r = _rules_row(spark, ok)
+    assert r["r_word_count"] and r["r_stop"] and not r["r_mean_len"]
+    assert not r["keep"]
+
+    good = " ".join(["the", "cat", "sat", "with", "that", "dog"] * 10)
+    r = _rules_row(spark, good)  # 60 words, mean (3+3+3+4+4+3)/6 = 3.33
+    assert all(r[c] for c in qr.RULE_COLS) and r["keep"]
+
+    short = "the cat sat with that dog"
+    r = _rules_row(spark, short)
+    assert not r["r_word_count"] and not r["keep"]
+
+
+def test_gopher_line_and_symbol_rules(spark):
+    base = " ".join(["the", "cat", "sat", "with", "that", "dog"] * 10)
+    bullets = "\n".join("- item the cat" for _ in range(10))
+    r = _rules_row(spark, bullets)
+    assert not r["r_bullet"]  # 10/10 bullet lines > 0.9
+
+    ell = base + "\n" + "\n".join("more..." for _ in range(9))
+    r = _rules_row(spark, ell)  # 9/10 ellipsis lines > 0.3
+    assert not r["r_ellipsis"]
+
+    symbols = base + " " + "# " * 20  # 20 symbols / 60 words > 0.1
+    r = _rules_row(spark, symbols)
+    assert not r["r_symbol"]
+
+    r = _rules_row(spark, "")
+    assert not r["keep"] and not r["r_word_count"]
+
+
+def test_pii_scrub_plants_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org here"),
+            (2, "host 10.0.0.1 and 192.168.255.3"),
+            (3, "call 555-0134 or 555-0199"),
+            (4, "clean text no pii"),
+            (5, "mixed a@b.io at 10.1.2.3 dial 555-0000"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = pii.scrub_pii(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[cols[c].alias(c) for c in ("n_emails", "n_ips", "n_phones")],
+            cols["scrubbed"].alias("scrubbed"),
+        ).collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 0, 0)
+    assert "<EMAIL>" in out[1]["scrubbed"] and "@" not in out[1]["scrubbed"]
+    assert (out[2]["n_ips"], out[2]["n_emails"]) == (2, 0)
+    assert out[2]["scrubbed"] == "host <IP> and <IP>"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[4]["scrubbed"] == "clean text no pii"
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (1, 1, 1)
+    assert out[5]["scrubbed"] == "mixed <EMAIL> at <IP> dial <PHONE>"
+
+
+def test_pii_email_scrubbed_before_ip_and_phone(spark):
+    # digits inside an email must be consumed by the email pass, not
+    # half-eaten by the later numeric patterns
+    df = spark.createDataFrame(
+        [(1, "u123-4567@ex.com")], "doc_id long, text string"
+    )
+    cols = pii.scrub_pii(F.col("text"))
+    row = df.select(
+        cols["n_emails"].alias("e"),
+        cols["n_phones"].alias("p"),
+        cols["scrubbed"].alias("s"),
+    ).first()
+    assert (row["e"], row["p"], row["s"]) == (1, 0, "<EMAIL>")
+
+
+def test_unigram_surprisal_hand_model(spark):
+    # corpus: 'aa' x6, 'bb' x2  -> total 8 tokens
+    # s(aa) = len(bin(8 // 6 = 1)) = 1 ; s(bb) = len(bin(8 // 2 = 4)) = 3
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa"),        # sum 3, n 3, avg 1.0
+            (2, "aa bb"),           # sum 4, n 2, avg 2.0
+            (3, "bb aa aa aa"),     # sum 6, n 4, avg 1.5
+        ],
+        "doc_id long, text string",
+    )
+    shared = df.select("doc_id", tokens(F.col("text")).alias("_tk"))
+    out = {
+        r["doc_id"]: r
+        for r in unigram_surprisal(shared).collect()
+    }
+    assert out[1]["sum_surprisal"] == 3 and out[1]["n_scored"] == 3
+    assert out[2]["sum_surprisal"] == 4
+    assert out[3]["sum_surprisal"] == 6
+    assert math.isclose(out[3]["avg_surprisal"], 1.5)
+    # bucket order follows avg: doc1 (1.0) < doc3 (1.5) < doc2 (2.0)
+    assert out[1]["ppl_bucket"] < out[3]["ppl_bucket"] < out[2]["ppl_bucket"]
+
+
+def test_global_ntile_matches_sql_window(spark):
+    # 103 rows, 10 buckets: sizes 11x3 + 10x7, larger buckets first
+    df = spark.range(103).select(
+        F.col("id"), (F.col("id") * 37 % 103).alias("key")
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in with_global_ntile(
+            df, 10, "key", ["id"], out_col="b"
+        ).collect()
+    }
+    df.createOrReplaceTempView("t_ntile")
+    want = {
+        r["id"]: r["b"]
+        for r in spark.sql(
+            "SELECT id, ntile(10) OVER (ORDER BY key, id) AS b FROM t_ntile"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_single_bucket_and_fewer_rows_than_buckets(spark):
+    df = spark.range(3).select(F.col("id"))
+    got = sorted(
+        r["b"]
+        for r in with_global_ntile(df, 10, "id", [], "b").collect()
+    )
+    assert got == [1, 2, 3]  # standard ntile: one row per leading bucket
+    got1 = {
+        r["b"] for r in with_global_ntile(df, 1, "id", [], "b").collect()
+    }
+    assert got1 == {1}
+
+
+def test_global_ntile_all_equal_keys_degenerate_bucket(spark):
+    # span == 0: every row lands in value-bucket 0; ranks still exact
+    df = spark.range(7).select(F.col("id"), F.lit(5.0).alias("key"))
+    got = sorted(
+        (r["id"], r["b"])
+        for r in with_global_ntile(df, 3, "key", ["id"], "b").collect()
+    )
+    assert got == [(0, 1), (1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (6, 3)]

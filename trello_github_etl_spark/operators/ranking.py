@@ -1,0 +1,130 @@
+"""Distributed exact global ranking/ntile.
+
+``F.ntile(...).over(Window.orderBy(...))`` with no partitionBy is a
+SINGLE-TASK sort — Spark moves every row to one partition to run the
+global window: the canonical local-mode-passes / cluster-dies
+anti-pattern. The scalable equivalent is a two-phase rank: bucket
+rows monotonically by sort key, rank within buckets in parallel, add
+per-bucket offsets from a tiny count table.
+
+Why VALUE buckets and not physical partitions: the obvious
+implementation (repartitionByRange + spark_partition_id /
+monotonically_increasing_id, offsets per partition id) silently
+depends on BOTH consumers of the ranged frame — the ranked rows and
+the per-partition counts — seeing the same physical partitioning.
+Catalyst plans them as two subtrees; column pruning makes the two
+range exchanges non-identical so ReuseExchange does not unify them,
+and RangePartitioner's boundary sampling is seeded per-RDD-id, so
+the two executions may place boundaries differently — offsets from
+one partitioning applied to ranks from another. A bucket computed
+as a DETERMINISTIC COLUMN of the sort key has no such hazard:
+re-executing the subtree reproduces it bit-for-bit.
+
+The bucket is floor((key - min) / (max - min) * P) clamped to
+[0, P-1] — monotonic in key (IEEE subtraction/division/floor are
+monotone), so bucket order == key order and the offset math is
+exact. Within a bucket, a partitionBy(bucket) window ranks in
+parallel. Degenerate distributions (all keys equal → one bucket)
+collapse to one task — the same failure shape a skewed groupBy has;
+callers with pathological keys pre-spread them.
+
+Cost: one hash shuffle on the bucket for the window, plus a tiny
+re-aggregation of the same subtree for counts (#buckets rows,
+broadcast back), plus a 1-row min/max broadcast.
+
+ntile bucket from a 1-based global rank r among C rows, N buckets
+(SQL-standard: sizes differ by <= 1, larger buckets first): with
+base = C DIV N and rem = C MOD N, the first rem*(base+1) ranks fall
+in the oversized buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_rank(
+    df: DataFrame,
+    key_col: str,
+    tie_cols: list[str],
+    out_col: str = "_rank",
+) -> DataFrame:
+    """``df`` + ``out_col`` (1-based global rank over ``(key_col,
+    *tie_cols)`` ascending — the composite must be a unique total
+    order) + ``_total`` (row count; callers drop it when done).
+    ``key_col`` must be numeric — it drives the monotonic value
+    bucketing."""
+    spark = df.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.col(key_col)
+    stats = df.agg(
+        F.min(key).alias("_kmin"), F.max(key).alias("_kmax")
+    )
+    span = F.col("_kmax").cast("double") - F.col("_kmin").cast("double")
+    raw = F.floor(
+        (key.cast("double") - F.col("_kmin").cast("double"))
+        / span
+        * F.lit(n_buckets)
+    )
+    bucket = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    )
+    bucketed = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bucket)
+    counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    offs = counts.select(
+        "_bkt",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_n")
+        .over(
+            Window.orderBy("_bkt").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_total"),
+    )
+    w = Window.partitionBy("_bkt").orderBy(
+        key, *[F.col(c) for c in tie_cols]
+    )
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offs), "_bkt")
+        .withColumn(out_col, F.col("_rn") + F.col("_off"))
+        .drop("_bkt", "_rn", "_off", "_kmin", "_kmax")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    key_col: str,
+    tie_cols: list[str],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """``df`` + ``out_col`` = ntile(n_buckets) over the GLOBAL
+    ascending order of ``(key_col, *tie_cols)``. Matches
+    ``ntile(n) OVER (ORDER BY ...)`` row-for-row without the
+    single-task global window."""
+    n = int(n_buckets)
+    ranked = with_global_rank(df, key_col, tie_cols, out_col="_rank")
+    # all-integer bucket arithmetic; the ELSE branch's DIV base is
+    # unreachable when base = 0 (every rank lands in the first rem
+    # oversized buckets) and CASE evaluates lazily
+    bucket = F.expr(
+        f"""CAST(CASE
+          WHEN (_rank - 1) < (_total % {n}) * (_total DIV {n} + 1)
+          THEN (_rank - 1) DIV (_total DIV {n} + 1) + 1
+          ELSE (_total % {n})
+               + ((_rank - 1) - (_total % {n}) * (_total DIV {n} + 1))
+                 DIV (_total DIV {n}) + 1
+        END AS INT)"""
+    )
+    return ranked.withColumn(out_col, bucket).drop("_total", "_rank")

@@ -2733,3 +2733,317 @@ def s15_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mutual_knn_graph(
         emb, k=S15_K, cache_key=f"ivfauto-s15|{sf_dir}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule filtering, PII scrubbing, unigram-surprisal bucketing
+# (round-9 additions: the Gopher/CCNet-style corpus filters a
+# 100 TB training-data pipeline runs between dedup and packing)
+# ---------------------------------------------------------------------------
+
+from trello_github_etl_spark.operators import pii as _pii  # noqa: E402
+from trello_github_etl_spark.operators import (  # noqa: E402
+    quality_rules as _qr,
+)
+from trello_github_etl_spark.operators.surprisal import (  # noqa: E402
+    N_BUCKETS as _PPL_BUCKETS,
+    unigram_surprisal,
+)
+
+# Deterministic augmentation giving the line/symbol rules something
+# to bite on (the synthetic corpus is single-line, symbol-free word
+# salad): every %5==0 doc becomes a bullet list, %5==1 gains
+# ellipsis-terminated lines, %5==2 gains a '#' run. Identical
+# transform on both engines — replace() is left-to-right
+# non-overlapping in both, chr(10) == "\n".
+_SQL_QUALITY_AUG = """
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN '- ' || replace(text, ' the ', chr(10) || '- ')
+        WHEN 1 THEN text || '...' || chr(10) || 'to be continued...'
+        WHEN 2 THEN text || ' ' || repeat('# ', 12)
+        ELSE text END AS text
+    FROM documents
+"""
+
+
+def _quality_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 5
+    aug = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("- "),
+                F.replace(F.col("text"), F.lit(" the "), F.lit("\n- ")),
+            ),
+        )
+        .when(m == 1, F.concat("text", F.lit("...\nto be continued...")))
+        .when(m == 2, F.concat("text", F.lit(" "), F.repeat(F.lit("# "), 12)))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+_SQL_REQ_STOPS = "[" + ", ".join(
+    f"'{s}'" for s in _qr.REQUIRED_STOPWORDS
+) + "]"
+
+_T17_ORACLE = f"""
+    WITH aug AS ({_SQL_QUALITY_AUG}),
+    toks AS (
+      SELECT doc_id, text, {SQL_TOKENS.format(t='text')} AS tk,
+             string_split(text, chr(10)) AS lns
+      FROM aug
+    ),
+    parts AS (
+      SELECT doc_id, len(tk) AS n_words,
+        CASE WHEN len(tk) = 0 THEN NULL
+             ELSE CAST(list_reduce(list_transform(tk, x -> length(x)),
+                                   (a,b) -> a+b) AS DOUBLE) / len(tk)
+        END AS mean_len,
+        len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')) AS syms,
+        len(lns) AS n_lines,
+        len(list_filter(lns, x -> x LIKE '- %' OR x LIKE '* %')) AS bullets,
+        len(list_filter(lns, x -> x LIKE '%...')) AS ells,
+        len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        len(list_filter({_SQL_REQ_STOPS}, s -> list_contains(tk, s))) AS hits
+      FROM toks
+    )
+    SELECT doc_id, n_words,
+      n_words BETWEEN {_qr.MIN_WORDS} AND {_qr.MAX_WORDS} AS r_word_count,
+      COALESCE(mean_len >= {_qr.MIN_MEAN_WORD_LEN}
+               AND mean_len <= {_qr.MAX_MEAN_WORD_LEN}, FALSE) AS r_mean_len,
+      CASE WHEN n_words = 0 THEN FALSE
+           ELSE CAST(syms AS DOUBLE) / n_words <= {_qr.MAX_SYMBOL_WORD_RATIO}
+      END AS r_symbol,
+      CAST(bullets AS DOUBLE) / n_lines
+        <= {_qr.MAX_BULLET_LINE_RATIO} AS r_bullet,
+      CAST(ells AS DOUBLE) / n_lines
+        <= {_qr.MAX_ELLIPSIS_LINE_RATIO} AS r_ellipsis,
+      CASE WHEN n_words = 0 THEN FALSE
+           ELSE CAST(alpha AS DOUBLE) / n_words >= {_qr.MIN_ALPHA_WORD_RATIO}
+      END AS r_alpha,
+      hits >= {_qr.MIN_REQUIRED_STOPWORDS} AS r_stop,
+      (n_words BETWEEN {_qr.MIN_WORDS} AND {_qr.MAX_WORDS})
+        AND COALESCE(mean_len >= {_qr.MIN_MEAN_WORD_LEN}
+                     AND mean_len <= {_qr.MAX_MEAN_WORD_LEN}, FALSE)
+        AND (CASE WHEN n_words = 0 THEN FALSE
+                  ELSE CAST(syms AS DOUBLE) / n_words
+                       <= {_qr.MAX_SYMBOL_WORD_RATIO} END)
+        AND CAST(bullets AS DOUBLE) / n_lines <= {_qr.MAX_BULLET_LINE_RATIO}
+        AND CAST(ells AS DOUBLE) / n_lines <= {_qr.MAX_ELLIPSIS_LINE_RATIO}
+        AND (CASE WHEN n_words = 0 THEN FALSE
+                  ELSE CAST(alpha AS DOUBLE) / n_words
+                       >= {_qr.MIN_ALPHA_WORD_RATIO} END)
+        AND hits >= {_qr.MIN_REQUIRED_STOPWORDS} AS keep
+    FROM parts
+"""
+
+
+@query("t17_gopher_quality_rules", oracle=_T17_ORACLE)
+def t17_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-quality rule flags (public paper
+    thresholds — operators/quality_rules.py holds them as the ONE
+    definition both engines splice): word-count bounds, mean word
+    length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required-stopword hits, and their
+    conjunction ``keep``. Pure codegen map stage — no UDF, no
+    shuffle; at 100 TB this fuses into the scan. Every ratio is a
+    single int/int->double division (IEEE-exact both engines)."""
+    aug = _quality_aug(spark, sf_dir)
+    shared = aug.select(
+        "doc_id", "text", textstats.tokens(F.col("text")).alias("_tk")
+    )
+    rules = _qr.gopher_rules(F.col("_tk"), F.col("text"))
+    # project the rule trees ONCE, then take keep as the conjunction
+    # of the projected columns — inlining rules["keep"] would run
+    # every HOF tree twice (lesson 38: no subexpression elimination
+    # across HOF-bearing select lists)
+    ruled = shared.select(
+        "doc_id",
+        F.size("_tk").alias("n_words"),
+        *[rules[c].alias(c) for c in _qr.RULE_COLS],
+    )
+    keep = None
+    for c in _qr.RULE_COLS:
+        keep = F.col(c) if keep is None else keep & F.col(c)
+    return ruled.withColumn("keep", keep)
+
+
+# PII augmentation: plant one deterministic email / IPv4 / phone per
+# %4 residue class so the scrubber demonstrably fires (the corpus is
+# digit-free word salad). Shared shape with the Spark builder below.
+_SQL_PII_AUG = """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com now'
+        WHEN 1 THEN text || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' up'
+        WHEN 2 THEN text || ' call 555-01'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                    || ' today'
+        ELSE text END AS text
+    FROM documents
+"""
+
+
+def _pii_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    aug = (
+        F.when(
+            m == 0,
+            F.concat(
+                "text", F.lit(" contact user"), sid, F.lit("@example.com now")
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                "text",
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                "text",
+                F.lit(" call 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+# plain concatenation, NOT an f-string: the regexes carry {m,n}
+# bounded-repetition braces
+_T18_ORACLE = (
+    """
+    WITH aug AS ("""
+    + _SQL_PII_AUG
+    + """),
+    s1 AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '"""
+    + _pii.EMAIL_RE
+    + """')) AS n_emails,
+        regexp_replace(text, '"""
+    + _pii.EMAIL_RE
+    + "', '"
+    + _pii.EMAIL_TOKEN
+    + """', 'g') AS t1
+      FROM aug
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+        len(regexp_extract_all(t1, '"""
+    + _pii.IPV4_RE
+    + """')) AS n_ips,
+        regexp_replace(t1, '"""
+    + _pii.IPV4_RE
+    + "', '"
+    + _pii.IP_TOKEN
+    + """', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id, n_emails, n_ips,
+      len(regexp_extract_all(t2, '"""
+    + _pii.PHONE_RE
+    + """')) AS n_phones,
+      md5(regexp_replace(t2, '"""
+    + _pii.PHONE_RE
+    + "', '"
+    + _pii.PHONE_TOKEN
+    + """', 'g')) AS scrub_fp,
+      length(regexp_replace(t2, '"""
+    + _pii.PHONE_RE
+    + "', '"
+    + _pii.PHONE_TOKEN
+    + """', 'g')) AS scrub_len
+    FROM s2
+    """
+)
+
+
+@query("t18_pii_scrub", oracle=_T18_ORACLE)
+def t18_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (emails -> <EMAIL>, IPv4 ->
+    <IP>, phone-like -> <PHONE>), with per-stage match counts and a
+    fingerprint of the scrubbed text. operators/pii.py owns the
+    regexes (Java-regex/RE2 common subset) and the scrub ORDER —
+    the oracle splices the same constants. Narrow map stage, no
+    shuffle; the planted PII (one item per %4 residue class) proves
+    each pattern fires on every engine."""
+    aug = _pii_aug(spark, sf_dir)
+    cols = _pii.scrub_pii(F.col("text"))
+    return aug.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ips"].alias("n_ips"),
+        cols["n_phones"].alias("n_phones"),
+        F.md5(cols["scrubbed"]).alias("scrub_fp"),
+        F.length(cols["scrubbed"]).alias("scrub_len"),
+    )
+
+
+# format('{:b}', q) renders the integer quotient in binary — braces
+# again, so concatenation
+_T19_ORACLE = (
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest("""
+    + SQL_TOKENS.format(t="text")
+    + """) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS total FROM tok),
+    sup AS (
+      SELECT w, length(format('{:b}', total // cnt)) AS s
+      FROM freq, tot
+    ),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_scored, sum(s) AS sum_surprisal
+      FROM tok t JOIN sup USING (w) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_scored, sum_surprisal,
+      CAST(sum_surprisal AS DOUBLE) / n_scored AS avg_surprisal,
+      ntile("""
+    + str(_PPL_BUCKETS)
+    + """) OVER (
+        ORDER BY CAST(sum_surprisal AS DOUBLE) / n_scored, doc_id
+      ) AS ppl_bucket
+    FROM per
+    """
+)
+
+
+@query("t19_unigram_surprisal_buckets", oracle=_T19_ORACLE)
+def t19_unigram_surprisal_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing with the corpus's own unigram
+    counts as the LM: per-token INTEGER surprisal floor(log2(
+    total/count))+1 via length(bin(q)) — engine-exact where libm ln
+    is not — summed per doc, one IEEE-exact division for the
+    average, and a decile bucket. The bucket is a distributed exact
+    ntile (operators/ranking.with_global_ntile): range-repartition +
+    per-partition row_number + broadcast offsets, NOT the
+    single-task partitionless window the naive plan would use. The
+    vocab side broadcasts (vocabulary << corpus). Docs with zero
+    tokens drop on both engines (inner explode/unnest)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    shared = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk")
+    )
+    return unigram_surprisal(shared, id_col="doc_id", toks_col="_tk")
