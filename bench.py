@@ -132,6 +132,7 @@ HEADLINE = [
     "t17_gopher_quality_rules",
     "t18_pii_scrub",
     "t19_unigram_surprisal_buckets",
+    "dd28_span_dedup",
 ]
 
 

@@ -172,3 +172,43 @@ def test_global_ntile_all_equal_keys_degenerate_bucket(spark):
         for r in with_global_ntile(df, 3, "key", ["id"], "b").collect()
     )
     assert got == [(0, 1), (1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (6, 3)]
+
+
+def test_span_dedup_strips_boilerplate_keeps_first(spark):
+    from trello_github_etl_spark.operators.span_dedup import (
+        TILE_WORDS,
+        span_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(TILE_WORDS))
+    uniq = lambda d: " ".join(f"u{d}x{i}" for i in range(TILE_WORDS))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq(1)),          # first occurrence: kept
+            (2, boiler + " " + uniq(2)),          # boiler tile dropped
+            (3, uniq(3) + " " + boiler),          # boiler tile dropped
+            (4, boiler),                          # whole doc dropped
+            (5, "short tail"),                    # single remainder tile
+        ],
+        "doc_id long, text string",
+    )
+    shared = df.select("doc_id", tokens(F.col("text")).alias("_tk"))
+    out = {r["doc_id"]: r for r in span_dedup(shared).collect()}
+    assert (out[1]["n_tiles"], out[1]["n_dropped"]) == (2, 0)
+    assert (out[2]["n_tiles"], out[2]["n_dropped"]) == (2, 1)
+    assert (out[3]["n_tiles"], out[3]["n_dropped"]) == (2, 1)
+    assert (out[4]["n_tiles"], out[4]["n_dropped"]) == (1, 1)
+    assert out[4]["cleaned_len"] == 0  # fully-deduped doc -> empty
+    assert (out[5]["n_tiles"], out[5]["n_dropped"]) == (1, 0)
+    # doc 2's cleaned text is exactly its unique tile
+    import hashlib
+
+    assert out[2]["cleaned_fp"] == hashlib.md5(
+        uniq(2).encode()
+    ).hexdigest()
+    # within-doc repeat: second occurrence drops even inside one doc
+    rep = spark.createDataFrame(
+        [(9, boiler + " " + boiler)], "doc_id long, text string"
+    ).select("doc_id", tokens(F.col("text")).alias("_tk"))
+    r9 = span_dedup(rep).collect()[0]
+    assert (r9["n_tiles"], r9["n_dropped"]) == (2, 1)

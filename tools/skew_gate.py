@@ -59,6 +59,7 @@ SKEW_QUERIES = [
     "dd25_lsh_star_edges",
     "dd26_semantic_dedup_blocked",
     "dd27_lsh_pairs_capped",
+    "dd28_span_dedup",
     "s15_mutual_knn_graph",
 ]
 

@@ -3047,3 +3047,71 @@ def t19_unigram_surprisal_buckets(
         "doc_id", textstats.tokens(F.col("text")).alias("_tk")
     )
     return unigram_surprisal(shared, id_col="doc_id", toks_col="_tk")
+
+
+from trello_github_etl_spark.operators.span_dedup import (  # noqa: E402
+    TILE_WORDS as _TILE,
+    span_dedup as _span_dedup,
+)
+
+# keeper election key: the oracle packs (doc_id, tile_idx) into one
+# bigint (tile_idx < 2^20 everywhere the oracle runs — docs cap out
+# at ~70 tiles here); the Spark side elects min(struct(doc_id,
+# tile_idx)) — identical lexicographic order under that bound
+_T20_ORACLE = (
+    """
+    WITH toks AS (
+      SELECT doc_id, """
+    + SQL_TOKENS.format(t="text")
+    + """ AS tk FROM documents
+    ),
+    tiles AS (
+      SELECT doc_id, CAST(i AS INT) AS tile_idx,
+        array_to_string(
+          list_slice(tk, i*{T}+1, i*{T}+{T}), ' ') AS tile_text,
+        md5(array_to_string(
+          list_slice(tk, i*{T}+1, i*{T}+{T}), ' ')) AS tile_key
+      FROM toks,
+        UNNEST(range(0, CAST(CEIL(len(tk)/{T}.0) AS BIGINT))) AS u(i)
+      WHERE len(tk) > 0
+    ),
+    firsts AS (
+      SELECT tile_key,
+             MIN(doc_id * 1048576 + tile_idx) AS fkey
+      FROM tiles GROUP BY tile_key
+    ),
+    marked AS (
+      SELECT t.doc_id, t.tile_idx, t.tile_text,
+             (t.doc_id * 1048576 + t.tile_idx) = f.fkey AS keep
+      FROM tiles t JOIN firsts f USING (tile_key)
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tiles,
+      CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      md5(COALESCE(
+        string_agg(tile_text, ' ' ORDER BY tile_idx)
+          FILTER (WHERE keep), '')) AS cleaned_fp,
+      length(COALESCE(
+        string_agg(tile_text, ' ' ORDER BY tile_idx)
+          FILTER (WHERE keep), '')) AS cleaned_len
+    FROM marked GROUP BY doc_id
+    """.replace("{T}", str(_TILE))
+)
+
+
+@query("dd28_span_dedup", oracle=_T20_ORACLE)
+def dd28_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide duplicate-SPAN removal (Raffel et al.
+    2020 §2.2): the dedup granularity between exact-doc (dd1) and
+    near-doc (dd3) — boilerplate repeated across documents survives
+    both and is stripped here everywhere but its global first
+    occurrence. Tiles of TILE_WORDS words, one groupBy(tile_key)
+    keeper election, equi-join back on the md5-uniform key, per-doc
+    rebuild via order-insensitive collect + array_sort (no window,
+    no driver collect). See operators/span_dedup.py for the scale
+    shape; hot boilerplate keys are the AQE skew-join case."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    shared = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk")
+    )
+    return _span_dedup(shared, id_col="doc_id", toks_col="_tk")
