@@ -133,6 +133,7 @@ HEADLINE = [
     "t18_pii_scrub",
     "t19_unigram_surprisal_buckets",
     "dd28_span_dedup",
+    "dd29_containment_pairs",
 ]
 
 

@@ -212,3 +212,24 @@ def test_span_dedup_strips_boilerplate_keeps_first(spark):
     ).select("doc_id", tokens(F.col("text")).alias("_tk"))
     r9 = span_dedup(rep).collect()[0]
     assert (r9["n_tiles"], r9["n_dropped"]) == (2, 1)
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    from trello_github_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = " ".join(f"q{i}" for i in range(6))  # 4 shingles
+    longdoc = short + " " + " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, longdoc, "en"), (3, "other words entirely here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    assert row["c_ab"] == 1.0 and row["c_ba"] < 0.2
+    # symmetric jaccard at the same strictness never sees the pair
+    assert jaccard_pairs(df, threshold=0.9).count() == 0

@@ -60,6 +60,7 @@ SKEW_QUERIES = [
     "dd26_semantic_dedup_blocked",
     "dd27_lsh_pairs_capped",
     "dd28_span_dedup",
+    "dd29_containment_pairs",
     "s15_mutual_knn_graph",
 ]
 

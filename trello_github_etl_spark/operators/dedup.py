@@ -566,27 +566,18 @@ def hamming_pairs(
     )
 
 
-def jaccard_pairs(
+def _shingle_pair_counts(
     docs: DataFrame,
-    text_col: str = "text",
-    threshold: float = 0.2,
-    block_col: str = "lang",
-    max_shingle_df: int | None = None,
-) -> DataFrame:
-    """Exact n-gram Jaccard over shared-shingle candidates.
-
-    Only pairs sharing ≥1 shingle (and a blocking key) are scored:
-    jaccard = common / (|A| + |B| - common). The shuffle key is the
-    shingle hash — uniformly distributed, skew-safe.
-
-    ``max_shingle_df`` is the scale lever for candidate inflation: a
-    shingle appearing in d docs contributes O(d²) candidate pairs, so
-    ultra-common shingles dominate join cost while carrying no dedup
-    signal. Capping document frequency drops ONLY the candidate
-    generation of those shingles; the jaccard numerator/denominator
-    then count capped shingles too (semantics = jaccard over the
-    df-filtered shingle sets, which the oracle replicates exactly).
-    """
+    text_col: str,
+    block_col: str,
+    max_shingle_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the set-overlap pair family
+    (jaccard_pairs, containment_pairs): returns ``(common, sizes)``
+    where common = (doc_a < doc_b, n_common shared shingles) over
+    shared-shingle candidates and sizes = per-doc shingle-set size,
+    both computed AFTER the optional df cap so every consumer's
+    numerator and denominator count the same filtered sets."""
     sh = exploded(
         ensure_parallelism(docs),
         ["doc_id", F.col(block_col).alias("_blk")],
@@ -627,11 +618,41 @@ def jaccard_pairs(
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    return common, sizes
+
+
+def _with_sizes(common: DataFrame, sizes: DataFrame) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.2,
+    block_col: str = "lang",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over shared-shingle candidates.
+
+    Only pairs sharing ≥1 shingle (and a blocking key) are scored:
+    jaccard = common / (|A| + |B| - common). The shuffle key is the
+    shingle hash — uniformly distributed, skew-safe.
+
+    ``max_shingle_df`` is the scale lever for candidate inflation: a
+    shingle appearing in d docs contributes O(d²) candidate pairs, so
+    ultra-common shingles dominate join cost while carrying no dedup
+    signal. Capping document frequency drops ONLY the candidate
+    generation of those shingles; the jaccard numerator/denominator
+    then count capped shingles too (semantics = jaccard over the
+    df-filtered shingle sets, which the oracle replicates exactly).
+    """
+    common, sizes = _shingle_pair_counts(
+        docs, text_col, block_col, max_shingle_df
+    )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _with_sizes(common, sizes)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -639,6 +660,38 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    block_col: str = "lang",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directional set CONTAINMENT over the same shared-shingle
+    candidates as jaccard_pairs: c_ab = common/|A| (how much of A
+    sits inside B), c_ba = common/|B|; a pair survives when either
+    direction >= threshold. Catches quote-inclusion — a short doc
+    fully embedded in a long one has containment 1.0 in one
+    direction while its symmetric Jaccard is arbitrarily low, so
+    doc-level near-dedup (dd3/dd5) never sees it (Broder 1997
+    distinguishes resemblance from containment for exactly this).
+    Same candidate generation, same df-cap semantics, one extra
+    column of integer division — the plan differs from
+    jaccard_pairs only in the final projection/filter."""
+    common, sizes = _shingle_pair_counts(
+        docs, text_col, block_col, max_shingle_df
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("n_a")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        _with_sizes(common, sizes)
+        .withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .filter(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold)
+        .select("doc_a", "doc_b", "n_common", "c_ab", "c_ba")
     )
 
 

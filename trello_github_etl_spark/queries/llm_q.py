@@ -3115,3 +3115,44 @@ def dd28_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", textstats.tokens(F.col("text")).alias("_tk")
     )
     return _span_dedup(shared, id_col="doc_id", toks_col="_tk")
+
+
+@query(
+    "dd29_containment_pairs",
+    oracle=f"""
+    WITH docs AS ({SQL_AUGMENTED_DOCS}),
+    toks AS (
+      SELECT doc_id, lang, {SQL_TOKENS.format(t='text')} AS tk FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, lang, unnest({SQL_SHINGLES3.format(toks='tk')}) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / sa.n_sh AS c_ab,
+           CAST(n_common AS DOUBLE) / sb.n_sh AS c_ba
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE GREATEST(CAST(n_common AS DOUBLE) / sa.n_sh,
+                   CAST(n_common AS DOUBLE) / sb.n_sh) >= 0.9
+    """,
+)
+def dd29_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup (Broder 1997's containment, vs
+    dd5's resemblance): pairs where either doc's shingle set sits
+    >= 90% inside the other's — the quote-inclusion case symmetric
+    Jaccard structurally misses (a short doc embedded in a long one
+    scores Jaccard ~|A|/|B| but containment 1.0). Shares dd5's
+    candidate machinery (operators/dedup._shingle_pair_counts: one
+    shingle-hash shuffle, in-group pair expansion, df-cap lever
+    available); over the augmented corpus the suffix near-copies
+    land at c_ab = 1.0 > c_ba, receipting the directionality."""
+    return dedup.containment_pairs(_augmented_docs(spark, sf_dir))
