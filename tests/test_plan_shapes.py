@@ -353,3 +353,52 @@ def test_ivf_assignment_broadcast_path_shape(spark):
     small_cents, _, _ = similarity.auto_seed_centroids(emb, nlist=4)
     small_plan = _plan(similarity.ivf_assign(emb, small_cents, 1))
     assert "Join" not in small_plan
+
+
+def test_t17_gopher_rules_is_one_narrow_pass(spark):
+    plan = _plan(_q(spark, "t17_gopher_quality_rules"))
+    assert "Join" not in plan
+    # ensure_parallelism's round-robin is the only exchange
+    assert plan.count("Exchange") <= 1
+    # the rule HOF trees must be evaluated once: keep references the
+    # projected booleans, not re-inlined aggregate() trees
+    assert plan.count("aggregate(") <= 2  # r_mean_len's sum, once per bound
+
+
+def test_t18_pii_scrub_is_one_narrow_pass(spark):
+    plan = _plan(_q(spark, "t18_pii_scrub"))
+    assert "Join" not in plan and plan.count("Exchange") <= 1
+
+
+def test_t19_surprisal_broadcasts_vocab_no_global_window(spark):
+    plan = _plan(_q(spark, "t19_unigram_surprisal_buckets"))
+    # vocab-side and offsets joins broadcast; the corpus is never the
+    # build side of a sort-merge join
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the rank window partitions by the value bucket — a global
+    # (empty-partition-spec) row_number window would print
+    # 'windowspecdefinition(' without a partition column before the
+    # ORDER BY; assert every row_number spec carries _bkt
+    import re
+
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^,]*),", plan):
+        assert "_bkt" in m.group(1)
+
+
+def test_dd28_span_dedup_no_window_no_cartesian(spark):
+    plan = _plan(_q(spark, "dd28_span_dedup"))
+    assert "Window" not in plan  # rebuild is collect+array_sort, not a window
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan  # keeper join is an equi-join
+
+
+def test_dd29_containment_same_candidate_shape_as_dd5(spark):
+    p29 = _plan(_q(spark, "dd29_containment_pairs"))
+    p5 = _plan(_q(spark, "dd5_jaccard_pairs"))
+    # shared machinery: same join/exchange inventory, no pair
+    # self-join (candidates come from in-group expansion)
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in p29 and op not in p5
+    assert p29.count("Exchange") == p5.count("Exchange")

@@ -2983,8 +2983,14 @@ def t18_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint of the scrubbed text. operators/pii.py owns the
     regexes (Java-regex/RE2 common subset) and the scrub ORDER —
     the oracle splices the same constants. Narrow map stage, no
-    shuffle; the planted PII (one item per %4 residue class) proves
-    each pattern fires on every engine."""
+    shuffle; the planted PII (one DIFFERENT item per %4 residue
+    class, id-derived so every doc's match is distinct) proves each
+    pattern fires on every engine. Extends t7_pii_redaction (the
+    minimal ride-along email/phone mask with a constant tail): adds
+    the IP class, the ordered per-stage count contract (each count
+    taken on the text its replacement saw — the email pass must
+    consume digit runs before the numeric patterns nibble them,
+    pinned by test), and the reusable scrub_pii operator."""
     aug = _pii_aug(spark, sf_dir)
     cols = _pii.scrub_pii(F.col("text"))
     return aug.select(
