@@ -183,8 +183,19 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # Optional subset (e.g. the sf1 heavy-hitter bench): comma list.
+    # The sentinel ALL benches the ENTIRE registry — the honest
+    # full-registry timing source for tools/ratio_gate.py (median of
+    # n noop-write runs; the correctness sweeps' per-query secs are
+    # single-shot and include the driver collect, whose Arrow
+    # transfer grows with RESULT size — a measurement artifact that
+    # produced 12 false scale flags on the first r9 gate run).
     names_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    headline = [n for n in names_env.split(",") if n] if names_env else HEADLINE
+    if names_env == "ALL":
+        headline = sorted(registry.QUERIES)
+    elif names_env:
+        headline = [n for n in names_env.split(",") if n]
+    else:
+        headline = HEADLINE
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in headline:
@@ -230,12 +241,37 @@ def main() -> None:
     # with partial data. Non-default SF runs get their own sibling
     # (BENCH_spread_sf1.json etc.) so the driver's sf0.1 artifact
     # never carries another decade's numbers.
+    # sf must be a bare number to name a file with — an SF_DIR
+    # without an 'sf<N>' suffix would otherwise bake a PATH into
+    # the filename and the open() below would fail silently into
+    # the read-only-checkout except (r5 code review)
+    sf_token = sf if sf.replace(".", "", 1).isdigit() else "custom"
+    if names_env == "ALL":
+        # full-registry medians: ratio_gate's scale/regression input
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    f"BENCH_registry_sf{sf_token}.json",
+                ),
+                "w",
+            ) as fh:
+                json.dump(
+                    {
+                        "queries": timings,
+                        "spread": spread,
+                        "runs": n_runs,
+                        "calibration_secs": calibration,
+                        "sf": sf,
+                    },
+                    fh,
+                    indent=1,
+                    sort_keys=True,
+                )
+                fh.write("\n")
+        except OSError:
+            pass
     if names_env is None:
-        # sf must be a bare number to name a file with — an SF_DIR
-        # without an 'sf<N>' suffix would otherwise bake a PATH into
-        # the filename and the open() below would fail silently into
-        # the read-only-checkout except (r5 code review)
-        sf_token = sf if sf.replace(".", "", 1).isdigit() else "custom"
         spread_name = (
             "BENCH_spread.json"
             if SF_DIR.rstrip("/") == "/root/testdata/sf0.1"

@@ -1,44 +1,40 @@
 """The STANDING full-registry ratio/regression gate (VERDICT r8 #1).
 
-The three wholesale correctness sweeps already record per-query wall
-time (``secs``) for ALL registered queries at sf0.01 / sf0.1 / sf1 —
-but until this gate, nobody computed ratios or round-over-round
-deltas outside the 66-query bench headline, so tail regressions like
-mm5's 6.1x sf0.1→sf1 ratio or dd23's 4.7x were visible only by
-hand-joining artifacts. This tool derives a committed ``RATIOS.json``
-from the sweeps each round and FAILS (non-zero exit) when:
+Derives a committed ``RATIOS.json`` each round and FAILS (non-zero
+exit) when:
 
-1. **scale flag** — a query's sf0.1→sf1 ratio exceeds SCALE_FLAG_X
-   (5x on 10x data, i.e. super-linear by more than noise) and the
-   query is not in the documented allowlist; or
+1. **scale flag** — a query's sf0.1→sf1 time ratio exceeds
+   SCALE_FLAG_X (5x on 10x data) and the query is neither in the
+   reasons-required allowlist nor covered by a declared super-linear
+   WORK MODEL (a brute-force query-x-corpus operator does ~100x the
+   work on 10x data — flagging it at 5x would just force a blanket
+   allowlist; its model-adjusted threshold is 0.5x its work growth,
+   the same headroom the linear default gets); or
 2. **regression flag** — a query's sf0.1 time regressed more than
-   REGRESS_FLAG_X (1.3x) vs the PRIOR round's sweep, after
-   normalizing by the median cur/prior ratio across all common
-   queries (the median absorbs machine-load drift the way bench.py's
-   calibration query does — a real regression moves one query, load
-   moves all of them).
+   REGRESS_FLAG_X vs the PRIOR round, after normalizing by the
+   median cur/prior ratio across common queries (absorbs machine
+   drift the way bench.py's calibration query does).
 
-Noise guards: a query is only flag-eligible when its current-round
-time is >= MIN_SECS (sweep timers have 0.1 s resolution; ratios of
-0.2/0.1 are rounding, not plans). Scale ratios use the sweep's
-``spark_secs`` field (Spark build+collect only, added r9) — the
-total ``secs`` includes the DuckDB oracle + multiset compare, which
-grows with sf on ITS own plan (s1's brute-force SQL oracle is 30x
-its Spark time at sf1) and would flag half the registry for oracle
-cost. Round-over-round regression compares whichever field BOTH
-rounds carry (same units on both sides).
+TIMING SOURCE (changed r9 after the first gate run produced 12 false
+scale flags): the preferred input is the full-registry bench
+artifact (``SPARK_GRAFT_BENCH_QUERIES=ALL python bench.py`` →
+``BENCH_registry_sf<N>.json``) — median of n noop-write runs, no
+driver collect. The correctness sweeps' per-query times are
+single-shot AND include ``toPandas()``, whose Arrow transfer grows
+with RESULT size: p1 (a trivial filter returning 375k rows at sf1)
+measured 6.3x on the sweep metric and 1.1x on bench medians. Sweep
+times remain the fallback for queries missing from the bench
+artifacts, tagged ``timing_source: sweep`` so a flag from the noisy
+source is readable as such.
 
-ALLOWED_SCALE entries need a reason string — these are the
-deliberately-retained ablation receipts and attributed floors whose
-docstrings/SCALE.md lessons explain the ratio; the gate keeps them
-visible in RATIOS.json rather than silently passing them.
+ALLOWED_SCALE entries need a reason string — the deliberately
+retained ablation receipts and attributed floors; the gate keeps
+them visible in RATIOS.json rather than silently passing them.
 
-Usage:
-    python tools/ratio_gate.py --cur CORRECTNESS_local_r09.json \
-        --cur-sf1 CORRECTNESS_sf1.json \
-        --prior CORRECTNESS_local_r08_sf01.json \
-        --cur-sf01 CORRECTNESS_local_r09_sf01.json
-All arguments have r9-era defaults; see --help.
+Standing loop per round: run the three wholesale sweeps, run the two
+ALL-benches, then
+    python tools/ratio_gate.py
+and commit RATIOS.json + the two BENCH_registry artifacts.
 """
 
 from __future__ import annotations
@@ -52,7 +48,14 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SCALE_FLAG_X = 5.0   # sf0.1 -> sf1 (10x data) ratio above this flags
-REGRESS_FLAG_X = 1.3  # normalized round-over-round ratio above this flags
+# Regression bar depends on the timing source's noise floor:
+# bench_min compares minimum-of-n noop runs (tight), sweep compares
+# single-shot totals including the DuckDB oracle and the driver
+# collect — adjudicated r9 at +-70% run-to-run (a10 flagged 1.7x on
+# the sweep metric and re-measured 0.485 s median-of-5 on bench), so
+# a 1.3x bar there flags noise, not plans. From r10 on both rounds
+# carry registry benches and everything uses bench_min.
+REGRESS_FLAG_BY_SOURCE = {"bench_min": 1.3, "sweep": 2.0}
 MIN_SECS = 1.0       # ignore sub-second queries (0.1 s timer resolution)
 
 # Documented super-linear queries: name -> reason (and where it's
@@ -77,6 +80,58 @@ ALLOWED_SCALE = {
         "(4.7x -> 2.8x), but a larger corpus multiple can legitimately "
         "push the rebuild past 5x. SCALE.md lesson 40"
     ),
+    "t3_quality_scores": (
+        "saturated narrow token-HOF map at the threshold edge (5.13x "
+        "vs sibling t1's acquitted 4.70x, same shared-token plan, "
+        "ensure_parallelism verified): per-doc work is constant and "
+        "the time ratio approaches data growth as the fixed overhead "
+        "share shrinks — the expected band for compute-bound maps is "
+        "3-5x on 10x data; re-adjudicate above 7x"
+    ),
+}
+
+# Adjudicated round-over-round regressions: name -> attribution.
+# Kept visible in RATIOS.json like ALLOWED_SCALE.
+ALLOWED_REGRESS = {
+    "bp1_quickview_rows": (
+        "fixture-sized board pipeline (sf_dir unused; one JSON doc, "
+        "~15 tiny joins — plan overhead, not data): absolute time "
+        "crept 1.13->1.55 s across r6-r9 with ZERO code changes on "
+        "its path (driver benches r6 1.127 / r7 1.153 / r8 1.326; "
+        "r9 solo 7-run median 1.555 at calibration 0.497) — "
+        "environmental drift on a config-sized workload, no 100 TB "
+        "relevance; re-adjudicate if it crosses 2.5 s"
+    ),
+}
+
+# Declared work models: how much the query's WORK grows when the
+# data grows 10x (sf0.1 -> sf1). The flag threshold becomes
+# 0.5 * work_growth — identical headroom to the linear default
+# (5x = 0.5 * 10x). Only queries whose docstrings state the
+# asymptotic belong here; everything else defaults to linear.
+WORK_GROWTH_10X = {
+    # query set (n/100 of corpus) x corpus brute force: 10x * 10x
+    "s1_cosine_topk": 100.0,
+    "s3_embedding_near_dups": 100.0,   # LSH-bucket pair join: plane
+                                       # count is fixed, so bucket
+                                       # occupancy (and occ² pair
+                                       # work) grows with the corpus
+    "dd5_jaccard_pairs": 100.0,        # uncapped shared-shingle pairs
+    "dd29_containment_pairs": 100.0,   # same candidates as dd5
+    "j6_fuzzy_substring_join": 100.0,  # uncapped substring cross-score
+                                       # (j6b/j6c are the blocked paths)
+    "dd3_minhash_lsh_pairs": 100.0,    # uncapped banded pair list:
+                                       # band-bucket occupancy (and
+                                       # occ^2 pair work) grows with
+                                       # the corpus; dd27 is the
+                                       # capped production config
+    "dd6_dup_clusters": 100.0,         # iterative CC whose input IS
+                                       # dd3's pair list (edges grow
+                                       # like the uncapped pairs;
+                                       # rounds grow with diameter)
+    "s6_ivf_budgeted_topk": 31.6,      # queries x probed-cell work:
+                                       # |Q| grows 10x, sqrt(N) cell
+                                       # size grows ~3.16x
 }
 
 
@@ -85,14 +140,26 @@ def load(path):
         return json.load(fh)
 
 
+def try_load(path):
+    p = os.path.join(ROOT, path)
+    return load(p) if os.path.exists(p) else None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cur-sf01", default="CORRECTNESS_local_r09_sf01.json",
-                    help="current round's sf0.1 sweep")
+                    help="current round's sf0.1 sweep (fallback timings)")
     ap.add_argument("--cur-sf1", default="CORRECTNESS_sf1.json",
-                    help="current round's sf1 sweep")
+                    help="current round's sf1 sweep (fallback timings)")
+    ap.add_argument("--bench-sf01", default="BENCH_registry_sf0.1.json",
+                    help="full-registry bench at sf0.1 (preferred)")
+    ap.add_argument("--bench-sf1", default="BENCH_registry_sf1.json",
+                    help="full-registry bench at sf1 (preferred)")
     ap.add_argument("--prior", default="CORRECTNESS_local_r08_sf01.json",
-                    help="prior round's sf0.1 sweep (regression base)")
+                    help="prior round's sf0.1 sweep (regression fallback)")
+    ap.add_argument("--prior-bench", default="BENCH_spread.json",
+                    help="prior round's sf0.1 bench (regression base; "
+                         "spread min-times when no prior registry bench)")
     ap.add_argument("--out", default="RATIOS.json")
     ap.add_argument("--report-only", action="store_true",
                     help="always exit 0 (for exploratory runs)")
@@ -101,42 +168,64 @@ def main() -> int:
     cur01 = load(os.path.join(ROOT, args.cur_sf01))
     cur1 = load(os.path.join(ROOT, args.cur_sf1))
     prior = load(os.path.join(ROOT, args.prior))
+    bench01 = try_load(args.bench_sf01) or {}
+    bench1 = try_load(args.bench_sf1) or {}
+    prior_bench = try_load(args.prior_bench) or {}
 
-    queries = {}
-    scale_flags, regress_flags, allowed_hits = [], [], []
+    def bench_median(b, q):
+        return (b.get("queries") or {}).get(q)
 
-    def spark_t(sweep, q):
-        """Spark-only time, falling back to total secs (pre-r9
-        artifacts lack spark_secs)."""
+    def bench_min(b, q):
+        v = (b.get("spread") or {}).get(q)
+        return v[0] if v else None
+
+    def sweep_t(sweep, q):
         e = sweep.get(q, {})
         return e.get("spark_secs") or e.get("secs")
 
-    def common_t(a, b, q):
-        """A (time_a, time_b) pair measured in the SAME units — the
-        finest field both artifacts carry for query q."""
-        ea, eb = a.get(q, {}), b.get(q, {})
-        if ea.get("spark_secs") and eb.get("spark_secs"):
-            return ea["spark_secs"], eb["spark_secs"]
-        if ea.get("secs") and eb.get("secs"):
-            return ea["secs"], eb["secs"]
-        return None, None
+    queries = {}
+    scale_flags, regress_flags, allowed_hits = [], [], []
+    allowed_regress_hits = []
 
-    # --- load normalization for the regression check
+    # --- regression base: current vs prior bench min-times where both
+    # exist (median-of-run minimums are the most load-robust pairing),
+    # else sweep totals both sides. Normalize by the median ratio.
+    def regress_pair(q):
+        c, p = bench_min(bench01, q), bench_min(prior_bench, q)
+        if c is not None and p is not None:
+            return c, p, "bench_min"
+        ec, ep = cur01.get(q, {}), prior.get(q, {})
+        if ec.get("secs") and ep.get("secs"):
+            return ec["secs"], ep["secs"], "sweep"
+        return None, None, None
+
     ratios = []
     for q in cur01:
-        c, p = common_t(cur01, prior, q)
+        c, p, _src = regress_pair(q)
         if c and p:
             ratios.append(c / p)
     load_ratio = statistics.median(ratios) if ratios else 1.0
 
     for q in sorted(set(cur01) | set(cur1)):
-        c01, c1 = spark_t(cur01, q), spark_t(cur1, q)
-        cr, pr = common_t(cur01, prior, q)
-        rec = {"sf01_secs": c01, "sf1_secs": c1, "prior_sf01_secs": pr}
+        c01, src01 = bench_median(bench01, q), "bench"
+        if c01 is None:
+            c01, src01 = sweep_t(cur01, q), "sweep"
+        c1, src1 = bench_median(bench1, q), "bench"
+        if c1 is None:
+            c1, src1 = sweep_t(cur1, q), "sweep"
+        rec = {
+            "sf01_secs": c01,
+            "sf1_secs": c1,
+            "timing_source": src01 if src01 == src1 else f"{src01}/{src1}",
+        }
 
         if c01 and c1:
             rec["scale_ratio"] = round(c1 / c01, 2)
-            if c1 >= MIN_SECS and rec["scale_ratio"] > SCALE_FLAG_X:
+            work = WORK_GROWTH_10X.get(q, 10.0)
+            threshold = 0.5 * work
+            if work != 10.0:
+                rec["work_growth_10x"] = work
+            if c1 >= MIN_SECS and rec["scale_ratio"] > threshold:
                 if q in ALLOWED_SCALE:
                     rec["scale_allowed"] = ALLOWED_SCALE[q]
                     allowed_hits.append(q)
@@ -144,13 +233,20 @@ def main() -> int:
                     rec["scale_flag"] = True
                     scale_flags.append(q)
 
+        cr, pr, rsrc = regress_pair(q)
         if cr and pr:
             norm = (cr / pr) / load_ratio
             rec["regress_ratio"] = round(norm, 2)
             rec["regress_from"], rec["regress_to"] = pr, cr
-            if cr >= MIN_SECS and norm > REGRESS_FLAG_X:
-                rec["regress_flag"] = True
-                regress_flags.append(q)
+            rec["regress_source"] = rsrc
+            bar = REGRESS_FLAG_BY_SOURCE.get(rsrc, 1.3)
+            if cr >= MIN_SECS and norm > bar:
+                if q in ALLOWED_REGRESS:
+                    rec["regress_allowed"] = ALLOWED_REGRESS[q]
+                    allowed_regress_hits.append(q)
+                else:
+                    rec["regress_flag"] = True
+                    regress_flags.append(q)
 
         queries[q] = rec
 
@@ -158,18 +254,23 @@ def main() -> int:
         "inputs": {
             "cur_sf01": args.cur_sf01,
             "cur_sf1": args.cur_sf1,
+            "bench_sf01": args.bench_sf01 if bench01 else None,
+            "bench_sf1": args.bench_sf1 if bench1 else None,
             "prior_sf01": args.prior,
+            "prior_bench": args.prior_bench if prior_bench else None,
         },
         "thresholds": {
             "scale_flag_x": SCALE_FLAG_X,
-            "regress_flag_x": REGRESS_FLAG_X,
+            "regress_flag_by_source": REGRESS_FLAG_BY_SOURCE,
             "min_secs": MIN_SECS,
+            "work_growth_10x": WORK_GROWTH_10X,
         },
         "load_ratio_cur_over_prior": round(load_ratio, 3),
         "n_queries": len(queries),
         "scale_flags": scale_flags,
         "regress_flags": regress_flags,
         "allowed_scale_hits": allowed_hits,
+        "allowed_regress_hits": allowed_regress_hits,
         "queries": queries,
     }
     with open(os.path.join(ROOT, args.out), "w") as fh:
@@ -178,16 +279,19 @@ def main() -> int:
 
     print(f"{len(queries)} queries; load ratio {load_ratio:.3f}")
     print(f"allowed scale hits: {allowed_hits}")
+    print(f"allowed regress hits: {allowed_regress_hits}")
     if scale_flags:
         for q in scale_flags:
             print(f"SCALE FLAG {q}: sf0.1 {queries[q]['sf01_secs']}s -> "
                   f"sf1 {queries[q]['sf1_secs']}s "
-                  f"({queries[q]['scale_ratio']}x on 10x data)")
+                  f"({queries[q]['scale_ratio']}x on 10x data, "
+                  f"source {queries[q]['timing_source']})")
     if regress_flags:
         for q in regress_flags:
             print(f"REGRESS FLAG {q}: {queries[q]['regress_from']}s -> "
                   f"{queries[q]['regress_to']}s at sf0.1 "
-                  f"({queries[q]['regress_ratio']}x load-normalized)")
+                  f"({queries[q]['regress_ratio']}x load-normalized, "
+                  f"source {queries[q]['regress_source']})")
     if not scale_flags and not regress_flags:
         print("ratio gate PASS")
         return 0
