@@ -233,3 +233,61 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     assert row["c_ab"] == 1.0 and row["c_ba"] < 0.2
     # symmetric jaccard at the same strictness never sees the pair
     assert jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(-100, 100), min_size=1, max_size=60),
+    n_buckets=st.integers(1, 12),
+)
+def test_global_ntile_property_matches_sql_window(spark, keys, n_buckets):
+    # duplicate keys allowed — id is the tie-break; the integer
+    # bucket formula must match ntile() for every (C, N) split shape
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id long, key long"
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in with_global_ntile(
+            df, n_buckets, "key", ["id"], out_col="b"
+        ).collect()
+    }
+    df.createOrReplaceTempView("t_ntile_prop")
+    want = {
+        r["id"]: r["b"]
+        for r in spark.sql(
+            f"SELECT id, ntile({n_buckets}) OVER (ORDER BY key, id) AS b "
+            "FROM t_ntile_prop"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_containment_df_cap_bounds_hot_shingle_candidates(spark):
+    from trello_github_etl_spark.operators.dedup import containment_pairs
+
+    # 30 docs all sharing one hot 3-shingle ("x y z"), each with a
+    # distinct remainder: uncapped, the hot shingle alone generates
+    # 435 candidate pairs; capped at df<=5 it generates none, and the
+    # two planted true containments (doc 100 inside 101, which share
+    # RARE shingles too) survive because rare-shingle candidates are
+    # untouched — the cap drops candidate GENERATION, not scoring
+    base = [(i, "x y z " + " ".join(f"w{i}n{j}" for j in range(6)), "en")
+            for i in range(30)]
+    quote = " ".join(f"q{j}" for j in range(8))
+    base.append((100, quote, "en"))
+    base.append((101, quote + " " + " ".join(f"t{j}" for j in range(40)), "en"))
+    df = spark.createDataFrame(base, "doc_id long, text string, lang string")
+    capped = containment_pairs(df, threshold=0.9, max_shingle_df=5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in capped] == [(100, 101)]
+    assert capped[0]["c_ab"] == 1.0
+    uncapped = containment_pairs(df, threshold=0.0).count()
+    assert uncapped >= 435  # the hot shingle's full pair expansion
