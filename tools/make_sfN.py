@@ -146,6 +146,16 @@ def main() -> None:
     args = ap.parse_args()
 
     name = f"sf{args.mult / 10:g}".replace(".0", "")
+    if name == "sf1":
+        # .data/sf1 is make_sf1.py's fixture with DELIBERATE
+        # single-row-group files (the lesson-3/38 starved-scan
+        # pathology the guards are tested against); this tool's
+        # many-row-group layout would silently destroy that property
+        # while keeping content identical — refuse the collision.
+        raise SystemExit(
+            "refusing --mult 10: .data/sf1 belongs to make_sf1.py "
+            "(single-row-group layout is load-bearing)"
+        )
     out_dir = os.path.join(ROOT, ".data", name)
     done = os.path.join(out_dir, ".complete")
     if os.path.exists(done) and not args.force:

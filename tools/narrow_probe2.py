@@ -14,8 +14,9 @@ mm5 variants:
                   heavy case)
   pairs_from_fps — hamming_pairs on precomputed fingerprints
                   (isolates the band join + popcount verify)
-  full          — the registered query
-  full@N        — registered plan with the media frame repartitioned
+  full          — the registered query (post-r9 this includes the
+                  ensure_parallelism guard, so full ≈ ahash@32 +
+                  pairs rather than ahash@scan + pairs)
 
 dd23 variants:
   corpus_sig    — lsh_band_keys over the full corpus (the state-build

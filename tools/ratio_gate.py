@@ -219,7 +219,14 @@ def main() -> int:
             "timing_source": src01 if src01 == src1 else f"{src01}/{src1}",
         }
 
-        if c01 and c1:
+        if c01 and c1 and src01 != src1:
+            # never ratio a bench median against a sweep time: the
+            # sweep metric carries the collect's result-size term and
+            # single-shot noise (see module docstring) — a cross-unit
+            # ratio can false-flag a healthy query or false-pass a
+            # regressed one. Recorded, not gated.
+            rec["scale_ratio_skipped"] = "mixed timing sources"
+        elif c01 and c1:
             rec["scale_ratio"] = round(c1 / c01, 2)
             work = WORK_GROWTH_10X.get(q, 10.0)
             threshold = 0.5 * work

@@ -123,8 +123,19 @@ def main() -> int:
     # exercising dead configuration.
     with open(os.path.join(ROOT, "CORRECTNESS_skew.json")) as fh:
         corr = json.load(fh)
-    n12 = corr["dd12_winnow_pairs"]["spark_rows"]
-    n13 = corr["dd13_winnow_df_capped"]["spark_rows"]
+    try:
+        n12 = corr["dd12_winnow_pairs"]["spark_rows"]
+        n13 = corr["dd13_winnow_df_capped"]["spark_rows"]
+    except KeyError as missing:
+        # a partial artifact or an edited SKEW_QUERIES list must fail
+        # with the gate's diagnostic voice, not a raw traceback (the
+        # same hardening the bench-phase JSON parse got, r8 advice)
+        print(
+            f"SKEW GATE FAILED: cap-engagement check needs "
+            f"dd12/dd13 rows in CORRECTNESS_skew.json ({missing} "
+            f"missing — partial sweep or edited SKEW_QUERIES?)"
+        )
+        return 1
     if n12 == n13:
         print(
             f"SKEW GATE FAILED: dd13's df cap did not engage "

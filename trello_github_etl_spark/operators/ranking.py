@@ -28,9 +28,11 @@ parallel. Degenerate distributions (all keys equal → one bucket)
 collapse to one task — the same failure shape a skewed groupBy has;
 callers with pathological keys pre-spread them.
 
-Cost: one hash shuffle on the bucket for the window, plus a tiny
-re-aggregation of the same subtree for counts (#buckets rows,
-broadcast back), plus a 1-row min/max broadcast.
+Cost: one hash shuffle on the bucket for the window, a tiny bucket
+count table (#buckets rows, broadcast back) and a 1-row min/max
+broadcast; the input is persist()-pinned because its three
+consumers' pruned subtrees are not exchange-identical — unpinned,
+the full upstream plan would execute three times.
 
 ntile bucket from a 1-based global rank r among C rows, N buckets
 (SQL-standard: sizes differ by <= 1, larger buckets first): with
@@ -59,6 +61,14 @@ def with_global_rank(
     spark = df.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     key = F.col(key_col)
+    # pin the input: it feeds THREE consumers (min/max stats, bucket
+    # counts, the ranked output) whose pruned subtrees are not
+    # exchange-identical, so without the pin the full upstream plan
+    # (for t19: tokenize + vocab join + per-doc aggregate) executes
+    # three times. persist, not localCheckpoint — lineage-preserving
+    # (same trade as dedup.minhash_lsh_pairs' banded pin, r8 advice);
+    # ContextCleaner releases the storage when the frame is GC'd.
+    df = df.persist()
     stats = df.agg(
         F.min(key).alias("_kmin"), F.max(key).alias("_kmax")
     )

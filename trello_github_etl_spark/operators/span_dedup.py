@@ -40,27 +40,31 @@ def tile_spans(
     tokens contribute no rows."""
     n = F.size(toks_col)
     n_tiles = F.ceil(n.cast("double") / TILE_WORDS).cast("int")
+    # the HOF emits ONLY (tile_idx, tile_text): lambda bodies get no
+    # subexpression elimination (SCALE.md lesson 38), so computing
+    # md5(join(slice(...))) alongside join(slice(...)) would run the
+    # slice+join twice per tile in the hottest corpus-wide map — the
+    # key is derived from the projected text after the explode
     tiles = F.transform(
         F.sequence(F.lit(0), n_tiles - 1),
         lambda i: F.struct(
             i.alias("tile_idx"),
-            F.md5(
-                F.array_join(
-                    F.slice(
-                        F.col(toks_col), i * TILE_WORDS + 1, TILE_WORDS
-                    ),
-                    " ",
-                )
-            ).alias("tile_key"),
             F.array_join(
                 F.slice(F.col(toks_col), i * TILE_WORDS + 1, TILE_WORDS),
                 " ",
             ).alias("tile_text"),
         ),
     )
-    return docs.filter(n > 0).select(
-        id_col, F.explode(tiles).alias("t")
-    ).select(id_col, "t.tile_idx", "t.tile_key", "t.tile_text")
+    return (
+        docs.filter(n > 0)
+        .select(id_col, F.explode(tiles).alias("t"))
+        .select(
+            id_col,
+            "t.tile_idx",
+            F.md5(F.col("t.tile_text")).alias("tile_key"),
+            "t.tile_text",
+        )
+    )
 
 
 def span_dedup(
@@ -72,7 +76,12 @@ def span_dedup(
     fingerprint the doc rebuilt from kept tiles in order (md5 and
     length travel instead of the text so the output stays
     driver-hashable and small)."""
-    tiles = tile_spans(docs, id_col, toks_col)
+    # pin: tiles feeds BOTH the keeper election and the marked join,
+    # two pruned subtrees that are not exchange-identical — unpinned,
+    # the tokenize+tile Generate runs twice (persist, not
+    # localCheckpoint: lineage-preserving, same trade as
+    # dedup.minhash_lsh_pairs' banded pin)
+    tiles = tile_spans(docs, id_col, toks_col).persist()
     keepers = tiles.groupBy("tile_key").agg(
         F.min(F.struct(F.col(id_col), F.col("tile_idx"))).alias("_first")
     )
@@ -96,10 +105,13 @@ def span_dedup(
     cleaned = F.array_join(
         F.transform(F.col("_kept"), lambda s: s["tile_text"]), " "
     )
-    return per_doc.select(
+    # project `cleaned` once, then fingerprint/measure the projected
+    # column — md5(cleaned) and length(cleaned) side by side would
+    # each re-run the transform+join (lesson 38 again)
+    return per_doc.withColumn("_cleaned", cleaned).select(
         id_col,
         "n_tiles",
         "n_dropped",
-        F.md5(cleaned).alias("cleaned_fp"),
-        F.length(cleaned).alias("cleaned_len"),
+        F.md5("_cleaned").alias("cleaned_fp"),
+        F.length("_cleaned").alias("cleaned_len"),
     )
