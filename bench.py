@@ -198,6 +198,7 @@ def main() -> None:
         headline = HEADLINE
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in headline:
         if name not in registry.QUERIES:
             continue
@@ -206,21 +207,38 @@ def main() -> None:
         # outlier in either direction. Build INSIDE the timer:
         # iterative operators (e.g. connected components) do real
         # work during plan construction.
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            df = registry.QUERIES[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        # Sub-second queries are noise-dominated at small n (VERDICT r3
-        # #3): once we know the query is fast, take extra samples — the
-        # marginal cost is trivial and the median stabilizes.
-        if statistics.median(runs) < 1.0 and n_runs > 1:
-            for _ in range(n_runs + 1):
+        # One failing query must not lose the whole artifact (r9
+        # advice): an ALL-mode sweep against a partial sfN dir (e.g.
+        # make_sfN.py's docs/embeddings-only corpora) raises on every
+        # relational query — record the failure and keep going.
+        try:
+            runs = []
+            for _ in range(n_runs):
                 t0 = time.time()
                 df = registry.QUERIES[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
+            # Sub-second queries are noise-dominated at small n (VERDICT
+            # r3 #3): once we know the query is fast, take extra samples
+            # — the marginal cost is trivial and the median stabilizes.
+            if statistics.median(runs) < 1.0 and n_runs > 1:
+                for _ in range(n_runs + 1):
+                    t0 = time.time()
+                    df = registry.QUERIES[name](spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — keep sweeping
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
+        finally:
+            # persist()-pinned subtrees (dd27/t19/dd28 ...) register in
+            # the SQL CacheManager, which never GC-reclaims — an
+            # ALL-mode sweep over ~200 distinct plans would grow
+            # executor storage unboundedly (r9 advice). Clearing BETWEEN
+            # queries (not between a query's n runs) keeps each query's
+            # own cache semantics identical to prior rounds' numbers.
+            spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
         # [min, max, n]: n records the ACTUAL sample count (sub-second
         # queries take extra runs), not the configured n_runs
@@ -235,6 +253,8 @@ def main() -> None:
     # Spread/min-max detail: stderr + sibling file, never the stdout
     # JSON line (the driver tail-captures stdout; keep that line small).
     detail = {"spread": spread, "runs": n_runs, "calibration_secs": calibration}
+    if errors:
+        detail["errors"] = errors
     print(f"# spread: {json.dumps(detail)}", file=sys.stderr)
     # Only a FULL headline run may overwrite the sibling artifact — a
     # SPARK_GRAFT_BENCH_QUERIES subset run would silently clobber it
@@ -263,6 +283,7 @@ def main() -> None:
                         "runs": n_runs,
                         "calibration_secs": calibration,
                         "sf": sf,
+                        "errors": errors,
                     },
                     fh,
                     indent=1,
@@ -286,18 +307,19 @@ def main() -> None:
                 fh.write("\n")
         except OSError:
             pass  # read-only checkout: stderr copy above still has it
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calibration_secs": calibration,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_secs": calibration,
+    }
+    if errors:
+        # count only on the compact stdout line (driver tail-captures
+        # it; full messages live in the sibling artifacts/stderr)
+        line["error_count"] = len(errors)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

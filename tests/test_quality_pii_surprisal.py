@@ -291,3 +291,33 @@ def test_containment_df_cap_bounds_hot_shingle_candidates(spark):
     assert capped[0]["c_ab"] == 1.0
     uncapped = containment_pairs(df, threshold=0.0).count()
     assert uncapped >= 435  # the hot shingle's full pair expansion
+
+
+def test_global_rank_rejects_null_and_nan_keys(spark):
+    # r9 advice: a NULL/NaN key would land in bucket 0 (greatest()
+    # skips nulls) yet sort NULL-first/NaN-last inside the bucket —
+    # a silent bucket-monotone break. The operator must raise, not
+    # misrank.
+    import pytest
+
+    from trello_github_etl_spark.operators.ranking import with_global_rank
+
+    null_df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, None)], "id long, key double"
+    )
+    with pytest.raises(Exception, match="NULL/NaN"):
+        with_global_rank(null_df, "key", ["id"]).collect()
+    nan_df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan"))], "id long, key double"
+    )
+    with pytest.raises(Exception, match="NULL/NaN"):
+        with_global_rank(nan_df, "key", ["id"]).collect()
+    # the degenerate repeated-key + NULL corpus: span == 0, so a
+    # guard living only in the nonzero-span branch would hand the
+    # NULL row bucket 0 silently — this shape must raise too
+    deg_df = spark.createDataFrame(
+        [(0, 5.0), (1, 5.0), (2, None)], "id long, key double"
+    )
+    with pytest.raises(Exception, match="NULL/NaN"):
+        with_global_rank(deg_df, "key", ["id"]).collect()
+    spark.catalog.clearCache()  # drop the pins the failed runs left

@@ -20,9 +20,11 @@ per round on data where it ENGAGES: dd27's band-df cap drops the
 one component through O(d) star edges, dd16's cap bounds PageRank's
 pair graph, dd24/dd26/s15 meet a 400-member single-cell embedding
 cluster, dd7/dd17/dd21 and the winnowing pair dd12/dd13 meet 20%-df
-boilerplate shingles (the gate asserts dd13's fingerprint-df cap
-actually ENGAGES — its kept-pair count must differ from dd12's
-uncapped count on the fixture, r8 VERDICT #4).
+boilerplate shingles (the gate asserts the df caps actually ENGAGE
+— it counts fingerprints/shingles whose document frequency exceeds
+each registered cap on the fixture and fails on zero, a direct
+receipt at the lever itself; r8 VERDICT #4, hardened per r9 advice
+because final kept-pair counts can coincide even when a cap bites).
 
 Usage: python tools/skew_gate.py [--skip-bench]
 Exit non-zero iff any correctness row fails.
@@ -84,6 +86,67 @@ BENCH_QUERIES = [
 ]
 
 
+def _cap_engagement_receipts() -> int:
+    """Direct receipts that the fixture engages the registered df
+    caps (r9 advice): count hot keys ABOVE each cap at the point the
+    cap applies — fingerprint df for dd13 (max_fp_df=20), shingle df
+    for dd7 (max_shingle_df=10) and dd30 (max_shingle_df=20). Runs
+    in-process AFTER the correctness sweep's subprocess exits and
+    BEFORE bench's starts, so no two JVMs ever time concurrently."""
+    sys.path.insert(0, ROOT)
+    from pyspark.sql import functions as F
+    from trello_github_etl_spark.operators import dedup
+    from trello_github_etl_spark.operators.textstats import shingles
+    from trello_github_etl_spark.queries.llm_q import _augmented_docs
+    from trello_github_etl_spark.session import get_spark
+
+    spark = get_spark("skew-cap-receipts")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = _augmented_docs(spark, SKEW_DIR)
+        # dd13's exact registered input: even-id half corpus
+        fps = dedup.winnow_fingerprints(
+            docs.filter(F.col("doc_id") % 2 == 0)
+        )
+        hot_fp = (
+            fps.groupBy("wfp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > 20)
+            .count()
+        )
+        # dd7/dd30's candidate input: full augmented corpus; df is
+        # countDistinct(doc_id) per shingle, matching
+        # dedup._shingle_pair_counts' `rare` filter exactly
+        sh_df = (
+            docs.select(
+                "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+            )
+            .groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+        )
+        hot10, hot20 = (
+            sh_df.agg(
+                F.sum((F.col("_df") > 10).cast("long")).alias("h10"),
+                F.sum((F.col("_df") > 20).cast("long")).alias("h20"),
+            ).collect()[0]
+        )
+    finally:
+        spark.stop()
+    failed = False
+    for label, hot in (
+        ("dd13 fingerprint-df cap (20)", hot_fp),
+        ("dd7 shingle-df cap (10)", hot10 or 0),
+        ("dd30 shingle-df cap (20)", hot20 or 0),
+    ):
+        if hot > 0:
+            print(f"cap engaged: {label} — {hot} hot keys above cap")
+        else:
+            print(f"SKEW GATE FAILED: {label} has 0 keys above cap "
+                  f"on the fixture — dead configuration")
+            failed = True
+    return 1 if failed else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true")
@@ -116,33 +179,18 @@ def main() -> int:
         print("SKEW CORRECTNESS FAILED — see CORRECTNESS_skew.json")
         return rc
 
-    # --- cap-engagement assertion (r8 VERDICT #4): dd13's
-    # fingerprint-df cap must actually bite on the fixture — a
-    # kept-pair count equal to dd12's uncapped count would mean the
-    # fixture's hot fingerprints sit below the cap and the gate is
-    # exercising dead configuration.
-    with open(os.path.join(ROOT, "CORRECTNESS_skew.json")) as fh:
-        corr = json.load(fh)
-    try:
-        n12 = corr["dd12_winnow_pairs"]["spark_rows"]
-        n13 = corr["dd13_winnow_df_capped"]["spark_rows"]
-    except KeyError as missing:
-        # a partial artifact or an edited SKEW_QUERIES list must fail
-        # with the gate's diagnostic voice, not a raw traceback (the
-        # same hardening the bench-phase JSON parse got, r8 advice)
-        print(
-            f"SKEW GATE FAILED: cap-engagement check needs "
-            f"dd12/dd13 rows in CORRECTNESS_skew.json ({missing} "
-            f"missing — partial sweep or edited SKEW_QUERIES?)"
-        )
-        return 1
-    if n12 == n13:
-        print(
-            f"SKEW GATE FAILED: dd13's df cap did not engage "
-            f"(dd12 pairs == dd13 pairs == {n12})"
-        )
-        return 1
-    print(f"dd13 cap engaged: dd12 {n12} pairs -> dd13 {n13} pairs")
+    # --- cap-engagement assertions (r8 VERDICT #4, receipt made
+    # DIRECT per r9 advice): the old check compared dd12's vs dd13's
+    # FINAL kept-pair counts, an indirect signal that can coincide
+    # (equal counts are possible when every cap-dropped candidate was
+    # sub-threshold anyway) or spuriously differ. The gate now
+    # measures engagement at the lever itself: count the fixture's
+    # fingerprints / shingles whose document frequency exceeds the
+    # registered caps — >0 hot keys means the cap provably dropped
+    # candidate generation, regardless of what survived downstream.
+    rc = _cap_engagement_receipts()
+    if rc != 0:
+        return rc
 
     # --- bench -> BENCH_skew.json (bench.py's stdout JSON line, which
     # carries calibration_secs; the stderr spread detail is embedded)

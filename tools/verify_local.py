@@ -94,6 +94,7 @@ def main() -> int:
             rec["err"] = f"spark error: {e}"
             emit(f"FAIL {name}: spark error: {e}")
             n_fail += 1
+            spark.catalog.clearCache()  # drop any pin made pre-failure
             continue
         # Spark-side wall time alone (build + collect), BEFORE the
         # DuckDB oracle runs: `secs` includes the oracle + multiset
@@ -101,6 +102,10 @@ def main() -> int:
         # (tools/ratio_gate.py prefers this field — at sf1, s1's
         # brute-force SQL oracle is 30x its Spark time).
         rec["spark_secs"] = round(time.time() - t0, 2)
+        # persist()-pinned subtrees register in the SQL CacheManager
+        # for the session lifetime (r9 advice) — release per query so
+        # a 200-query sweep doesn't accrete executor storage
+        spark.catalog.clearCache()
         rec["spark_rows"] = len(srows)
         if name not in oracles:
             rec.update(rows_match=True, schema_match=None, hash_match=None)

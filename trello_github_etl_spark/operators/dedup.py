@@ -327,10 +327,14 @@ def minhash_lsh_pairs(
         # avoiding recomputation, and a local checkpoint's blocks are
         # NOT fault-tolerant — losing an executor fails the job —
         # while a persisted frame keeps its lineage and recomputes
-        # the lost partitions. Cache lifetime: no explicit unpersist
-        # (the frame is returned inside the result's plan);
-        # ContextCleaner releases the storage when the frame is
-        # GC'd, same as every other query-scoped pin in this module.
+        # the lost partitions. Cache lifetime (r9 advice): persist
+        # registers the plan in the session's SQL CacheManager, which
+        # holds the InMemoryRelation until explicit unpersist /
+        # clearCache — ContextCleaner does NOT reclaim SQL-cached
+        # plans on GC. One query per session is fine; long-lived
+        # drivers sweeping many distinct queries must
+        # spark.catalog.clearCache() between queries (bench.py and
+        # the sweep/gate tools do).
         banded = banded.persist()
         df_w = banded.groupBy("band_key").agg(
             F.count(F.lit(1)).alias("_bdf")

@@ -34,6 +34,18 @@ broadcast; the input is persist()-pinned because its three
 consumers' pruned subtrees are not exchange-identical — unpinned,
 the full upstream plan would execute three times.
 
+Key-domain contract: NULL and NaN keys are REJECTED at runtime
+(raise_error inside the bucket expression, so the check is free
+codegen on the hot path and cannot be pruned — the bucket column
+always survives into the groupBy/window). Silently accepting them
+would break the bucket-monotone invariant without an error: a
+NULL/NaN key nulls ``raw``, greatest() skips nulls so the row
+lands in bucket 0, yet the within-bucket window sorts NULL first
+and NaN LAST (and DuckDB's ntile sorts NULLS LAST by default) —
+bucket order and key order diverge and the cross-engine rank
+disagrees. Callers with nullable keys must pre-filter or
+pre-route them explicitly.
+
 ntile bucket from a 1-based global rank r among C rows, N buckets
 (SQL-standard: sizes differ by <= 1, larger buckets first): with
 base = C DIV N and rem = C MOD N, the first rem*(base+1) ranks fall
@@ -66,19 +78,45 @@ def with_global_rank(
     # exchange-identical, so without the pin the full upstream plan
     # (for t19: tokenize + vocab join + per-doc aggregate) executes
     # three times. persist, not localCheckpoint — lineage-preserving
-    # (same trade as dedup.minhash_lsh_pairs' banded pin, r8 advice);
-    # ContextCleaner releases the storage when the frame is GC'd.
+    # (same trade as dedup.minhash_lsh_pairs' banded pin, r8 advice).
+    # Cache lifetime (r9 advice): DataFrame.persist registers the
+    # plan in the session's SQL CacheManager, which pins the
+    # InMemoryRelation until an explicit unpersist/clearCache —
+    # ContextCleaner only reclaims GC'd RDD-level caches, NOT
+    # SQL-cached plans. Single-query sessions are fine; long-lived
+    # drivers sweeping many distinct queries must clear between
+    # queries (bench.py and the sweep/gate tools call
+    # spark.catalog.clearCache() per query for exactly this).
     df = df.persist()
     stats = df.agg(
         F.min(key).alias("_kmin"), F.max(key).alias("_kmax")
     )
     span = F.col("_kmax").cast("double") - F.col("_kmin").cast("double")
-    raw = F.floor(
-        (key.cast("double") - F.col("_kmin").cast("double"))
-        / span
-        * F.lit(n_buckets)
+    # reject NULL/NaN keys at runtime (r9 advice): the guard lives
+    # INSIDE the bucket expression so column pruning can never drop
+    # it — _bkt always survives into the groupBy and the window. The
+    # otherwise() branch only evaluates on bad keys (CASE is lazy),
+    # so the hot path stays pure codegen arithmetic.
+    key_d = key.cast("double")
+    key_ok = F.when(
+        key_d.isNotNull() & ~F.isnan(key_d), key_d
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"with_global_rank: NULL/NaN in key column {key_col!r} — "
+                "value-bucket ranking requires finite non-null keys; "
+                "pre-filter or route them explicitly"
+            )
+        )
     )
-    bucket = F.when(span == 0, F.lit(0)).otherwise(
+    raw = F.floor(
+        (key_ok - F.col("_kmin").cast("double")) / span * F.lit(n_buckets)
+    )
+    # span==0 branch still routes through key_ok (floor(k-k) = 0,
+    # same LONG type as raw): a corpus of one repeated key PLUS some
+    # NULLs has span 0, and a literal-0 branch would hand those NULL
+    # rows bucket 0 without ever tripping the guard
+    bucket = F.when(span == 0, F.floor(key_ok - key_ok)).otherwise(
         F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
     )
     bucketed = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bucket)

@@ -80,7 +80,10 @@ def span_dedup(
     # two pruned subtrees that are not exchange-identical — unpinned,
     # the tokenize+tile Generate runs twice (persist, not
     # localCheckpoint: lineage-preserving, same trade as
-    # dedup.minhash_lsh_pairs' banded pin)
+    # dedup.minhash_lsh_pairs' banded pin). Lifetime: the SQL
+    # CacheManager holds this until unpersist/clearCache (NOT
+    # GC-reclaimed) — multi-query drivers clear between queries; see
+    # the banded pin's comment in dedup.py for the full story.
     tiles = tile_spans(docs, id_col, toks_col).persist()
     keepers = tiles.groupBy("tile_key").agg(
         F.min(F.struct(F.col(id_col), F.col("tile_idx"))).alias("_first")
