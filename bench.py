@@ -134,6 +134,8 @@ HEADLINE = [
     "t19_unigram_surprisal_buckets",
     "dd28_span_dedup",
     "dd29_containment_pairs",
+    # round-10 additions
+    "dd30_containment_capped",
 ]
 
 

@@ -402,3 +402,16 @@ def test_dd29_containment_same_candidate_shape_as_dd5(spark):
     for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in p29 and op not in p5
     assert p29.count("Exchange") == p5.count("Exchange")
+
+
+def test_dd30_containment_cap_engages_before_expansion(spark):
+    p30 = _plan(_q(spark, "dd30_containment_capped"))
+    p29 = _plan(_q(spark, "dd29_containment_pairs"))
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in p30
+    # the df-cap aggregate (countDistinct doc_id AS _df <= 20) and its
+    # shingle join exist only in the capped twin, and they sit BEFORE
+    # pair expansion (the cap is a candidate-generation lever, not a
+    # post-filter)
+    assert "_df" in p30 and "_df" not in p29
+    assert p30.count("Exchange") > p29.count("Exchange")

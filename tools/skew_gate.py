@@ -63,7 +63,12 @@ SKEW_QUERIES = [
     "dd27_lsh_pairs_capped",
     "dd28_span_dedup",
     "dd29_containment_pairs",
+    "dd30_containment_capped",
     "s15_mutual_knn_graph",
+    # r9 VERDICT #5: the u³-Zipfian token distribution stresses the
+    # surprisal vocab join's hot keys and the global ntile's bucket
+    # skew — with_global_rank's value-bucket design must shrug it off
+    "t19_unigram_surprisal_buckets",
 ]
 
 # Bench subset: the lever queries with meaningful data work. dd6/dd9/
@@ -82,7 +87,9 @@ BENCH_QUERIES = [
     "dd25_lsh_star_edges",
     "dd26_semantic_dedup_blocked",
     "dd27_lsh_pairs_capped",
+    "dd30_containment_capped",
     "s15_mutual_knn_graph",
+    "t19_unigram_surprisal_buckets",
 ]
 
 
