@@ -136,6 +136,7 @@ HEADLINE = [
     "dd29_containment_pairs",
     # round-10 additions
     "dd30_containment_capped",
+    "dd31_url_canonical_dedup",
 ]
 
 

@@ -415,3 +415,15 @@ def test_dd30_containment_cap_engages_before_expansion(spark):
     # post-filter)
     assert "_df" in p30 and "_df" not in p29
     assert p30.count("Exchange") > p29.count("Exchange")
+
+
+def test_dd31_url_dedup_scan_fused_single_keyed_shuffle(spark):
+    plan = _plan(_q(spark, "dd31_url_canonical_dedup"))
+    # canonicalization is a pure projection fused into the scan; the
+    # only data movement is ensure_parallelism's round-robin plus ONE
+    # hash exchange on canon_url for the keyed window — no join, no
+    # global (empty-partition-spec) window
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 2
+    assert "canon_url" in plan

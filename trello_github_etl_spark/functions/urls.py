@@ -1,0 +1,96 @@
+"""URL canonicalization for document-provenance dedup.
+
+CommonCrawl-scale pipelines dedup by canonicalized URL BEFORE
+touching text — fetch layers record the same page under
+scheme/host case variants, default ports, tracking query params,
+fragments, and trailing-slash spellings. This is the one dedup
+granularity the dd family's text operators (dd1 exact text, dd3/dd5
+near-text) don't cover: two crawls of one URL may differ textually
+(ads, timestamps) yet are the same provenance.
+
+``canonicalize_url`` is a pure Column expression — every step is a
+JVM-side built-in (regexp/string/array HOFs), so it fuses into the
+scan's codegen stage with zero shuffles and zero Python. The rules,
+in order (the standard safe subset of RFC 3986 §6 normalization +
+tracking-param removal as practiced by crawl dedup):
+
+1. strip the fragment (``#...`` never reaches the server);
+2. lowercase the scheme and the host (case-insensitive per RFC);
+3. strip a leading ``www.`` label (the provenance-dedup convention:
+   origin sites overwhelmingly serve both; keep it if your corpus
+   distinguishes them);
+4. drop the default port (``:80`` for http, ``:443`` for https);
+   non-default ports survive;
+5. drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``mc_eid``, ``ref``) and SORT the survivors —
+   param order is almost never semantic, and sorting makes
+   ``?a=1&b=2`` == ``?b=2&a=1``;
+6. strip trailing slashes from the path; an empty path becomes
+   ``/`` (so ``http://x.com`` == ``http://x.com/``).
+
+Each rule is independently reproducible in ANSI SQL (the dd31
+oracle replays all six in DuckDB), and the regexes stay inside the
+Java-regex/RE2 common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tracking params dropped by rule 5. Anchored key match — `ref=x` is
+# dropped, `href=x` / `prefs=x` are kept.
+TRACKING_PARAM_RE = r"^(utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_eid|ref)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL (see module doc).
+
+    Pure built-in Column expression: safe in the hot path of a
+    100 TB scan. Input must carry an explicit ``scheme://``;
+    anything else passes through rules it can't parse unchanged
+    (regexp_extract returns '' on no-match, and the reassembly
+    degrades to lowercased-trimmed parts).
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
+    rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
+    authority = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    path_query = F.regexp_replace(rest, "^[^/?]*", "")
+
+    port = F.regexp_extract(authority, ":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(authority, ":[0-9]+$", ""), r"^www\.", ""
+    )
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    canon_port = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    raw_path = F.regexp_extract(path_query, "^([^?]*)", 1)
+    trimmed = F.regexp_replace(raw_path, "/+$", "")
+    canon_path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+
+    # query: '?' + body, or '' — split body on '&', drop empties and
+    # tracking params, sort survivors (rule 5)
+    raw_query = F.regexp_replace(path_query, "^[^?]*", "")
+    body = F.when(raw_query == "", F.lit("")).otherwise(
+        raw_query.substr(F.lit(2), F.length(raw_query))
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(body, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    canon_query = F.when(F.size(params) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(params, "&"))
+    )
+
+    return F.concat(
+        scheme, F.lit("://"), host, canon_port, canon_path, canon_query
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trello_github_etl_spark.functions import urls
 from trello_github_etl_spark.io import load_table
 from trello_github_etl_spark.operators import dedup, similarity, textstats
 from trello_github_etl_spark.operators.gen import exploded
@@ -3218,4 +3219,171 @@ def dd30_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment dedup exists to ignore."""
     return dedup.containment_pairs(
         _augmented_docs(spark, sf_dir), max_shingle_df=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd31 — URL/provenance canonical dedup (functions/urls.py)
+# ---------------------------------------------------------------------------
+# Deterministic messy-URL derivation shared by the Spark query and
+# the oracle: the testdata carries no URL column, so provenance is
+# synthesized from doc_id — the same page identity (e = doc_id DIV 3,
+# canonical parts from e) spelled with rotating scheme/host case,
+# www. labels, default :80 ports, tracking params in varying order,
+# fragments, and trailing slashes (messy parts from doc_id's other
+# residues, so every cluster mixes spellings). Docs with equal
+# (e % 1000) share a canonical URL — clusters of ~3 at sf0.01,
+# growing with the corpus like real crawl re-fetch rates.
+SQL_MESSY_URL = """
+      (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'Http' END)
+      || '://'
+      || (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+          WHEN 2 THEN 'WWW.' ELSE 'wWw.' END)
+      || (CASE doc_id % 2 WHEN 0 THEN 'Site' ELSE 'site' END)
+      || CAST((doc_id // 3) % 1000 AS VARCHAR)
+      || (CASE doc_id % 3 WHEN 0 THEN '.COM' ELSE '.com' END)
+      || (CASE WHEN doc_id % 7 < 3 THEN ':80' ELSE '' END)
+      || '/p/item' || CAST((doc_id // 3) % 50 AS VARCHAR)
+      || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+      || (CASE doc_id % 4
+          WHEN 0 THEN '?utm_source=feed&id=' || CAST((doc_id // 3) % 100 AS VARCHAR)
+          WHEN 1 THEN '?id=' || CAST((doc_id // 3) % 100 AS VARCHAR) || '&utm_campaign=x'
+          WHEN 2 THEN '?id=' || CAST((doc_id // 3) % 100 AS VARCHAR) || '&fbclid=f' || CAST(doc_id AS VARCHAR)
+          ELSE '?gclid=g' || CAST(doc_id AS VARCHAR) || '&id=' || CAST((doc_id // 3) % 100 AS VARCHAR) END)
+      || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+"""
+
+
+def _messy_url(d: F.Column) -> F.Column:
+    """Spark twin of SQL_MESSY_URL (same residue arithmetic)."""
+    def cs(x: F.Column) -> F.Column:
+        return x.cast("string")
+
+    e = F.expr("doc_id DIV 3")
+    idp = cs(e % 100)
+    scheme = (
+        F.when(d % 3 == 0, F.lit("http"))
+        .when(d % 3 == 1, F.lit("HTTP"))
+        .otherwise(F.lit("Http"))
+    )
+    www = (
+        F.when(d % 4 == 0, F.lit(""))
+        .when(d % 4 == 1, F.lit("www."))
+        .when(d % 4 == 2, F.lit("WWW."))
+        .otherwise(F.lit("wWw."))
+    )
+    host = F.concat(
+        F.when(d % 2 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        cs(e % 1000),
+        F.when(d % 3 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+    )
+    port = F.when(d % 7 < 3, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/item"),
+        cs(e % 50),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = (
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), idp))
+        .when(d % 4 == 1, F.concat(F.lit("?id="), idp, F.lit("&utm_campaign=x")))
+        .when(d % 4 == 2, F.concat(F.lit("?id="), idp, F.lit("&fbclid=f"), cs(d)))
+        .otherwise(F.concat(F.lit("?gclid=g"), cs(d), F.lit("&id="), idp))
+    )
+    frag = F.when(
+        d % 3 == 0, F.concat(F.lit("#sec"), cs(d % 7))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), www, host, port, path, q, frag)
+
+
+@query(
+    "dd31_url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {SQL_MESSY_URL} AS url FROM documents
+    ),
+    c1 AS (
+      SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u
+    ),
+    c2 AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+        regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+      FROM c1
+    ),
+    c3 AS (
+      SELECT doc_id, url, scheme,
+        lower(regexp_extract(rest, '^([^/?]*)', 1)) AS authority,
+        regexp_replace(rest, '^[^/?]*', '') AS path_query
+      FROM c2
+    ),
+    c4 AS (
+      SELECT doc_id, url, scheme, path_query,
+        regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+        regexp_replace(regexp_replace(authority, ':[0-9]+$', ''), '^www\\.', '') AS host
+      FROM c3
+    ),
+    c5 AS (
+      SELECT doc_id, url, scheme, host,
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END AS canon_port,
+        regexp_extract(path_query, '^([^?]*)', 1) AS raw_path,
+        regexp_replace(path_query, '^[^?]*', '') AS raw_query
+      FROM c4
+    ),
+    c6 AS (
+      SELECT doc_id, url, scheme, host, canon_port,
+        CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(raw_path, '/+$', '') END AS canon_path,
+        list_sort(list_filter(
+          string_split(
+            CASE WHEN raw_query = '' THEN '' ELSE substr(raw_query, 2) END,
+            '&'),
+          p -> p <> '' AND NOT regexp_matches(
+            p, '^(utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_eid|ref)=')
+        )) AS params
+      FROM c5
+    ),
+    c AS (
+      SELECT doc_id, url,
+        scheme || '://' || host || canon_port || canon_path ||
+        CASE WHEN len(params) = 0 THEN ''
+             ELSE '?' || array_to_string(params, '&') END AS canon_url
+      FROM c6
+    )
+    SELECT doc_id, url, canon_url,
+           MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+                THEN 'kept' ELSE 'dup_url' END AS verdict
+    FROM c
+    """,
+)
+def dd31_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance dedup by canonicalized URL — the dedup granularity
+    BEFORE any text operator runs in a crawl pipeline (dd1 is
+    text-exact; two fetches of one page differ textually but share
+    provenance). functions/urls.canonicalize_url applies the six
+    RFC-3986-subset rules (fragment, case, www, default port,
+    tracking params + param sort, trailing slash) as one pure-builtin
+    codegen projection fused into the scan; the keeper election is a
+    single hash shuffle on canon_url (window MIN over the canonical
+    key — provenance clusters are small and bounded in real corpora,
+    so the keyed window never sees a giant partition; a corpus with
+    adversarial URL skew would swap in the groupBy+join twin with
+    AQE skew handling, same semantics)."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    c = docs.select(
+        "doc_id", _messy_url(F.col("doc_id")).alias("url")
+    ).withColumn("canon_url", urls.canonicalize_url(F.col("url")))
+    w = Window.partitionBy("canon_url")
+    return (
+        c.withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn(
+            "verdict",
+            F.when(F.col("doc_id") == F.col("keeper_id"), "kept").otherwise(
+                "dup_url"
+            ),
+        )
     )
