@@ -137,6 +137,7 @@ HEADLINE = [
     # round-10 additions
     "dd30_containment_capped",
     "dd31_url_canonical_dedup",
+    "t20_quality_classifier_deciles",
 ]
 
 

@@ -427,3 +427,13 @@ def test_dd31_url_dedup_scan_fused_single_keyed_shuffle(spark):
     assert plan.count("Window") == 1
     assert plan.count("Exchange") <= 2
     assert "canon_url" in plan
+
+
+def test_t20_classifier_scoring_is_scan_fused(spark):
+    plan = _plan(_q(spark, "t20_quality_classifier_deciles"))
+    # scoring never explodes or joins: bigrams, hashing, weights, and
+    # the dot product fold inside the scan projection (no Generate);
+    # the only joins are the ntile machinery's broadcasts
+    assert "Generate" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # ntile offsets/stats

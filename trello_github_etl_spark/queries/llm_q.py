@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from trello_github_etl_spark.functions import urls
 from trello_github_etl_spark.io import load_table
-from trello_github_etl_spark.operators import dedup, similarity, textstats
+from trello_github_etl_spark.operators import (
+    classifier,
+    dedup,
+    similarity,
+    textstats,
+)
 from trello_github_etl_spark.operators.gen import exploded
 from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.registry import query
@@ -3387,3 +3392,67 @@ def dd31_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — hashed linear quality-classifier deciles (operators/classifier.py)
+# ---------------------------------------------------------------------------
+# weight of one bigram b: second-level h60 of the bucket's decimal
+# string, centered to [-1024, 1023] — built by nesting the SQL_H60
+# macro so the oracle and operators/classifier.py can never drift on
+# hash width or bucket count
+_SQL_CLF_W = (
+    SQL_H60.format(x=f"CAST({SQL_H60.format(x='b')} % 65536 AS VARCHAR)")
+    + " % 2048 - 1024"
+)
+
+_T20C_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+        list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+          i -> tk[i] || ' ' || tk[i + 1]) AS bgs
+      FROM toks
+    ),
+    feat AS (
+      SELECT doc_id,
+        CAST(len(bgs) AS BIGINT) AS n_feats,
+        CAST(COALESCE(list_aggregate(
+          list_transform(bgs, b -> {_SQL_CLF_W}), 'sum'), 0) AS BIGINT)
+          AS score
+      FROM bg
+    ),
+    scored AS (
+      SELECT doc_id, n_feats, score,
+        CASE WHEN n_feats = 0 THEN 0.0
+             ELSE CAST(score AS DOUBLE) / n_feats END AS avg_score
+      FROM feat
+    )
+    SELECT doc_id, n_feats, score, avg_score,
+      ntile(10) OVER (ORDER BY avg_score, doc_id) AS clf_decile
+    FROM scored
+    """
+
+
+@query("t20_quality_classifier_deciles", oracle=_T20C_ORACLE)
+def t20_quality_classifier_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """fastText-style hashed linear classifier scoring (CCNet/DCLM's
+    quality filter shape, Joulin et al. 2017 + the hashing trick,
+    Weinberger et al. 2009): bucket = h60(bigram) mod 2^16, weight =
+    centered h60 of the bucket (deterministic stand-in for trained
+    weights — colliding bigrams SHARE weights by construction, the
+    property that makes it a hashed linear model), score = exact
+    integer dot product folded scan-side (F.aggregate over the
+    bigram array: ZERO shuffles — no explode, no weights join),
+    decile via the distributed exact ntile (t19's machinery). A
+    trained model swaps bucket_weight for a broadcast (bucket,
+    weight) table join; see operators/classifier.py."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    shared = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk")
+    )
+    return classifier.score_documents(shared)
