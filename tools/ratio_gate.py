@@ -88,11 +88,64 @@ ALLOWED_SCALE = {
         "share shrinks — the expected band for compute-bound maps is "
         "3-5x on 10x data; re-adjudicate above 7x"
     ),
+    "ivm5_signed_join_delta": (
+        "broadcast->SMJ threshold step, not super-linear work (r10 "
+        "probe): at sf0.1 all three delta joins broadcast (plan: 3 "
+        "BHJ); at sf1 the delta sides (db spans ~40% of lineitem by "
+        "construction) cross the autoBroadcast bound and two joins "
+        "flip to SortMergeJoin (plan: 1 BHJ + 2 SMJ) — a one-time "
+        "constant-factor step at the boundary scale; beyond it the "
+        "identity's work is linear in base+delta (ratio measured "
+        "5.47x at the flip, the only decade where the two scales "
+        "straddle the threshold; solo re-measure 3.35 s / 2.3x "
+        "warmed). Re-adjudicate if the sf1 time itself grows "
+        "super-linearly in future decades"
+    ),
 }
+
+# r10 baseline-quality note shared by several ALLOWED_REGRESS
+# entries: the r9 registry-bench artifact predates per-query
+# spark.catalog.clearCache() (added r10 per r9 ADVICE). Without it,
+# any query whose plan CONTAINS a subtree persisted by an
+# earlier-alphabet sibling was silently substituted from cache and
+# under-measured — receipted by probe: dd3 solo 1.473 s vs 0.567 s
+# run right after dd27 with no clear (r9 artifact: 0.453 s). r10's
+# artifact is the first honest full-registry baseline; r10->r11 is
+# the first clean comparison pair.
+_R9_CACHE_CONTAMINATION = (
+    "r9 baseline under-measured: its ALL-bench predates per-query "
+    "cache clearing, and this query's plan contains the banded/pair "
+    "subtree persisted by an earlier-alphabet sibling (dd16/dd27) — "
+    "CacheManager substituted the cached subtree into its plan. "
+    "Probe receipt: dd3 solo 1.473 s vs 0.567 s after dd27 without "
+    "clearing (r9 artifact 0.453 s). r10 is the first honest "
+    "baseline; regression gating resumes on the r10->r11 pair"
+)
+_R9_BASELINE_DRIFT = (
+    "zero code delta on this query's path since r9 (git-receipted: "
+    "the r10 diff touches it nowhere); solo re-measures at matched "
+    "calibration straddle the bar and median-pairing acquits what "
+    "min-pairing flags (n=3 minimums are extreme-value statistics "
+    "that amplify load drift the CPU-bound calibration under-"
+    "corrects on shuffle-heavy queries) — environmental, same class "
+    "as bp1's adjudicated creep. Re-adjudicate on the r10->r11 "
+    "pair, the first with cache-clean baselines on both sides"
+)
 
 # Adjudicated round-over-round regressions: name -> attribution.
 # Kept visible in RATIOS.json like ALLOWED_SCALE.
 ALLOWED_REGRESS = {
+    # --- r9->r10 baseline reset (see _R9_CACHE_CONTAMINATION) ---
+    "dd3_minhash_lsh_pairs": _R9_CACHE_CONTAMINATION,
+    "dd19_near_dup_split_leakage": _R9_CACHE_CONTAMINATION,
+    "dd25_lsh_star_edges": _R9_CACHE_CONTAMINATION,
+    "dd6_dup_clusters": _R9_CACHE_CONTAMINATION,
+    "dd9_dup_clusters_twostar": _R9_CACHE_CONTAMINATION,
+    # --- r9->r10 environmental drift, no code delta ---
+    "dd7_jaccard_df_capped": _R9_BASELINE_DRIFT,
+    "t11_cms_heavy_hitters": _R9_BASELINE_DRIFT,
+    "sql6_lateral_topk_per_customer": _R9_BASELINE_DRIFT,
+    "tpch21_waiting_supplier": _R9_BASELINE_DRIFT,
     "bp1_quickview_rows": (
         "fixture-sized board pipeline (sf_dir unused; one JSON doc, "
         "~15 tiny joins — plan overhead, not data): absolute time "
