@@ -106,3 +106,93 @@ def test_dd31_clusters_and_keepers(spark):
     # the derivation plants real dup clusters: at least one canonical
     # URL must own >1 raw spelling
     assert any(len(m) > 1 for m in by_canon.values())
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine + idempotence property fuzz: random messy URLs through
+# Spark's canonicalize_url AND the dd31 oracle's SQL_URL_CANON_CTES
+# (single-homed in queries/llm_q.py) must agree byte-for-byte, and
+# canonicalization must be a fixpoint. The registered oracle only
+# exercises the derived corpus's URL shapes; this covers the space.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_label = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789", min_size=1, max_size=6)
+_scheme = st.sampled_from(["http", "https", "HTTP", "HtTpS", "Http"])
+_www = st.sampled_from(["", "www.", "WWW.", "wWw."])
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":65000"])
+_key = st.one_of(
+    _label,
+    st.sampled_from(
+        ["utm_source", "utm_campaign", "gclid", "fbclid", "msclkid",
+         "mc_eid", "ref", "href", "prefs", "id"]
+    ),
+)
+_param = st.builds(lambda k, v: f"{k}={v}", _key, _label)
+_urls = st.builds(
+    lambda scheme, www, host, port, segs, slash, params, frag: (
+        f"{scheme}://{www}{host}.com{port}"
+        + "".join(f"/{s}" for s in segs)
+        + slash
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    _scheme,
+    _www,
+    _label,
+    _port,
+    st.lists(_label, max_size=3),
+    st.sampled_from(["", "/", "//"]),
+    st.lists(_param, max_size=4),
+    st.sampled_from(["", "#f", "#sec-2", "#a?b=1"]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(urls=st.lists(_urls, min_size=1, max_size=25))
+def test_canonicalization_cross_engine_and_fixpoint(spark, urls):
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from trello_github_etl_spark.queries.llm_q import SQL_URL_CANON_CTES
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    # fixpoint: canonical form canonicalizes to itself
+    again = {
+        r["doc_id"]: r["c2"]
+        for r in spark.createDataFrame(
+            [(k, v) for k, v in got.items()], "doc_id long, url string"
+        )
+        .select("doc_id", canonicalize_url(F.col("url")).alias("c2"))
+        .collect()
+    }
+    assert again == got
+    # cross-engine: the oracle's SQL replays the same six rules
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in urls)
+        + ") v(doc_id, url)",
+        [x for i, u in enumerate(urls) for x in (i, u)],
+    )
+    want = dict(
+        con.sql(
+            f"WITH {SQL_URL_CANON_CTES} SELECT doc_id, canon_url FROM c"
+        ).fetchall()
+    )
+    assert got == want, {
+        k: (got[k], want.get(k)) for k in got if got[k] != want.get(k)
+    }

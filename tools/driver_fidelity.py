@@ -44,6 +44,9 @@ DEFAULT_SAMPLE = [
     "samp7_dsir_importance",  # sorted-fold double determinism (r5)
     "dd24_semantic_dedup_auto",  # count→√N seeds→broadcast cents (r7)
     "dd25_lsh_star_edges",  # band-hub star relation (r7)
+    "t19_unigram_surprisal_buckets",  # raise_error guard + DIV + ntile (r10)
+    "dd31_url_canonical_dedup",  # regex/HOF canonicalization + DIV (r10)
+    "t20_quality_classifier_deciles",  # nested-hash HOF fold (r10)
 ]
 
 

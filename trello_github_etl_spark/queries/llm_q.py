@@ -3300,12 +3300,12 @@ def _messy_url(d: F.Column) -> F.Column:
     return F.concat(scheme, F.lit("://"), www, host, port, path, q, frag)
 
 
-@query(
-    "dd31_url_canonical_dedup",
-    oracle=f"""
-    WITH u AS (
-      SELECT doc_id, {SQL_MESSY_URL} AS url FROM documents
-    ),
+# The six canonicalization rules as DuckDB CTEs over a prior CTE
+# ``u(doc_id, url)`` — single-homed so the dd31 oracle and the
+# cross-engine property test (tests/test_urls.py) replay the SAME
+# SQL and can never drift from each other (only from
+# functions/urls.py, which is exactly what both exist to check).
+SQL_URL_CANON_CTES = """
     c1 AS (
       SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u
     ),
@@ -3356,6 +3356,16 @@ def _messy_url(d: F.Column) -> F.Column:
              ELSE '?' || array_to_string(params, '&') END AS canon_url
       FROM c6
     )
+    """
+
+
+@query(
+    "dd31_url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {SQL_MESSY_URL} AS url FROM documents
+    ),
+    {SQL_URL_CANON_CTES}
     SELECT doc_id, url, canon_url,
            MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
            CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
