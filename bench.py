@@ -321,8 +321,12 @@ def main() -> None:
     }
     if errors:
         # count only on the compact stdout line (driver tail-captures
-        # it; full messages live in the sibling artifacts/stderr)
+        # it; full messages live in the sibling artifacts/stderr).
+        # partial=true marks that `value` sums only the SURVIVING
+        # queries — without it, a run where a heavy query failed
+        # would read as a round-over-round speedup (post-r10 review).
         line["error_count"] = len(errors)
+        line["partial"] = True
     print(json.dumps(line))
 
 

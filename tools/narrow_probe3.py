@@ -117,8 +117,15 @@ def main() -> int:
     ).select(
         "doc_id", "n_tokens", "pos", _token_hash60(F.col("g")).alias("h")
     )
+    # aggregate over h, NOT count(*): Count(1) references no columns,
+    # so column pruning would drop the md5/conv hash projection and
+    # this stage would silently omit the per-ngram hash work it
+    # exists to measure (post-r10 code review). decimal(38,0) — a
+    # bigint sum of 60-bit hashes overflows (the xxhash64 lesson).
     out["dd21"]["positions"] = _timed(
-        positions.groupBy().agg(F.count("*").alias("n"))
+        positions.groupBy().agg(
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("n")
+        )
     )
     grouped = (
         positions.groupBy("h")

@@ -225,6 +225,18 @@ def main() -> int:
     bench1 = try_load(args.bench_sf1) or {}
     prior_bench = try_load(args.prior_bench) or {}
 
+    # A bench artifact written by a PARTIAL run (bench.py's per-query
+    # error tolerance, r10) records its failures — surface them
+    # loudly: every missing query silently falls back to the noisy
+    # sweep timing source (2.0x bar instead of 1.3x), which must be
+    # a visible degradation, not a quiet one (post-r10 review).
+    for label, b in (("bench_sf01", bench01), ("bench_sf1", bench1),
+                     ("prior_bench", prior_bench)):
+        errs = b.get("errors") or {}
+        if errs:
+            print(f"WARNING: {label} is PARTIAL — {len(errs)} failed "
+                  f"queries fall back to sweep timings: {sorted(errs)}")
+
     def bench_median(b, q):
         return (b.get("queries") or {}).get(q)
 

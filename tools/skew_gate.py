@@ -195,7 +195,15 @@ def main() -> int:
     # fingerprints / shingles whose document frequency exceeds the
     # registered caps — >0 hot keys means the cap provably dropped
     # candidate generation, regardless of what survived downstream.
-    rc = _cap_engagement_receipts()
+    # diagnostic voice on ANY failure (r8 advice, kept through the
+    # r10 receipt rewrite): a missing fixture table or an in-process
+    # Spark error must fail as a gate message, not a raw traceback
+    try:
+        rc = _cap_engagement_receipts()
+    except Exception as exc:  # noqa: BLE001
+        print(f"SKEW GATE FAILED: cap-engagement receipts errored — "
+              f"{type(exc).__name__}: {exc}")
+        return 1
     if rc != 0:
         return rc
 

@@ -15,7 +15,9 @@ in order (the standard safe subset of RFC 3986 §6 normalization +
 tracking-param removal as practiced by crawl dedup):
 
 1. strip the fragment (``#...`` never reaches the server);
-2. lowercase the scheme and the host (case-insensitive per RFC);
+2. lowercase the scheme and the host (case-insensitive per RFC;
+   userinfo, when present, is case-SENSITIVE and passes through
+   verbatim — §6.2.2.1 normalizes only scheme and host);
 3. strip a leading ``www.`` label (the provenance-dedup convention:
    origin sites overwhelmingly serve both; keep it if your corpus
    distinguishes them);
@@ -57,8 +59,18 @@ def canonicalize_url(url: Column) -> Column:
     no_frag = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
     rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
-    authority = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    authority_raw = F.regexp_extract(rest, "^([^/?]*)", 1)
     path_query = F.regexp_replace(rest, "^[^/?]*", "")
+
+    # userinfo is CASE-SENSITIVE per RFC 3986 §6.2.2.1 (only scheme
+    # and host case-normalize) — split it off verbatim before
+    # lowercasing, keyed on the LAST '@' (host can't contain one).
+    # `userinfo` captures through the '@' so an explicit-empty
+    # userinfo ('http://@x.com') survives distinct from no-userinfo
+    # (post-r10 review: lowercasing the whole authority falsely
+    # merged distinct-user URLs and www-stripped usernames).
+    userinfo = F.regexp_extract(authority_raw, "^(.*@)", 1)
+    authority = F.lower(F.regexp_replace(authority_raw, "^.*@", ""))
 
     port = F.regexp_extract(authority, ":([0-9]+)$", 1)
     host = F.regexp_replace(
@@ -92,5 +104,11 @@ def canonicalize_url(url: Column) -> Column:
     )
 
     return F.concat(
-        scheme, F.lit("://"), host, canon_port, canon_path, canon_query
+        scheme,
+        F.lit("://"),
+        userinfo,
+        host,
+        canon_port,
+        canon_path,
+        canon_query,
     )

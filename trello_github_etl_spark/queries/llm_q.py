@@ -3264,7 +3264,11 @@ def _messy_url(d: F.Column) -> F.Column:
     def cs(x: F.Column) -> F.Column:
         return x.cast("string")
 
-    e = F.expr("doc_id DIV 3")
+    # derive e from the PASSED column, not a hardcoded name (post-r10
+    # review: F.expr("doc_id DIV 3") would silently mix columns for
+    # any caller passing a renamed id). (d - d%3)/3 is exact in
+    # double for any non-negative id below 2^52.
+    e = ((d - (d % 3)) / F.lit(3)).cast("long")
     idp = cs(e % 100)
     scheme = (
         F.when(d % 3 == 0, F.lit("http"))
@@ -3317,18 +3321,24 @@ SQL_URL_CANON_CTES = """
     ),
     c3 AS (
       SELECT doc_id, url, scheme,
-        lower(regexp_extract(rest, '^([^/?]*)', 1)) AS authority,
+        regexp_extract(rest, '^([^/?]*)', 1) AS authority_raw,
         regexp_replace(rest, '^[^/?]*', '') AS path_query
       FROM c2
     ),
-    c4 AS (
+    c3b AS (
       SELECT doc_id, url, scheme, path_query,
-        regexp_extract(authority, ':([0-9]+)$', 1) AS port,
-        regexp_replace(regexp_replace(authority, ':[0-9]+$', ''), '^www\\.', '') AS host
+        regexp_extract(authority_raw, '^(.*@)', 1) AS userinfo,
+        lower(regexp_replace(authority_raw, '^.*@', '')) AS authority
       FROM c3
     ),
+    c4 AS (
+      SELECT doc_id, url, scheme, path_query, userinfo,
+        regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+        regexp_replace(regexp_replace(authority, ':[0-9]+$', ''), '^www\\.', '') AS host
+      FROM c3b
+    ),
     c5 AS (
-      SELECT doc_id, url, scheme, host,
+      SELECT doc_id, url, scheme, userinfo, host,
         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                   OR (scheme = 'https' AND port = '443')
              THEN '' ELSE ':' || port END AS canon_port,
@@ -3337,7 +3347,7 @@ SQL_URL_CANON_CTES = """
       FROM c4
     ),
     c6 AS (
-      SELECT doc_id, url, scheme, host, canon_port,
+      SELECT doc_id, url, scheme, userinfo, host, canon_port,
         CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
              ELSE regexp_replace(raw_path, '/+$', '') END AS canon_path,
         list_sort(list_filter(
@@ -3351,7 +3361,7 @@ SQL_URL_CANON_CTES = """
     ),
     c AS (
       SELECT doc_id, url,
-        scheme || '://' || host || canon_port || canon_path ||
+        scheme || '://' || userinfo || host || canon_port || canon_path ||
         CASE WHEN len(params) = 0 THEN ''
              ELSE '?' || array_to_string(params, '&') END AS canon_url
       FROM c6
