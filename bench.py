@@ -138,6 +138,7 @@ HEADLINE = [
     "dd30_containment_capped",
     "dd31_url_canonical_dedup",
     "t20_quality_classifier_deciles",
+    "pipe11_filter_stack",
 ]
 
 

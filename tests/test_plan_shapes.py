@@ -437,3 +437,20 @@ def test_t20_classifier_scoring_is_scan_fused(spark):
     assert "Generate" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan  # ntile offsets/stats
+
+
+def test_pipe11_stack_composes_without_blowup(spark):
+    plan = _plan(_q(spark, "pipe11_filter_stack"))
+    # three subplans joined 1:1:1 on doc_id — no cartesian products;
+    # the only nested-loop joins are the ntile machinery's 1-row
+    # broadcast stats denominators (BuildRight Cross — the
+    # adjudicated crossJoin(broadcast(1-row)) pattern), and every
+    # row_number window spec carries its value bucket
+    assert "CartesianProduct" not in plan
+    import re
+
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln and "Cross" in ln
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^,]*),", plan):
+        assert "_bkt" in m.group(1)

@@ -2795,8 +2795,10 @@ _SQL_REQ_STOPS = "[" + ", ".join(
     f"'{s}'" for s in _qr.REQUIRED_STOPWORDS
 ) + "]"
 
-_T17_ORACLE = f"""
-    WITH aug AS ({_SQL_QUALITY_AUG}),
+# The Gopher rule CTEs + final flag SELECT over a prior CTE
+# ``aug(doc_id, text)`` — single-homed so t17's oracle (augmented
+# corpus) and pipe11's (plain documents) splice the SAME thresholds
+_T17_RULES_SQL = f"""
     toks AS (
       SELECT doc_id, text, {SQL_TOKENS.format(t='text')} AS tk,
              string_split(text, chr(10)) AS lns
@@ -2847,6 +2849,11 @@ _T17_ORACLE = f"""
     FROM parts
 """
 
+_T17_ORACLE = f"""
+    WITH aug AS ({_SQL_QUALITY_AUG}),
+    {_T17_RULES_SQL}
+"""
+
 
 @query("t17_gopher_quality_rules", oracle=_T17_ORACLE)
 def t17_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2858,8 +2865,14 @@ def t17_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunction ``keep``. Pure codegen map stage — no UDF, no
     shuffle; at 100 TB this fuses into the scan. Every ratio is a
     single int/int->double division (IEEE-exact both engines)."""
-    aug = _quality_aug(spark, sf_dir)
-    shared = aug.select(
+    return _gopher_flags(_quality_aug(spark, sf_dir))
+
+
+def _gopher_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, r_*, keep) over ``docs(doc_id, text)`` —
+    t17's core, factored so pipe11 can run the SAME rule trees over
+    the plain corpus (the oracle twin is _T17_RULES_SQL)."""
+    shared = docs.select(
         "doc_id", "text", textstats.tokens(F.col("text")).alias("_tk")
     )
     rules = _qr.gopher_rules(F.col("_tk"), F.col("text"))
@@ -3476,3 +3489,82 @@ def t20_quality_classifier_deciles(
         "doc_id", textstats.tokens(F.col("text")).alias("_tk")
     )
     return classifier.score_documents(shared)
+
+
+# ---------------------------------------------------------------------------
+# pipe11 — the composed modern pre-training filter stack
+# ---------------------------------------------------------------------------
+@query(
+    "pipe11_filter_stack",
+    oracle=f"""
+    WITH g AS (
+      WITH aug AS ({_SQL_QUALITY_AUG}),
+      {_T17_RULES_SQL}
+    ),
+    u AS (
+      SELECT doc_id, {SQL_MESSY_URL} AS url FROM documents
+    ),
+    {SQL_URL_CANON_CTES},
+    k AS (
+      SELECT doc_id, canon_url,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+                  THEN 'kept' ELSE 'dup_url' END AS verdict
+      FROM c
+    ),
+    s AS ({_T20C_ORACLE})
+    SELECT g.doc_id, k.canon_url, s.clf_decile
+    FROM g JOIN k USING (doc_id) JOIN s USING (doc_id)
+    WHERE g.r_word_count AND g.r_mean_len AND g.r_symbol
+      AND g.r_bullet AND g.r_ellipsis AND g.r_alpha
+      AND k.verdict = 'kept' AND s.clf_decile >= 4
+    """,
+)
+def pipe11_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern pre-training filter stack as ONE composed plan —
+    what a user actually runs over a crawl: Gopher rule conjunction
+    (t17's rule trees, here over the plain corpus) AND provenance
+    keeper (dd31's URL canonicalization) AND classifier quality
+    floor (t20's hashed linear deciles, bottom 30% dropped). Built
+    by COMPOSING the registered operators — each stage's oracle
+    fragment is single-homed (_T17_RULES_SQL / SQL_URL_CANON_CTES /
+    _T20C_ORACLE), so this query's oracle is the same SQL the
+    individual gates replay. Plan shape: three independent subplans
+    over the documents scan (rules: zero-shuffle codegen map;
+    URL keeper: one keyed window shuffle; deciles: scoring fused +
+    the two-phase ntile) joined 1:1:1 on doc_id — at 100 TB each
+    stage keeps its own scale story and the joins are plain hash
+    equi-joins on the id.
+
+    The rule stage runs over t17's quality-augmented text (same
+    doc_ids; planted bullet/ellipsis/symbol violations per residue
+    class) and applies every Gopher rule EXCEPT r_stop: the
+    synthetic corpus is stopword-light word salad, so the
+    required-stopword register test — which exists to reject
+    non-prose on real crawls — would reject every document and
+    make the composition vacuous. A real English crawl includes
+    it (t17 carries the full conjunction)."""
+    _PIPE11_RULES = [c for c in _qr.RULE_COLS if c != "r_stop"]
+    g = _gopher_flags(_quality_aug(spark, sf_dir)).select(
+        "doc_id", *_PIPE11_RULES
+    )
+    k = dd31_url_canonical_dedup(spark, sf_dir).select(
+        "doc_id", "canon_url", "verdict"
+    )
+    s = t20_quality_classifier_deciles(spark, sf_dir).select(
+        "doc_id", "clf_decile"
+    )
+    rules_pass = None
+    for c in _PIPE11_RULES:
+        rules_pass = (
+            F.col(c) if rules_pass is None else rules_pass & F.col(c)
+        )
+    return (
+        g.join(k, "doc_id")
+        .join(s, "doc_id")
+        .filter(
+            rules_pass
+            & (F.col("verdict") == "kept")
+            & (F.col("clf_decile") >= 4)
+        )
+        .select("doc_id", "canon_url", "clf_decile")
+    )
