@@ -198,6 +198,32 @@ def try_load(path):
     return load(p) if os.path.exists(p) else None
 
 
+def _load_pool(paths: str) -> dict:
+    """Load one bench artifact, or POOL several (comma-separated):
+    per-query minimum of the spread minimums and minimum of the run
+    medians. Pooling same-code runs is the machine-best estimator —
+    lesson 44's same-code repeat differed up to 4.7x per query, so a
+    single-run regression baseline flags environment, not plans."""
+    arts = [a for a in (try_load(p.strip()) for p in paths.split(","))
+            if a]
+    if not arts:
+        return {}
+    if len(arts) == 1:
+        return arts[0]
+    pooled = {"queries": {}, "spread": {}, "pooled_from": len(arts)}
+    names = set().union(*((a.get("queries") or {}) for a in arts))
+    for q in names:
+        meds = [a["queries"][q] for a in arts
+                if q in (a.get("queries") or {})]
+        mins = [a["spread"][q][0] for a in arts
+                if q in (a.get("spread") or {})]
+        if meds:
+            pooled["queries"][q] = min(meds)
+        if mins:
+            pooled["spread"][q] = [min(mins), None, None]
+    return pooled
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cur-sf01", default="CORRECTNESS_local_r09_sf01.json",
@@ -212,7 +238,12 @@ def main() -> int:
                     help="prior round's sf0.1 sweep (regression fallback)")
     ap.add_argument("--prior-bench", default="BENCH_spread.json",
                     help="prior round's sf0.1 bench (regression base; "
-                         "spread min-times when no prior registry bench)")
+                         "spread min-times when no prior registry bench). "
+                         "Accepts a comma-separated POOL of bench files: "
+                         "per-query minimum across the pool — the "
+                         "machine-best estimator lesson 44 calls for "
+                         "(same-code repeat runs differ up to 4.7x per "
+                         "query, so a single-run baseline flags noise)")
     ap.add_argument("--out", default="RATIOS.json")
     ap.add_argument("--report-only", action="store_true",
                     help="always exit 0 (for exploratory runs)")
@@ -223,7 +254,7 @@ def main() -> int:
     prior = load(os.path.join(ROOT, args.prior))
     bench01 = try_load(args.bench_sf01) or {}
     bench1 = try_load(args.bench_sf1) or {}
-    prior_bench = try_load(args.prior_bench) or {}
+    prior_bench = _load_pool(args.prior_bench)
 
     # A bench artifact written by a PARTIAL run (bench.py's per-query
     # error tolerance, r10) records its failures — surface them
