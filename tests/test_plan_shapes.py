@@ -386,6 +386,17 @@ def test_t19_surprisal_broadcasts_vocab_no_global_window(spark):
         assert "_bkt" in m.group(1)
 
 
+def test_t16_vocab_topk_is_distributed_no_global_window(spark):
+    plan = _plan(_q(spark, "t16_vocab_coverage"))
+    # the top-K vocab selection must plan as TakeOrderedAndProject
+    # (each partition keeps K rows, driver merges P*K) — NOT a
+    # SinglePartition row_number window over the Heaps-law-unbounded
+    # distinct-token domain (VERDICT r10 finding #1)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_dd28_span_dedup_no_window_no_cartesian(spark):
     plan = _plan(_q(spark, "dd28_span_dedup"))
     assert "Window" not in plan  # rebuild is collect+array_sort, not a window

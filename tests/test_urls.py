@@ -37,13 +37,16 @@ GOLDEN = [
         "http://example.com/a?a=1&b=2",
     ),
     (
-        "http://example.com/a?gclid=g123&fbclid=f&msclkid=m&mc_eid=e&ref=r",
+        "http://example.com/a?gclid=g123&fbclid=f&msclkid=m&mc_eid=e",
         "http://example.com/a",
     ),
-    # anchored key match: href/prefs are NOT tracking params
+    # anchored key match: href/prefs are NOT tracking params; bare
+    # ref is semantic (GitHub ?ref=<branch>) and KEPT by default
+    # (r10 advice — corpora where it's a referrer tag pass a custom
+    # tracking_param_re)
     (
-        "http://example.com/a?href=x&prefs=y",
-        "http://example.com/a?href=x&prefs=y",
+        "http://example.com/a?href=x&prefs=y&ref=main",
+        "http://example.com/a?href=x&prefs=y&ref=main",
     ),
     # empty query / dangling '?' collapse
     ("http://example.com/a?", "http://example.com/a"),
@@ -87,6 +90,21 @@ def test_canonicalization_is_idempotent_on_goldens(spark):
     )
     for r in rows:
         assert r["again"] == r["canon"]
+
+
+def test_custom_tracking_param_re(spark):
+    # corpora where `ref` IS a referrer tag opt in via the parameter
+    # (the default keeps it — GitHub's ?ref=<branch> is semantic)
+    df = spark.createDataFrame(
+        [("http://example.com/a?ref=r&id=1",)], "raw string"
+    )
+    custom = r"^(utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_eid|ref)="
+    row = df.select(
+        canonicalize_url(F.col("raw")).alias("default"),
+        canonicalize_url(F.col("raw"), custom).alias("custom"),
+    ).collect()[0]
+    assert row["default"] == "http://example.com/a?id=1&ref=r"
+    assert row["custom"] == "http://example.com/a?id=1"
 
 
 def test_dd31_clusters_and_keepers(spark):

@@ -24,7 +24,10 @@ tracking-param removal as practiced by crawl dedup):
 4. drop the default port (``:80`` for http, ``:443`` for https);
    non-default ports survive;
 5. drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
-   ``msclkid``, ``mc_eid``, ``ref``) and SORT the survivors —
+   ``msclkid``, ``mc_eid``; the pattern is a parameter — bare
+   ``ref`` is deliberately NOT in the default because it is
+   semantic on GitHub and many real sites) and SORT the
+   survivors —
    param order is almost never semantic, and sorting makes
    ``?a=1&b=2`` == ``?b=2&a=1``;
 6. strip trailing slashes from the path; an empty path becomes
@@ -40,21 +43,30 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tracking params dropped by rule 5. Anchored key match — `ref=x` is
-# dropped, `href=x` / `prefs=x` are kept.
-TRACKING_PARAM_RE = r"^(utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_eid|ref)="
+# Tracking params dropped by rule 5. Anchored key match — `utm_x=1`
+# is dropped, `href=x` / `prefs=x` are kept. Bare `ref` is NOT in
+# the default list (r10 advice): it is semantic on many real sites —
+# notably GitHub's `?ref=<branch>`, squarely in this ETL's domain —
+# so dropping it would merge genuinely distinct pages. Corpora where
+# `ref` really is a referrer tag pass a custom pattern via the
+# ``tracking_param_re`` parameter.
+TRACKING_PARAM_RE = r"^(utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_eid)="
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
 
-def canonicalize_url(url: Column) -> Column:
+def canonicalize_url(
+    url: Column, tracking_param_re: str = TRACKING_PARAM_RE
+) -> Column:
     """Canonical form of an absolute http(s) URL (see module doc).
 
     Pure built-in Column expression: safe in the hot path of a
     100 TB scan. Input must carry an explicit ``scheme://``;
     anything else passes through rules it can't parse unchanged
     (regexp_extract returns '' on no-match, and the reassembly
-    degrades to lowercased-trimmed parts).
+    degrades to lowercased-trimmed parts). ``tracking_param_re``
+    overrides the dropped-param pattern for corpora whose tracking
+    vocabulary differs (must stay anchored with ``^(...)=``).
     """
     no_frag = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
@@ -96,7 +108,7 @@ def canonicalize_url(url: Column) -> Column:
     params = F.array_sort(
         F.filter(
             F.split(body, "&"),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            lambda p: (p != "") & ~p.rlike(tracking_param_re),
         )
     )
     canon_query = F.when(F.size(params) == 0, F.lit("")).otherwise(

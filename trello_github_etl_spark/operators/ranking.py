@@ -98,12 +98,19 @@ def with_global_rank(
     # otherwise() branch only evaluates on bad keys (CASE is lazy),
     # so the hot path stays pure codegen arithmetic.
     key_d = key.cast("double")
+    # +/-Infinity must trip the guard too (r10 advice): an infinite
+    # key makes span NaN (inf - inf) or infinite, silently
+    # misbucketing every row — the exact bucket-monotone break the
+    # NULL/NaN guard exists to prevent.
     key_ok = F.when(
-        key_d.isNotNull() & ~F.isnan(key_d), key_d
+        key_d.isNotNull()
+        & ~F.isnan(key_d)
+        & (F.abs(key_d) != F.lit(float("inf"))),
+        key_d,
     ).otherwise(
         F.raise_error(
             F.lit(
-                f"with_global_rank: NULL/NaN in key column {key_col!r} — "
+                f"with_global_rank: NULL/NaN/Inf in key column {key_col!r} — "
                 "value-bucket ranking requires finite non-null keys; "
                 "pre-filter or route them explicitly"
             )

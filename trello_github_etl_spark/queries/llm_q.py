@@ -2513,15 +2513,19 @@ def t16_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE explode of the corpus into (source, token)
     counts — every later frame derives from that aggregate, never
-    from the raw corpus. Token totals re-aggregate the counts frame
-    (vocab-domain-sized input), the top-K rank runs on the
-    vocab-sized totals frame (a SinglePartition sort of KBs — the
-    ONLY place a global sort is acceptable, cf. SCALE.md lesson 19),
-    and the K-row vocab broadcasts back onto the counts frame. At
+    from the raw corpus. Token totals re-aggregate the counts frame,
+    and the top-K vocab is `orderBy(...).limit(K)`, which Catalyst
+    plans as TakeOrderedAndProject: each partition retains only its
+    local top K rows and the driver merges P*K rows — NOT a
+    SinglePartition window. This matters because the distinct-token
+    domain is Heaps-law unbounded (O(1e8–1e9) tokens on a 100 TB
+    crawl), so an unpartitioned `row_number` over it would funnel
+    tens of GB through one task (VERDICT r10 finding #1). The
+    total order (tc DESC, tok ASC) is unique, so limit(K) selects
+    exactly the rows the old rank <= K did — hash-identical output.
+    The K-row vocab broadcasts back onto the counts frame. At
     100 TB the corpus-proportional work is exactly the one
     (source, token) map-side-combined shuffle."""
-    from pyspark.sql.window import Window
-
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     inst = exploded(
         docs.select("source", textstats.tokens(F.col("text")).alias("tk")),
@@ -2531,10 +2535,9 @@ def t16_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = inst.groupBy("source", "tok").agg(F.count("*").alias("c"))
     tot = counts.groupBy("tok").agg(F.sum("c").alias("tc"))
-    w = Window.orderBy(F.col("tc").desc(), F.col("tok").asc())
     vocab = (
-        tot.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= T16_VOCAB_K)
+        tot.orderBy(F.col("tc").desc(), F.col("tok").asc())
+        .limit(T16_VOCAB_K)
         .select("tok", F.lit(1).alias("_v"))
     )
     cov = F.sum(
@@ -3083,7 +3086,7 @@ from trello_github_etl_spark.operators.span_dedup import (  # noqa: E402
 # bigint (tile_idx < 2^20 everywhere the oracle runs — docs cap out
 # at ~70 tiles here); the Spark side elects min(struct(doc_id,
 # tile_idx)) — identical lexicographic order under that bound
-_T20_ORACLE = (
+_DD28_ORACLE = (
     """
     WITH toks AS (
       SELECT doc_id, """
@@ -3124,7 +3127,7 @@ _T20_ORACLE = (
 )
 
 
-@query("dd28_span_dedup", oracle=_T20_ORACLE)
+@query("dd28_span_dedup", oracle=_DD28_ORACLE)
 def dd28_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-wide duplicate-SPAN removal (Raffel et al.
     2020 §2.2): the dedup granularity between exact-doc (dd1) and
@@ -3368,7 +3371,7 @@ SQL_URL_CANON_CTES = """
             CASE WHEN raw_query = '' THEN '' ELSE substr(raw_query, 2) END,
             '&'),
           p -> p <> '' AND NOT regexp_matches(
-            p, '^(utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_eid|ref)=')
+            p, '^(utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_eid)=')
         )) AS params
       FROM c5
     ),
