@@ -272,12 +272,18 @@ def main() -> None:
     # the read-only-checkout except (r5 code review)
     sf_token = sf if sf.replace(".", "", 1).isdigit() else "custom"
     if names_env == "ALL":
-        # full-registry medians: ratio_gate's scale/regression input
+        # full-registry medians: ratio_gate's scale/regression input.
+        # SPARK_GRAFT_BENCH_OUT names the artifact for REPEAT runs
+        # (ratio_gate pools same-code runs on both sides — r11), so
+        # run2 never clobbers run1.
         try:
             with open(
                 os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
-                    f"BENCH_registry_sf{sf_token}.json",
+                    os.environ.get(
+                        "SPARK_GRAFT_BENCH_OUT",
+                        f"BENCH_registry_sf{sf_token}.json",
+                    ),
                 ),
                 "w",
             ) as fh:

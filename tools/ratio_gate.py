@@ -103,49 +103,19 @@ ALLOWED_SCALE = {
     ),
 }
 
-# r10 baseline-quality note shared by several ALLOWED_REGRESS
-# entries: the r9 registry-bench artifact predates per-query
-# spark.catalog.clearCache() (added r10 per r9 ADVICE). Without it,
-# any query whose plan CONTAINS a subtree persisted by an
-# earlier-alphabet sibling was silently substituted from cache and
-# under-measured — receipted by probe: dd3 solo 1.473 s vs 0.567 s
-# run right after dd27 with no clear (r9 artifact: 0.453 s). r10's
-# artifact is the first honest full-registry baseline; r10->r11 is
-# the first clean comparison pair.
-_R9_CACHE_CONTAMINATION = (
-    "r9 baseline under-measured: its ALL-bench predates per-query "
-    "cache clearing, and this query's plan contains the banded/pair "
-    "subtree persisted by an earlier-alphabet sibling (dd16/dd27) — "
-    "CacheManager substituted the cached subtree into its plan. "
-    "Probe receipt: dd3 solo 1.473 s vs 0.567 s after dd27 without "
-    "clearing (r9 artifact 0.453 s). r10 is the first honest "
-    "baseline; regression gating resumes on the r10->r11 pair"
-)
-_R9_BASELINE_DRIFT = (
-    "zero code delta on this query's path since r9 (git-receipted: "
-    "the r10 diff touches it nowhere); solo re-measures at matched "
-    "calibration straddle the bar and median-pairing acquits what "
-    "min-pairing flags (n=3 minimums are extreme-value statistics "
-    "that amplify load drift the CPU-bound calibration under-"
-    "corrects on shuffle-heavy queries) — environmental, same class "
-    "as bp1's adjudicated creep. Re-adjudicate on the r10->r11 "
-    "pair, the first with cache-clean baselines on both sides"
-)
-
-# Adjudicated round-over-round regressions: name -> attribution.
+# Adjudicated round-over-round regressions: name -> attribution, as
+# either a plain string (STANDING acquittal — environmental classes
+# that recur by nature) or a ("substring", reason) tuple SCOPED to a
+# specific baseline: the acquittal applies only while "substring"
+# appears in the --prior-bench argument, so the gate re-arms
+# automatically when the baseline rolls forward (r10 ADVICE: the
+# nine r9->r10 cache-contamination/drift entries were unscoped and
+# would have acquitted genuine future regressions forever; they are
+# GONE now that the r10 baseline is the prior, exactly as their own
+# rationale promised — any one-round acquittal added in the future
+# MUST use the scoped form).
 # Kept visible in RATIOS.json like ALLOWED_SCALE.
 ALLOWED_REGRESS = {
-    # --- r9->r10 baseline reset (see _R9_CACHE_CONTAMINATION) ---
-    "dd3_minhash_lsh_pairs": _R9_CACHE_CONTAMINATION,
-    "dd19_near_dup_split_leakage": _R9_CACHE_CONTAMINATION,
-    "dd25_lsh_star_edges": _R9_CACHE_CONTAMINATION,
-    "dd6_dup_clusters": _R9_CACHE_CONTAMINATION,
-    "dd9_dup_clusters_twostar": _R9_CACHE_CONTAMINATION,
-    # --- r9->r10 environmental drift, no code delta ---
-    "dd7_jaccard_df_capped": _R9_BASELINE_DRIFT,
-    "t11_cms_heavy_hitters": _R9_BASELINE_DRIFT,
-    "sql6_lateral_topk_per_customer": _R9_BASELINE_DRIFT,
-    "tpch21_waiting_supplier": _R9_BASELINE_DRIFT,
     "bp1_quickview_rows": (
         "fixture-sized board pipeline (sf_dir unused; one JSON doc, "
         "~15 tiny joins — plan overhead, not data): absolute time "
@@ -156,6 +126,18 @@ ALLOWED_REGRESS = {
         "relevance; re-adjudicate if it crosses 2.5 s"
     ),
 }
+
+
+def _allowed_regress_reason(q: str, prior_bench_arg: str):
+    """Resolve an ALLOWED_REGRESS entry, honoring baseline scoping:
+    tuple entries acquit only against the baseline they name."""
+    entry = ALLOWED_REGRESS.get(q)
+    if entry is None:
+        return None
+    if isinstance(entry, tuple):
+        scope, reason = entry
+        return reason if scope in prior_bench_arg else None
+    return entry
 
 # Declared work models: how much the query's WORK grows when the
 # data grows 10x (sf0.1 -> sf1). The flag threshold becomes
@@ -203,9 +185,23 @@ def _load_pool(paths: str) -> dict:
     per-query minimum of the spread minimums and minimum of the run
     medians. Pooling same-code runs is the machine-best estimator —
     lesson 44's same-code repeat differed up to 4.7x per query, so a
-    single-run regression baseline flags environment, not plans."""
-    arts = [a for a in (try_load(p.strip()) for p in paths.split(","))
-            if a]
+    single-run regression baseline flags environment, not plans.
+
+    A pool path that fails to load shrinks the pool, and a pooled
+    artifact's failed queries shrink bench coverage — both must be
+    LOUD (r10 ADVICE): unreadable paths print a warning, and the
+    pooled dict unions the members' ``errors`` so the caller's
+    PARTIAL-baseline warning fires for pools too. A query is only an
+    error in the pooled view if it failed in EVERY member (any
+    successful run gives it an honest baseline time)."""
+    arts = []
+    for p in (s.strip() for s in paths.split(",")):
+        a = try_load(p)
+        if a:
+            arts.append(a)
+        else:
+            print(f"WARNING: prior-bench pool path {p!r} failed to "
+                  "load — pooling over the remaining artifacts only")
     if not arts:
         return {}
     if len(arts) == 1:
@@ -221,6 +217,14 @@ def _load_pool(paths: str) -> dict:
             pooled["queries"][q] = min(meds)
         if mins:
             pooled["spread"][q] = [min(mins), None, None]
+    all_errs = [a.get("errors") or {} for a in arts]
+    err_union: dict = {}
+    for errs in all_errs:
+        for q, msg in errs.items():
+            if q not in pooled["queries"]:
+                err_union[q] = msg
+    if err_union:
+        pooled["errors"] = err_union
     return pooled
 
 
@@ -231,9 +235,17 @@ def main() -> int:
     ap.add_argument("--cur-sf1", default="CORRECTNESS_sf1.json",
                     help="current round's sf1 sweep (fallback timings)")
     ap.add_argument("--bench-sf01", default="BENCH_registry_sf0.1.json",
-                    help="full-registry bench at sf0.1 (preferred)")
+                    help="full-registry bench at sf0.1 (preferred). "
+                         "Accepts a comma-separated POOL like "
+                         "--prior-bench: min-pairing a SINGLE current "
+                         "run against a min-POOLED prior is an "
+                         "extreme-value mismatch (the prior min only "
+                         "drops as the pool grows) that manufactures "
+                         "~1.3-1.5x phantom regressions on same-code "
+                         "repeats — pool both sides with the same n")
     ap.add_argument("--bench-sf1", default="BENCH_registry_sf1.json",
-                    help="full-registry bench at sf1 (preferred)")
+                    help="full-registry bench at sf1 (preferred); "
+                         "accepts a comma-separated pool")
     ap.add_argument("--prior", default="CORRECTNESS_local_r08_sf01.json",
                     help="prior round's sf0.1 sweep (regression fallback)")
     ap.add_argument("--prior-bench", default="BENCH_spread.json",
@@ -252,8 +264,8 @@ def main() -> int:
     cur01 = load(os.path.join(ROOT, args.cur_sf01))
     cur1 = load(os.path.join(ROOT, args.cur_sf1))
     prior = load(os.path.join(ROOT, args.prior))
-    bench01 = try_load(args.bench_sf01) or {}
-    bench1 = try_load(args.bench_sf1) or {}
+    bench01 = _load_pool(args.bench_sf01)
+    bench1 = _load_pool(args.bench_sf1)
     prior_bench = _load_pool(args.prior_bench)
 
     # A bench artifact written by a PARTIAL run (bench.py's per-query
@@ -344,8 +356,9 @@ def main() -> int:
             rec["regress_source"] = rsrc
             bar = REGRESS_FLAG_BY_SOURCE.get(rsrc, 1.3)
             if cr >= MIN_SECS and norm > bar:
-                if q in ALLOWED_REGRESS:
-                    rec["regress_allowed"] = ALLOWED_REGRESS[q]
+                reason = _allowed_regress_reason(q, args.prior_bench)
+                if reason is not None:
+                    rec["regress_allowed"] = reason
                     allowed_regress_hits.append(q)
                 else:
                     rec["regress_flag"] = True

@@ -96,15 +96,23 @@ BENCH_QUERIES = [
 def _cap_engagement_receipts() -> int:
     """Direct receipts that the fixture engages the registered df
     caps (r9 advice): count hot keys ABOVE each cap at the point the
-    cap applies — fingerprint df for dd13 (max_fp_df=20), shingle df
-    for dd7 (max_shingle_df=10) and dd30 (max_shingle_df=20). Runs
-    in-process AFTER the correctness sweep's subprocess exits and
-    BEFORE bench's starts, so no two JVMs ever time concurrently."""
+    cap applies — fingerprint df for dd13, shingle df for dd7 and
+    dd30. The thresholds are IMPORTED from the registered call sites
+    (r10 advice: restating the literals here meant a cap change
+    would leave the gate asserting engagement at a stale value —
+    silently measuring a lever nothing uses). Runs in-process AFTER
+    the correctness sweep's subprocess exits and BEFORE bench's
+    starts, so no two JVMs ever time concurrently."""
     sys.path.insert(0, ROOT)
     from pyspark.sql import functions as F
     from trello_github_etl_spark.operators import dedup
     from trello_github_etl_spark.operators.textstats import shingles
-    from trello_github_etl_spark.queries.llm_q import _augmented_docs
+    from trello_github_etl_spark.queries.llm_q import (
+        DD7_MAX_SHINGLE_DF,
+        DD13_MAX_FP_DF,
+        DD30_MAX_SHINGLE_DF,
+        _augmented_docs,
+    )
     from trello_github_etl_spark.session import get_spark
 
     spark = get_spark("skew-cap-receipts")
@@ -118,7 +126,7 @@ def _cap_engagement_receipts() -> int:
         hot_fp = (
             fps.groupBy("wfp")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > 20)
+            .filter(F.col("_df") > DD13_MAX_FP_DF)
             .count()
         )
         # dd7/dd30's candidate input: full augmented corpus; df is
@@ -131,19 +139,23 @@ def _cap_engagement_receipts() -> int:
             .groupBy("shingle")
             .agg(F.countDistinct("doc_id").alias("_df"))
         )
-        hot10, hot20 = (
+        hot7, hot30 = (
             sh_df.agg(
-                F.sum((F.col("_df") > 10).cast("long")).alias("h10"),
-                F.sum((F.col("_df") > 20).cast("long")).alias("h20"),
+                F.sum(
+                    (F.col("_df") > DD7_MAX_SHINGLE_DF).cast("long")
+                ).alias("h7"),
+                F.sum(
+                    (F.col("_df") > DD30_MAX_SHINGLE_DF).cast("long")
+                ).alias("h30"),
             ).collect()[0]
         )
     finally:
         spark.stop()
     failed = False
     for label, hot in (
-        ("dd13 fingerprint-df cap (20)", hot_fp),
-        ("dd7 shingle-df cap (10)", hot10 or 0),
-        ("dd30 shingle-df cap (20)", hot20 or 0),
+        (f"dd13 fingerprint-df cap ({DD13_MAX_FP_DF})", hot_fp),
+        (f"dd7 shingle-df cap ({DD7_MAX_SHINGLE_DF})", hot7 or 0),
+        (f"dd30 shingle-df cap ({DD30_MAX_SHINGLE_DF})", hot30 or 0),
     ):
         if hot > 0:
             print(f"cap engaged: {label} — {hot} hot keys above cap")

@@ -1240,6 +1240,12 @@ def s5_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered df-cap for dd7 — single-homed so the oracle, the Spark
+# call site, and tools/skew_gate.py's cap-engagement receipt can
+# never disagree (r10 ADVICE: the gate used to restate the literal).
+DD7_MAX_SHINGLE_DF = 10
+
+
 @query(
     "dd7_jaccard_df_capped",
     oracle=f"""
@@ -1253,7 +1259,7 @@ def s5_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rare AS (
       SELECT shingle FROM sh_all
-      GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 10
+      GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= {DD7_MAX_SHINGLE_DF}
     ),
     sh AS (
       SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)
@@ -1277,7 +1283,9 @@ def dd7_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard dedup with the document-frequency cap engaged (the
     candidate-inflation mitigation for web-scale corpora); the oracle
     replicates the cap exactly, so results stay value-checked."""
-    return dedup.jaccard_pairs(_augmented_docs(spark, sf_dir), max_shingle_df=10)
+    return dedup.jaccard_pairs(
+        _augmented_docs(spark, sf_dir), max_shingle_df=DD7_MAX_SHINGLE_DF
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1881,6 +1889,10 @@ def dd12_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered df-cap for dd13 (single-homed; see DD7_MAX_SHINGLE_DF).
+DD13_MAX_FP_DF = 20
+
+
 @query(
     "dd13_winnow_df_capped",
     oracle=f"""
@@ -1910,7 +1922,7 @@ def dd12_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(wf) AS wfp FROM wins
     ),
     rare AS (
-      SELECT wfp FROM fps GROUP BY wfp HAVING COUNT(*) <= 20
+      SELECT wfp FROM fps GROUP BY wfp HAVING COUNT(*) <= {DD13_MAX_FP_DF}
     ),
     capped AS (
       SELECT f.doc_id, f.wfp FROM fps f JOIN rare r ON f.wfp = r.wfp
@@ -1928,7 +1940,7 @@ def dd13_winnow_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate runs stop generating pairs."""
     return dedup.winnow_pairs(
         _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0),
-        max_fp_df=20,
+        max_fp_df=DD13_MAX_FP_DF,
     )
 
 
@@ -3188,6 +3200,10 @@ def dd29_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_augmented_docs(spark, sf_dir))
 
 
+# Registered df-cap for dd30 (single-homed; see DD7_MAX_SHINGLE_DF).
+DD30_MAX_SHINGLE_DF = 20
+
+
 @query(
     "dd30_containment_capped",
     oracle=f"""
@@ -3201,7 +3217,7 @@ def dd29_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rare AS (
       SELECT shingle FROM sh_all
-      GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= 20
+      GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= {DD30_MAX_SHINGLE_DF}
     ),
     sh AS (
       SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)
@@ -3239,7 +3255,7 @@ def dd30_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap is corpus-wide boilerplate — exactly the pairs
     containment dedup exists to ignore."""
     return dedup.containment_pairs(
-        _augmented_docs(spark, sf_dir), max_shingle_df=20
+        _augmented_docs(spark, sf_dir), max_shingle_df=DD30_MAX_SHINGLE_DF
     )
 
 
