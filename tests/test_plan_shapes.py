@@ -450,6 +450,21 @@ def test_t20_classifier_scoring_is_scan_fused(spark):
     assert "BroadcastHashJoin" in plan  # ntile offsets/stats
 
 
+def test_t21_backoff_lm_no_global_window_no_cartesian(spark):
+    import re
+
+    plan = _plan(_q(spark, "t21_backoff_lm_ppl_deciles"))
+    assert "CartesianProduct" not in plan
+    # every row_number window must be partitioned (_bkt, the ntile
+    # machinery) — never a partitionless single-task sort
+    for m in re.finditer(
+        r"row_number\(\) windowspecdefinition\(([^,]*),", plan
+    ):
+        assert "_bkt" in m.group(1)
+    # LM lookups are equi-joins; the unigram sides broadcast
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pipe11_stack_composes_without_blowup(spark):
     plan = _plan(_q(spark, "pipe11_filter_stack"))
     # three subplans joined 1:1:1 on doc_id — no cartesian products;

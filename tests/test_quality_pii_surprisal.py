@@ -130,6 +130,42 @@ def test_unigram_surprisal_hand_model(spark):
     assert out[1]["ppl_bucket"] < out[3]["ppl_bucket"] < out[2]["ppl_bucket"]
 
 
+def test_stupid_backoff_hand_model(spark):
+    from trello_github_etl_spark.operators.surprisal import (
+        bigram_pairs,
+        stupid_backoff_surprisal,
+    )
+
+    # train = even ids: doc0 'a b a b a', doc2 'a a'
+    #   N = 7; c1(a)=5, c1(b)=2; c2(ab)=2, c2(ba)=2, c2(aa)=1
+    # scoring: all four docs; doc3 is single-token (drops — no bigram)
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "a b c a"), (2, "a a"), (3, "b")],
+        "doc_id long, text string",
+    )
+    shared = df.select("doc_id", tokens(F.col("text")).alias("tk"))
+    train = shared.filter(F.col("doc_id") % 2 == 0)
+    out = {
+        r["doc_id"]: r
+        for r in stupid_backoff_surprisal(shared, train).collect()
+    }
+    assert set(out) == {0, 1, 2}  # doc3 dropped
+    # doc0: ab,ba,ab,ba -> bits(5//2)=2, bits(2//2)=1 each pair
+    assert out[0]["sum_surprisal"] == 6 and out[0]["n_backoff"] == 0
+    # doc1: ab seen (2); bc -> w2 'c' UNSEEN word: 2+bits(7)=5;
+    #       ca -> bigram unseen, w2 'a' seen: 2+bits(7//5)=3
+    assert out[1]["sum_surprisal"] == 10
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_backoff"] == 2
+    # doc2: aa -> bits(5//1)=3
+    assert out[2]["sum_surprisal"] == 3 and out[2]["n_backoff"] == 0
+    assert math.isclose(out[1]["avg_surprisal"], 10 / 3)
+    # bucket order follows avg: doc0 (1.5) < doc2 (3.0) < doc1 (3.33)
+    assert out[0]["ppl_bucket"] < out[2]["ppl_bucket"] < out[1]["ppl_bucket"]
+    # sequence(1, size-1) guard: a one-token doc yields NO pairs (an
+    # unguarded descending sequence(1, 0) would fabricate two)
+    assert bigram_pairs(shared).filter(F.col("doc_id") == 3).count() == 0
+
+
 def test_global_ntile_matches_sql_window(spark):
     # 103 rows, 10 buckets: sizes 11x3 + 10x7, larger buckets first
     df = spark.range(103).select(

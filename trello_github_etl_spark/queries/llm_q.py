@@ -2768,6 +2768,7 @@ from trello_github_etl_spark.operators import (  # noqa: E402
 )
 from trello_github_etl_spark.operators.surprisal import (  # noqa: E402
     N_BUCKETS as _PPL_BUCKETS,
+    stupid_backoff_surprisal,
     unigram_surprisal,
 )
 
@@ -3508,6 +3509,127 @@ def t20_quality_classifier_deciles(
         "doc_id", textstats.tokens(F.col("text")).alias("_tk")
     )
     return classifier.score_documents(shared)
+
+
+# ---------------------------------------------------------------------------
+# t21 — stupid-backoff bigram-LM perplexity deciles (held-out LM)
+# ---------------------------------------------------------------------------
+# Deterministic augmentation: the synthetic corpus is word salad
+# from a ~40-word vocabulary, so the two halves share almost every
+# bigram and the backoff branches would fire a handful of times
+# (7 instances at sf0.01 — near-dead configuration). Appending an
+# id-derived nonce + a common word to each ODD (scoring-only) doc
+# plants one unseen-WORD bigram (last_word, zqN) and one unseen-
+# BIGRAM-seen-word pair (zqN, agg) per odd doc — both backoff tiers
+# fire 250x per 500 docs on every engine. The even (training) half
+# is untouched, so the LM itself is unaffected.
+_SQL_T21_AUG = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1
+                  THEN text || ' zq' || CAST(doc_id AS VARCHAR) || ' agg'
+                  ELSE text END AS text
+      FROM documents
+"""
+
+# format('{:b}') carries braces -> concatenation, not an f-string
+_T21_ORACLE = (
+    """
+    WITH aug AS ("""
+    + _SQL_T21_AUG
+    + """),
+    toks AS (
+      SELECT doc_id, """
+    + SQL_TOKENS.format(t="text")
+    + """ AS tk FROM aug
+    ),
+    tr AS (SELECT doc_id, tk FROM toks WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w
+    ),
+    nn AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n FROM tr),
+    trbig AS (
+      SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+             unnest(list_slice(tk, 2, len(tk))) AS w2
+      FROM tr WHERE len(tk) >= 2
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM trbig GROUP BY w1, w2),
+    big AS (
+      SELECT doc_id,
+             unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+             unnest(list_slice(tk, 2, len(tk))) AS w2
+      FROM toks WHERE len(tk) >= 2
+    ),
+    sc AS (
+      SELECT d.doc_id,
+        CASE WHEN b.c2 IS NOT NULL
+             THEN length(format('{:b}', u1.c1 // b.c2))
+             WHEN u2.c1 IS NOT NULL
+             THEN 2 + length(format('{:b}', n.n // u2.c1))
+             ELSE 2 + length(format('{:b}', n.n)) END AS s,
+        CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS bo
+      FROM big d
+      LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+      LEFT JOIN uni u1 ON d.w1 = u1.w
+      LEFT JOIN uni u2 ON d.w2 = u2.w
+      CROSS JOIN nn n
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(bo) AS BIGINT) AS n_backoff,
+             CAST(sum(s) AS BIGINT) AS sum_surprisal
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_backoff, sum_surprisal,
+      CAST(sum_surprisal AS DOUBLE) / n_bigrams AS avg_surprisal,
+      ntile("""
+    + str(_PPL_BUCKETS)
+    + """) OVER (
+        ORDER BY CAST(sum_surprisal AS DOUBLE) / n_bigrams, doc_id
+      ) AS ppl_bucket
+    FROM per
+    """
+)
+
+
+@query("t21_backoff_lm_ppl_deciles", oracle=_T21_ORACLE)
+def t21_backoff_lm_ppl_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stupid-backoff bigram-LM perplexity deciles — the real CCNet
+    signal (Wenzek et al. 2020 score with an n-gram LM; Brants et
+    al. 2007 is the smoothing production systems deploy). t19's
+    unigram surprisal is the proxy; this scores token CONTEXT:
+    count(ab)/count(a) when the LM saw the bigram, backing off to
+    the unigram (then to an unseen-word floor) with an exact
+    two-bit alpha penalty. HELD-OUT shape: the LM trains on the
+    even-id half and scores the whole corpus, so the backoff
+    branches genuinely fire (an LM trained on its own scoring
+    corpus never backs off — dead-branch configuration); the
+    odd-doc nonce augmentation (_SQL_T21_AUG) plants both backoff
+    tiers deterministically. All integer arithmetic until one exact
+    division per doc; deciles via the distributed two-phase ntile,
+    never a partitionless window. See
+    operators/surprisal.stupid_backoff_surprisal for the 100 TB
+    join/shuffle story."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            d % 2 == 1,
+            F.concat(
+                "text", F.lit(" zq"), d.cast("string"), F.lit(" agg")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    shared = aug.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("tk")
+    )
+    train = shared.filter(d % 2 == 0)
+    return stupid_backoff_surprisal(shared, train)
 
 
 # ---------------------------------------------------------------------------
