@@ -450,6 +450,16 @@ def test_t20_classifier_scoring_is_scan_fused(spark):
     assert "BroadcastHashJoin" in plan  # ntile offsets/stats
 
 
+def test_dd32_incremental_semdedup_equi_joins_only(spark):
+    plan = _plan(_q(spark, "dd32_incremental_semantic_dedup"))
+    # state probe and in-batch candidates are equi-joins on cell
+    # (never an all-pairs product); assignment is ivf_assign's
+    # narrow codegen pass (no join, no window on the corpus side)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
 def test_t21_backoff_lm_no_global_window_no_cartesian(spark):
     import re
 

@@ -989,3 +989,164 @@ def test_composed_ingest_all_dup_batch_is_full_noop(spark, tmp_path):
     assert sorted(os.listdir(ledger)) == rollup_dirs  # no v1 dir
     assert sorted(read_rollup(spark, ledger, schema)[0].collect()) == state0
     assert [e["id"] for e in _read_log(sink_log)] == [1]  # nothing new sent
+
+
+def test_stream_incremental_semantic_dedup_exactly_once(spark, tmp_path):
+    """Semantic day-N loop (streaming/semdedup_stream.py): batch 1
+    admits fresh vectors; batch 2 brings an exact re-embedding of an
+    admitted vector, a near-copy of another, a novel direction
+    arriving twice, and a zero vector; a replay of batch 2 admits
+    nothing new — including the zero vector, whose self-cosine is
+    0.0 (the guard), so its exactly-once-ness rests on the id
+    anti-join, which this test pins."""
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.semdedup_stream import (
+        read_exemplars,
+        semantic_dedup_batch,
+    )
+
+    store = VersionedStateStore(str(tmp_path / "exemplars"))
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cent_id int, c_vec array<double>",
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    v1 = {
+        r.vec_id: r.verdict
+        for r in semantic_dedup_batch(
+            spark, store, cents,
+            vecs([(1, [1.0, 0.1]), (2, [0.1, 1.0])]),
+        ).collect()
+    }
+    assert v1 == {1: "kept", 2: "kept"}
+    assert store.latest_version() == 1
+
+    batch2 = [
+        (10, [1.0, 0.1]),    # exact re-embed of 1 -> dup_of_state
+        (11, [0.05, 1.0]),   # near-copy of 2 (cos ~0.9988)
+        (12, [-1.0, 0.0]),   # novel direction -> kept
+        (13, [-1.0, 0.0]),   # same again -> dup_in_batch, peer 12
+        (14, [0.0, 0.0]),    # zero vector -> kept via cosine guard
+    ]
+    out2 = {
+        r.vec_id: (r.verdict, r.match_id)
+        for r in semantic_dedup_batch(
+            spark, store, cents, vecs(batch2)
+        ).collect()
+    }
+    assert out2[10] == ("dup_of_state", 1)
+    assert out2[11] == ("dup_of_state", 2)
+    assert out2[12] == ("kept", 12)
+    assert out2[13] == ("dup_in_batch", 12)
+    assert out2[14] == ("kept", 14)
+    assert store.latest_version() == 2
+
+    replay = {
+        r.vec_id: (r.verdict, r.match_id)
+        for r in semantic_dedup_batch(
+            spark, store, cents, vecs(batch2)
+        ).collect()
+    }
+    assert replay[10] == ("dup_of_state", 1)
+    assert replay[12] == ("dup_of_state", 12)  # now in state
+    assert replay[13] == ("dup_of_state", 12)
+    assert replay[14] == ("kept", 14)  # zero self-cosine is 0.0 ...
+    # ... but the id anti-join keeps its admission exactly-once:
+    # the replay admitted nothing, so no fresh version was committed
+    assert store.latest_version() == 2
+    state_ids = sorted(
+        r.vec_id
+        for r in read_exemplars(
+            spark, store, vecs(batch2)
+        ).collect()
+    )
+    assert state_ids == [1, 2, 12, 14]
+    # an empty batch is also a no-op
+    empty = semantic_dedup_batch(
+        spark, store, cents, vecs([]).filter("vec_id < 0")
+    )
+    assert empty.count() == 0
+    assert store.latest_version() == 2
+
+
+def test_stream_semantic_dedup_via_foreachbatch(spark, tmp_path):
+    """Semantic loop driven by a real file-source stream with
+    availableNow, one file per micro-batch; batch-mode bootstrap
+    state continues seamlessly because stream and batch share one
+    classification plan (dedup.incremental_semantic_dedup)."""
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.semdedup_stream import (
+        stream_semantic_dedup,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cent_id int, c_vec array<double>",
+    )
+    store = VersionedStateStore(str(tmp_path / "exemplars"))
+    store.commit(
+        spark.createDataFrame(
+            [(100, [1.0, 0.05])], "vec_id long, embedding array<double>"
+        ),
+        op="bootstrap",
+    )
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, age):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        now = time.time()
+        os.utime(p, (now - age, now - age))
+
+    write_file(
+        "b1.json",
+        [
+            {"vec_id": 1, "embedding": [1.0, 0.05]},  # dup of bootstrap
+            {"vec_id": 2, "embedding": [0.1, 1.0]},   # novel
+        ],
+        600,
+    )
+    write_file(
+        "b2.json",
+        [{"vec_id": 3, "embedding": [0.1, 1.0]}],  # dup of batch-1 keeper
+        0,
+    )
+
+    seen = []
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream_semantic_dedup(
+            stream,
+            store,
+            cents,
+            str(tmp_path / "ckpt"),
+            on_batch=lambda bid, v: seen.extend(
+                (r.vec_id, r.verdict) for r in v.collect()
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    verdicts = dict(seen)
+    assert verdicts[1] == "dup_of_state"
+    assert verdicts[2] == "kept"
+    assert verdicts[3] == "dup_of_state"  # batch-1 keeper now in state

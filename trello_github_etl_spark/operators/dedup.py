@@ -1515,6 +1515,105 @@ def semantic_dedup(
     )
 
 
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Day-N SemDeDup: classify a NEW batch of vectors against the
+    committed corpus state without re-clustering anything — the
+    semantic twin of incremental_near_dedup (dd10/dd23's MinHash
+    path). At 100 TB, re-running semantic_dedup over corpus+batch
+    per crawl re-pays the whole within-cell pair pass on data that
+    was already adjudicated; the incremental path touches only
+    (batch x same-cell-state) and (batch x same-cell-batch).
+
+    Inputs: ``state`` = the committed exemplar set (the 'kept'
+    vectors of prior rounds), ``centroids`` = the committed coarse
+    structure — FROZEN: batch vectors assign to the existing cells
+    (similarity.ivf_assign's narrow codegen pass), which is what
+    makes the run incremental. Periodic re-seeding/compaction is a
+    separate dd24 re-run, exactly like a streaming LSM's major
+    compaction.
+
+    Verdict per batch vector, in precedence order:
+    - 'dup_of_state'  — some same-cell state exemplar scores
+      cosine >= threshold; match_id = the lowest such exemplar id.
+    - 'dup_in_batch'  — no state hit, but a SMALLER-id same-cell
+      batch vector scores >= threshold; match_id = the lowest such
+      peer. This is the DIRECT-NEIGHBOR election (dd23's bucket
+      peer_min rule), not semantic_dedup's transitive closure —
+      the standard streaming approximation: day-N batches are small
+      relative to state, and chains longer than one hop get folded
+      at the next compaction. Documented deviation, not drift.
+    - 'kept'          — novel; match_id = its own id.
+
+    Scale shape: both cell assignments are narrow scan passes; the
+    state probe is an EQUI-join on cell (the planner broadcasts a
+    small batch side and AQE flips to shuffle beyond — both right);
+    in-batch candidates reuse cell_pairs' pinned equi-join; two
+    small aggregates keyed on the batch id. The state side is
+    O(corpus) HERE only because the oracle-checkable form recomputes
+    state cell assignments from the raw table — a deployment
+    persists (id, cell, norm) alongside the exemplars, making the
+    per-batch cost O(batch x occupancy) (dd23's lesson-40 note,
+    same asymptotic caveat)."""
+    from trello_github_etl_spark.operators.similarity import (
+        cell_pairs,
+        cosine_prenormed,
+        ivf_assign,
+    )
+
+    b = ivf_assign(batch, centroids, 1, vec_col, id_col, cache_key)
+    s = ivf_assign(state, centroids, 1, vec_col, id_col, cache_key)
+    sren = s.select(
+        "cell",
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).alias("_svec"),
+        F.col("_norm").alias("_snorm"),
+    )
+    hits = (
+        b.join(sren, "cell")
+        .filter(
+            cosine_prenormed(
+                F.col(vec_col),
+                F.col("_svec"),
+                F.col("_norm"),
+                F.col("_snorm"),
+            )
+            >= threshold
+        )
+        .groupBy(id_col)
+        .agg(F.min("_sid").alias("_state_match"))
+    )
+    peers = (
+        cell_pairs(b, vec_col, id_col)
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("vb").alias(id_col))
+        .agg(F.min("va").alias("_peer_min"))
+    )
+    return (
+        b.select(id_col, "cell")
+        .join(hits, id_col, "left")
+        .join(peers, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("_state_match").isNotNull(), F.lit("dup_of_state"))
+            .when(F.col("_peer_min").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.coalesce(
+                "_state_match", "_peer_min", F.col(id_col)
+            ).alias("match_id"),
+        )
+    )
+
+
 REPEAT_NGRAM_N = 8
 REPEAT_NGRAM_MIN_COUNT = 2
 

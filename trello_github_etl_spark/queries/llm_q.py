@@ -2432,6 +2432,144 @@ def dd26_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dd32 — incremental SemDeDup (the semantic family's day-N path)
+# ---------------------------------------------------------------------------
+# Deterministic day-N batch, mirrored in SQL and Spark: exact
+# re-embeddings of every %50 vector (+200000 — must hit the state at
+# cos 1.0), TWO copies of the NEGATED %97==3 vectors (+300000 /
+# +400000 — cos -1.0 vs their source so novel vs state, identical to
+# each other so the later copy is an in-batch dup; negation is exact
+# in IEEE so cells and cosines match bit-for-bit), and one all-zero
+# vector (999999, x - x — exercises the zero-norm cosine guard: cos
+# defined 0.0 with everything, must come out 'kept').
+_DD32_BATCH_SQL = """
+      SELECT vec_id + 200000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 50 = 0
+      UNION ALL
+      SELECT vec_id + 300000, list_transform(embedding, x -> -x)
+      FROM embeddings WHERE vec_id % 97 = 3
+      UNION ALL
+      SELECT vec_id + 400000, list_transform(embedding, x -> -x)
+      FROM embeddings WHERE vec_id % 97 = 3
+      UNION ALL
+      SELECT 999999, list_transform(embedding, x -> x - x)
+      FROM embeddings WHERE vec_id = 0
+"""
+
+
+@query(
+    "dd32_incremental_semantic_dedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id,
+             embedding AS c_vec
+      FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (
+        SELECT GREATEST({similarity.IVF_NLIST_MIN},
+                        LEAST({similarity.IVF_NLIST_MAX},
+                              CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
+        FROM embeddings
+      )
+    ),
+    batch AS ({_DD32_BATCH_SQL}),
+    scells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {_sql_cosine('t.embedding', 'c.c_vec')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM embeddings t, cents c
+      ) WHERE rn = 1
+    ),
+    bcells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {_sql_cosine('t.embedding', 'c.c_vec')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM batch t, cents c
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT b.vec_id, MIN(s.vec_id) AS state_match
+      FROM bcells b JOIN scells s ON b.cell = s.cell
+      WHERE {_sql_cosine('b.embedding', 's.embedding')}
+            >= {SEMDEDUP_THRESHOLD}
+      GROUP BY b.vec_id
+    ),
+    peers AS (
+      SELECT y.vec_id, MIN(x.vec_id) AS peer_min
+      FROM bcells x JOIN bcells y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {_sql_cosine('x.embedding', 'y.embedding')}
+            >= {SEMDEDUP_THRESHOLD}
+      GROUP BY y.vec_id
+    )
+    SELECT b.vec_id, b.cell,
+           CASE WHEN h.state_match IS NOT NULL THEN 'dup_of_state'
+                WHEN p.peer_min IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'kept' END AS verdict,
+           COALESCE(h.state_match, p.peer_min, b.vec_id) AS match_id
+    FROM bcells b
+    LEFT JOIN hits h ON h.vec_id = b.vec_id
+    LEFT JOIN peers p ON p.vec_id = b.vec_id
+    """,
+)
+def dd32_incremental_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup — the semantic family's day-N path
+    (VERDICT r10 #4): a new crawl's embedding batch classified
+    against the COMMITTED state (exemplars + frozen auto-seeded
+    centroids from the base corpus — the base table carries no dups,
+    so its post-day-0 exemplar set IS the table) without
+    re-clustering. Re-embedded %50 vectors must come back
+    'dup_of_state', the second copy of each negated vector
+    'dup_in_batch' (direct-neighbor election, dd23's rule), the
+    zero vector 'kept' through the cosine guard. See
+    operators/dedup.incremental_semantic_dedup for semantics,
+    precedence, and the 100 TB cost note;
+    streaming/semdedup_stream.py wires the same plan into
+    foreachBatch with CAS state commits."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents, suffix, _k = similarity.auto_seed_centroids(emb)
+    v = F.col("vec_id")
+    neg = emb.filter(v % 97 == 3).select(
+        v.alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    batch = (
+        emb.filter(v % 50 == 0)
+        .select((v + 200000).alias("vec_id"), "embedding")
+        .unionByName(
+            neg.select((v + 300000).alias("vec_id"), "embedding")
+        )
+        .unionByName(
+            neg.select((v + 400000).alias("vec_id"), "embedding")
+        )
+        .unionByName(
+            emb.filter(v == 0).select(
+                F.lit(999999).cast("long").alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x - x
+                ).alias("embedding"),
+            )
+        )
+    )
+    return dedup.incremental_semantic_dedup(
+        batch,
+        emb,
+        cents,
+        threshold=SEMDEDUP_THRESHOLD,
+        cache_key=f"ivfauto-dd32|{sf_dir}{suffix}",
+    )
+
+
 @query(
     "s14_matryoshka_rerank",
     oracle=f"""
