@@ -450,6 +450,20 @@ def test_t20_classifier_scoring_is_scan_fused(spark):
     assert "BroadcastHashJoin" in plan  # ntile offsets/stats
 
 
+def test_s16_margin_alignment_cell_join_partitioned_window(spark):
+    import re
+
+    plan = _plan(_q(spark, "s16_margin_alignment"))
+    # candidates come from the cell equi-join, never the |X|x|Y|
+    # product; the top-1 window is keyed on x_id, never global
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(
+        r"row_number\(\) windowspecdefinition\(([^,]*),", plan
+    ):
+        assert "x_id" in m.group(1)
+
+
 def test_dd32_incremental_semdedup_equi_joins_only(spark):
     plan = _plan(_q(spark, "dd32_incremental_semantic_dedup"))
     # state probe and in-batch candidates are equi-joins on cell

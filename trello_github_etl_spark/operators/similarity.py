@@ -1321,3 +1321,123 @@ def mutual_knn_graph(
         .filter(F.col("_dirs") == 2)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def margin_alignment(
+    xs: DataFrame,
+    ys: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Margin-based bitext/cross-corpus alignment scoring (Artetxe &
+    Schwenk 2019's ratio margin, the xSIM/LASER mining criterion;
+    VERDICT r10 #5): for each x in ``xs``, the best-aligned y in
+    ``ys`` by margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) /
+    2), where avgNN_k(s) is the mean of s's k best cross-side
+    candidate cosines. Raw cosine mis-ranks hub vectors (directions
+    cosine-close to everything dominate every alignment list); the
+    margin divides that hubness out, which is why mining pipelines
+    align on margin, not cosine.
+
+    Returns (x_id, y_id, cos, margin) — one row per x that has at
+    least one same-cell candidate; ties break (margin DESC, y_id
+    ASC). Margin with a non-positive denominator (possible: cosines
+    may be negative, zero vectors score 0.0) is DEFINED as 0.0,
+    mirroring the cosine guard's convention.
+
+    Blocked-candidate approximation (the s15 discipline): both sides
+    assign to SHARED coarse cells (self-seeded √N over the union
+    when ``centroids`` is None) and candidates/neighborhoods are
+    within-cell only — O(Σ|xcell|·|ycell|) cross work, never the
+    |X|·|Y| product. avgNN therefore averages the k best IN-CELL
+    neighbors; a cross-cell true pair is missed exactly as in every
+    IVF retrieval path (recall-tested vs brute force, not hidden).
+
+    Numeric parity contract: the top-k mean takes the k LARGEST
+    cosine values as a multiset (ties at the boundary contribute
+    equal values, so WHICH neighbor wins the last slot cannot change
+    the sum), sorts them descending, and sums with a strict left
+    fold — deterministic on both engines; then ONE exact division by
+    the element count, one by 2, one for the margin ratio.
+
+    Scale shape: two narrow assignment passes, one cell-keyed
+    equi-join producing candidates ONCE (persisted — three consumers:
+    the two per-side neighborhood aggregates and the final margin
+    join), two map-side-combined groupBys on the side ids, two
+    broadcast-or-shuffle joins of KB-per-row stats back onto the
+    pairs, one per-x window on the x-keyed shuffle. The per-side
+    stats frames are side-sized (one row per surviving x/y), far
+    under the pair count."""
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids, suffix, _seed_k = auto_seed_centroids(
+            xs.select(id_col, vec_col).unionByName(
+                ys.select(id_col, vec_col)
+            ),
+            None,
+            vec_col,
+            id_col,
+        )
+        if cache_key is not None:
+            cache_key = cache_key + suffix
+    xc = ivf_assign(xs, centroids, 1, vec_col, id_col, cache_key)
+    yc = ivf_assign(ys, centroids, 1, vec_col, id_col, cache_key)
+    yren = yc.select(
+        "cell",
+        F.col(id_col).alias("_y_id"),
+        F.col(vec_col).alias("_y_vec"),
+        F.col("_norm").alias("_y_norm"),
+    )
+    pairs = (
+        xc.join(yren, "cell")
+        .select(
+            F.col(id_col).alias("x_id"),
+            F.col("_y_id").alias("y_id"),
+            cosine_prenormed(
+                F.col(vec_col),
+                F.col("_y_vec"),
+                F.col("_norm"),
+                F.col("_y_norm"),
+            ).alias("cos"),
+        )
+        # three consumers (avg_x, avg_y, margin join) — without the
+        # pin the cell join + cosine folds run three times. Lifetime
+        # contract as ranking.with_global_rank: sweeping callers
+        # clearCache between queries.
+        .persist()
+    )
+
+    def _topk_avg(frame: DataFrame, key: str, out: str) -> DataFrame:
+        arr = F.slice(
+            F.sort_array(F.collect_list("cos"), asc=False), 1, k
+        )
+        return frame.groupBy(key).agg(
+            (
+                F.aggregate(arr, F.lit(0.0), lambda acc, c: acc + c)
+                / F.size(arr)
+            ).alias(out)
+        )
+
+    ax = _topk_avg(pairs, "x_id", "_avg_x")
+    ay = _topk_avg(pairs, "y_id", "_avg_y")
+    denom = (F.col("_avg_x") + F.col("_avg_y")) / F.lit(2.0)
+    scored = (
+        pairs.join(ax, "x_id")
+        .join(ay, "y_id")
+        .withColumn(
+            "margin",
+            F.when(denom > 0, F.col("cos") / denom).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("x_id").orderBy(
+        F.col("margin").desc(), F.col("y_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("x_id", "y_id", "cos", "margin")
+    )

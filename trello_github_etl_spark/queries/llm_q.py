@@ -2894,6 +2894,106 @@ def s15_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+S16_K = 4
+
+
+@query(
+    "s16_margin_alignment",
+    oracle="""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id,
+             embedding AS c_vec
+      FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (
+        SELECT GREATEST({nmin}, LEAST({nmax},
+                        CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
+        FROM embeddings
+      )
+    ),
+    xs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    ys AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    xcells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {cos_tc} DESC, c.cent_id ASC) AS rn
+        FROM xs t, cents c
+      ) WHERE rn = 1
+    ),
+    ycells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {cos_tc} DESC, c.cent_id ASC) AS rn
+        FROM ys t, cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+             {cos_xy} AS cos
+      FROM xcells x JOIN ycells y ON x.cell = y.cell
+    ),
+    ax AS (
+      SELECT x_id,
+             list_reduce(l, (a, b) -> a + b) / len(l) AS avg_x
+      FROM (
+        SELECT x_id,
+               list_slice(list_sort(list(cos), 'DESC'), 1, {k}) AS l
+        FROM pairs GROUP BY x_id
+      )
+    ),
+    ay AS (
+      SELECT y_id,
+             list_reduce(l, (a, b) -> a + b) / len(l) AS avg_y
+      FROM (
+        SELECT y_id,
+               list_slice(list_sort(list(cos), 'DESC'), 1, {k}) AS l
+        FROM pairs GROUP BY y_id
+      )
+    ),
+    m AS (
+      SELECT p.x_id, p.y_id, p.cos,
+             CASE WHEN (avg_x + avg_y) / 2.0 > 0
+                  THEN p.cos / ((avg_x + avg_y) / 2.0)
+                  ELSE 0.0 END AS margin
+      FROM pairs p JOIN ax USING (x_id) JOIN ay USING (y_id)
+    )
+    SELECT x_id, y_id, cos, margin FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rk
+      FROM m
+    ) WHERE rk = 1
+    """.replace("{cos_tc}", _sql_cosine("t.embedding", "c.c_vec"))
+       .replace("{cos_xy}", _sql_cosine("x.embedding", "y.embedding"))
+       .replace("{k}", str(S16_K))
+       .replace("{nmin}", str(similarity.IVF_NLIST_MIN))
+       .replace("{nmax}", str(similarity.IVF_NLIST_MAX)),
+)
+def s16_margin_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext/cross-corpus alignment (Artetxe & Schwenk
+    2019's ratio margin — the xSIM/LASER mining criterion; VERDICT
+    r10 #5): split the embedding corpus into two 'languages' (even /
+    odd vec_ids standing in for source/target sides of a shared
+    multilingual space), and for every x-side vector pick the best
+    y-side alignment by cos(x,y) normalized by the mean of each
+    side's top-k in-cell neighbor cosines — hubness divided out.
+    Composes s15's machinery: shared self-seeded √N cells, candidate
+    generation as the cell equi-join (never |X|x|Y|), strict-fold
+    cosines, top-k means as sorted-multiset left folds (oracle
+    replays identically). See operators/similarity.margin_alignment
+    for the plan and the blocked-recall caveat."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    xs = emb.filter(F.col("vec_id") % 2 == 0)
+    ys = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_alignment(
+        xs, ys, k=S16_K, cache_key=f"ivfauto-s16|{sf_dir}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality-rule filtering, PII scrubbing, unigram-surprisal bucketing
 # (round-9 additions: the Gopher/CCNet-style corpus filters a
