@@ -139,6 +139,11 @@ HEADLINE = [
     "dd31_url_canonical_dedup",
     "t20_quality_classifier_deciles",
     "pipe11_filter_stack",
+    # round-11 additions
+    "t21_backoff_lm_ppl_deciles",
+    "dd32_incremental_semantic_dedup",
+    "s16_margin_alignment",
+    "pipe12_ccnet_stack",
 ]
 
 

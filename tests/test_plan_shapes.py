@@ -489,6 +489,28 @@ def test_t21_backoff_lm_no_global_window_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_pipe12_ccnet_stack_no_cartesian_partitioned_windows(spark):
+    import re
+
+    plan = _plan(_q(spark, "pipe12_ccnet_stack"))
+    assert "CartesianProduct" not in plan
+    # every row_number window is the ntile machinery's (_bkt-keyed,
+    # never a global single-task rank over the corpus); the keeper
+    # election's min window is keyed on the projected fingerprint
+    # (_w0 = the md5 expression). The only ordering-first (global)
+    # windows left are the ntile offsets frame's running sums over
+    # its 32 bucket rows — KB-scale by construction.
+    for m in re.finditer(
+        r"row_number\(\) windowspecdefinition\(([^,]*),", plan
+    ):
+        assert "_bkt" in m.group(1)
+    keeper_specs = [
+        m.group(1)
+        for m in re.finditer(r"min\(doc_id[^)]*\) windowspecdefinition\(([^,]*),", plan)
+    ]
+    assert keeper_specs and all("_w0" in s for s in keeper_specs)
+
+
 def test_pipe11_stack_composes_without_blowup(spark):
     plan = _plan(_q(spark, "pipe11_filter_stack"))
     # three subplans joined 1:1:1 on doc_id — no cartesian products;

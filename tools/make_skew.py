@@ -19,7 +19,13 @@ dedup/similarity oracle sweep runs in minutes every round:
 - **one giant embedding cluster**: vecs 1600..1999 (400 members,
   20%) are tiny deterministic perturbations of one unit vector — at
   auto_nlist(2000)=45 cells they all land in ONE cell, the SemDeDup
-  giant-cell / block-salting stressor.
+  giant-cell / block-salting stressor;
+- **one hot canonical URL** (r10 VERDICT #6): 1,000 extra re-fetch
+  docs whose ids are chosen so dd31's provenance derivation
+  (canonical key = (doc_id DIV 3) % 1000) maps them ALL to key 7 —
+  one page re-fetched a thousand times, textually distinct each
+  fetch (exactly dd31's premise). Stresses the keeper election's
+  hot canon_url window partition.
 
 The remaining eight tables are copied from sf0.1 so ANY registered
 query runs against this dir (bench warmup reads orders.parquet).
@@ -47,6 +53,8 @@ SRC = "/root/testdata/sf0.1"
 OUT = os.path.join(ROOT, ".data", "skew")
 
 N_DOCS = 5_000
+N_HOT_URL = 1_000  # re-fetch docs, all on dd31 canonical key 7
+HOT_URL_KEY = 7
 DOC_TOKENS = 100
 VOCAB = 30_000
 HOT_MOD = 5  # background doc_id % 5 == 1 -> carries the hot 8-gram
@@ -75,14 +83,25 @@ def build_documents() -> pa.Table:
     clone = texts[DOC_CLUSTER_START]
     for d in range(DOC_CLUSTER_START, N_DOCS):
         texts[d] = clone
+    # hot canonical URL: ids 3*(HOT_URL_KEY + 1000k) for k=2.. — all
+    # satisfy (doc_id DIV 3) % 1000 == HOT_URL_KEY (dd31's canonical
+    # identity) and sit far above the base id range; each fetch gets
+    # distinct short text (re-fetches differ textually — that is the
+    # provenance-dedup premise)
+    hot_ids = [
+        3 * (HOT_URL_KEY + 1000 * k) for k in range(2, 2 + N_HOT_URL)
+    ]
+    hot_texts = [f"refetch of page seven number {k}" for k in hot_ids]
+    doc_ids = list(range(N_DOCS)) + hot_ids
+    texts = texts + hot_texts
     return pa.table(
         {
-            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
             "text": pa.array(texts, pa.string()),
             # one lang block = worst case for every lang-blocked join
-            "lang": pa.array(["en"] * N_DOCS, pa.string()),
+            "lang": pa.array(["en"] * len(doc_ids), pa.string()),
             "source": pa.array(
-                [f"src{d % 20}" for d in range(N_DOCS)], pa.string()
+                [f"src{d % 20}" for d in doc_ids], pa.string()
             ),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
@@ -129,9 +148,9 @@ def main() -> int:
         )
     pq.write_table(build_documents(), os.path.join(OUT, "documents.parquet"))
     pq.write_table(build_embeddings(), os.path.join(OUT, "embeddings.parquet"))
-    print(f"wrote {OUT}: {N_DOCS} docs (giant family "
-          f"{N_DOCS - DOC_CLUSTER_START}), {N_VECS} vecs (giant cluster "
-          f"{N_VECS - VEC_CLUSTER_START})")
+    print(f"wrote {OUT}: {N_DOCS + N_HOT_URL} docs (giant family "
+          f"{N_DOCS - DOC_CLUSTER_START}, hot-URL fetches {N_HOT_URL}), "
+          f"{N_VECS} vecs (giant cluster {N_VECS - VEC_CLUSTER_START})")
     return 0
 
 

@@ -69,6 +69,21 @@ SKEW_QUERIES = [
     # surprisal vocab join's hot keys and the global ntile's bucket
     # skew — with_global_rank's value-bucket design must shrug it off
     "t19_unigram_surprisal_buckets",
+    # r10 VERDICT #6: the 1,000-fetch hot canonical URL stresses the
+    # keeper election's canon_url window partition; the Zipfian token
+    # mix stresses t20's hashed-bigram fold and the decile ranker's
+    # value buckets; t21's bigram LM meets hot bigram keys in both
+    # the count shuffle and the probe join; dd32's state probe and
+    # s16's cross-side candidates meet the 400-member single-cell
+    # embedding cluster
+    "dd31_url_canonical_dedup",
+    "t20_quality_classifier_deciles",
+    "t21_backoff_lm_ppl_deciles",
+    "dd32_incremental_semantic_dedup",
+    "s16_margin_alignment",
+    # pipe12's keeper election meets the 1,000-member exact-dup
+    # family as ONE hot fingerprint window partition
+    "pipe12_ccnet_stack",
 ]
 
 # Bench subset: the lever queries with meaningful data work. dd6/dd9/
@@ -90,6 +105,11 @@ BENCH_QUERIES = [
     "dd30_containment_capped",
     "s15_mutual_knn_graph",
     "t19_unigram_surprisal_buckets",
+    "dd31_url_canonical_dedup",
+    "t20_quality_classifier_deciles",
+    "t21_backoff_lm_ppl_deciles",
+    "dd32_incremental_semantic_dedup",
+    "s16_margin_alignment",
 ]
 
 
@@ -105,6 +125,7 @@ def _cap_engagement_receipts() -> int:
     starts, so no two JVMs ever time concurrently."""
     sys.path.insert(0, ROOT)
     from pyspark.sql import functions as F
+    from trello_github_etl_spark.functions.urls import canonicalize_url
     from trello_github_etl_spark.operators import dedup
     from trello_github_etl_spark.operators.textstats import shingles
     from trello_github_etl_spark.queries.llm_q import (
@@ -112,6 +133,7 @@ def _cap_engagement_receipts() -> int:
         DD13_MAX_FP_DF,
         DD30_MAX_SHINGLE_DF,
         _augmented_docs,
+        _messy_url,
     )
     from trello_github_etl_spark.session import get_spark
 
@@ -149,6 +171,22 @@ def _cap_engagement_receipts() -> int:
                 ).alias("h30"),
             ).collect()[0]
         )
+        # dd31's hot-key receipt (r10 VERDICT #6): the fixture must
+        # contain at least one canonical URL with >= 500 fetches via
+        # THE REGISTERED derivation (messy-url synth + canonicalize),
+        # or the keeper window's hot-partition claim is untested
+        from trello_github_etl_spark.io import load_table
+
+        raw_docs = load_table(spark, SKEW_DIR, "documents")
+        hot_urls = (
+            raw_docs.select(
+                canonicalize_url(_messy_url(F.col("doc_id"))).alias("cu")
+            )
+            .groupBy("cu")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 500)
+            .count()
+        )
     finally:
         spark.stop()
     failed = False
@@ -156,6 +194,7 @@ def _cap_engagement_receipts() -> int:
         (f"dd13 fingerprint-df cap ({DD13_MAX_FP_DF})", hot_fp),
         (f"dd7 shingle-df cap ({DD7_MAX_SHINGLE_DF})", hot7 or 0),
         (f"dd30 shingle-df cap ({DD30_MAX_SHINGLE_DF})", hot30 or 0),
+        ("dd31 hot canonical URL (>= 500 fetches)", hot_urls),
     ):
         if hot > 0:
             print(f"cap engaged: {label} — {hot} hot keys above cap")

@@ -106,6 +106,17 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# textstats.detect_language's EXACT predicate over a ``tk`` token
+# array — ONE home for the lang-id SQL, spliced by t2's oracle and
+# pipe12's composition (the _SQL_QUALITY_CTES discipline).
+_SQL_LANG_CASE = (
+    "CASE WHEN len(tk) > 0 AND CAST(len(list_filter(tk, x -> "
+    f"list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk) > "
+    f"{textstats.EN_STOPWORD_RATIO_THRESHOLD} THEN 'en' "
+    "ELSE 'other' END"
+)
+
+
 @query(
     "t2_language_id",
     oracle=f"""
@@ -113,11 +124,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, {SQL_TOKENS.format(t='text')} AS tk FROM documents
     ),
     pred AS (
-      SELECT doc_id, lang,
-        CASE WHEN len(tk) > 0
-              AND CAST(len(list_filter(tk, x -> list_contains({SQL_STOPLIST}, x))) AS DOUBLE) / len(tk)
-                  > {textstats.EN_STOPWORD_RATIO_THRESHOLD}
-             THEN 'en' ELSE 'other' END AS pred_lang
+      SELECT doc_id, lang, {_SQL_LANG_CASE} AS pred_lang
       FROM toks
     )
     SELECT doc_id, pred_lang, (pred_lang = 'en') = (lang = 'en') AS agrees
@@ -3769,16 +3776,19 @@ _SQL_T21_AUG = """
       FROM documents
 """
 
-# format('{:b}') carries braces -> concatenation, not an f-string
-_T21_ORACLE = (
-    """
-    WITH aug AS ("""
-    + _SQL_T21_AUG
-    + """),
+def _t21_ctes(src: str) -> str:
+    """CTE chain from a docs relation ``src`` (doc_id, text) to
+    ``t21s (doc_id, n_bigrams, n_backoff, sum_surprisal,
+    avg_surprisal, ppl_bucket)`` — the stupid-backoff held-out
+    scoring, single-homed so t21's oracle and pipe12's composition
+    splice the SAME SQL (the _T17_RULES_SQL discipline). Plain
+    concatenation, NOT an f-string: format('{:b}') carries braces."""
+    return (
+        """
     toks AS (
       SELECT doc_id, """
-    + SQL_TOKENS.format(t="text")
-    + """ AS tk FROM aug
+        + SQL_TOKENS.format(t="text")
+        + f""" AS tk FROM {src}
     ),
     tr AS (SELECT doc_id, tk FROM toks WHERE doc_id % 2 = 0),
     uni AS (
@@ -3801,10 +3811,16 @@ _T21_ORACLE = (
     sc AS (
       SELECT d.doc_id,
         CASE WHEN b.c2 IS NOT NULL
-             THEN length(format('{:b}', u1.c1 // b.c2))
+             THEN length(format('"""
+        + "{:b}"
+        + """', u1.c1 // b.c2))
              WHEN u2.c1 IS NOT NULL
-             THEN 2 + length(format('{:b}', n.n // u2.c1))
-             ELSE 2 + length(format('{:b}', n.n)) END AS s,
+             THEN 2 + length(format('"""
+        + "{:b}"
+        + """', n.n // u2.c1))
+             ELSE 2 + length(format('"""
+        + "{:b}"
+        + """', n.n)) END AS s,
         CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS bo
       FROM big d
       LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
@@ -3817,15 +3833,30 @@ _T21_ORACLE = (
              CAST(sum(bo) AS BIGINT) AS n_backoff,
              CAST(sum(s) AS BIGINT) AS sum_surprisal
       FROM sc GROUP BY doc_id
+    ),
+    t21s AS (
+      SELECT doc_id, n_bigrams, n_backoff, sum_surprisal,
+        CAST(sum_surprisal AS DOUBLE) / n_bigrams AS avg_surprisal,
+        ntile("""
+        + str(_PPL_BUCKETS)
+        + """) OVER (
+          ORDER BY CAST(sum_surprisal AS DOUBLE) / n_bigrams, doc_id
+        ) AS ppl_bucket
+      FROM per
+    )"""
     )
+
+
+_T21_ORACLE = (
+    """
+    WITH aug AS ("""
+    + _SQL_T21_AUG
+    + """),"""
+    + _t21_ctes("aug")
+    + """
     SELECT doc_id, n_bigrams, n_backoff, sum_surprisal,
-      CAST(sum_surprisal AS DOUBLE) / n_bigrams AS avg_surprisal,
-      ntile("""
-    + str(_PPL_BUCKETS)
-    + """) OVER (
-        ORDER BY CAST(sum_surprisal AS DOUBLE) / n_bigrams, doc_id
-      ) AS ppl_bucket
-    FROM per
+           avg_surprisal, ppl_bucket
+    FROM t21s
     """
 )
 
@@ -3947,3 +3978,100 @@ def pipe11_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "canon_url", "clf_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe12 — the CCNet stack: lang-id -> held-out LM perplexity band
+# -> exact-dup keeper, composed as ONE plan
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) keeps the head+middle perplexity bands;
+# with 10 buckets that is <= 7 (bucket 1 = most predictable).
+PIPE12_MAX_PPL_BUCKET = 7
+
+_PIPE12_ORACLE = (
+    """
+    WITH"""
+    + _t21_ctes("documents")
+    + f""",
+    lang AS (
+      SELECT doc_id, {_SQL_LANG_CASE} AS pred_lang FROM toks
+    ),
+    keepr AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ) AS keeper_id
+      FROM documents
+    )
+    SELECT s.doc_id, l.pred_lang, s.ppl_bucket,
+           (k.keeper_id = s.doc_id) AS is_keeper,
+           (l.pred_lang = 'en' AND s.ppl_bucket <= {PIPE12_MAX_PPL_BUCKET}
+            AND k.keeper_id = s.doc_id) AS kept
+    FROM t21s s
+    JOIN lang l ON l.doc_id = s.doc_id
+    JOIN keepr k ON k.doc_id = s.doc_id
+    """
+)
+
+
+@query("pipe12_ccnet_stack", oracle=_PIPE12_ORACLE)
+def pipe12_ccnet_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet corpus-filter stack (Wenzek et al. 2020) as ONE
+    composed plan: stopword-ratio language ID (t2's predicate), the
+    held-out stupid-backoff LM's perplexity decile (t21's scoring,
+    UNaugmented — the raw corpus), and dd1's normalized-text exact
+    keeper election; kept = English AND head/middle perplexity band
+    (bucket <= {max_bucket}) AND exact keeper. Every fragment is
+    single-homed with its parent query's oracle (_SQL_LANG_CASE,
+    _t21_ctes, dd1's fingerprint SQL), so the composition cannot
+    drift from the parts. Docs with fewer than two tokens are
+    unscorable by the LM and drop (inner join, both engines) — a
+    deployment routes them to a rule-only path, and they never
+    carried trainable text anyway.
+
+    Scale shape: the three sub-plans share ONE documents scan each
+    and join 1:1:1 on doc_id; lang-id and the keeper election are a
+    narrow map + one fingerprint-keyed window shuffle; the LM adds
+    its two count shuffles and the broadcast probes (see
+    operators/surprisal.stupid_backoff_surprisal). Nothing here is
+    quadratic; the composition's only new cost over the parts is the
+    two doc_id hash joins."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    shared = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("tk")
+    )
+    train = shared.filter(F.col("doc_id") % 2 == 0)
+    scored = stupid_backoff_surprisal(shared, train).select(
+        "doc_id", "ppl_bucket"
+    )
+    lang = docs.select(
+        "doc_id", textstats.detect_language(F.col("text")).alias("pred_lang")
+    )
+    w = Window.partitionBy(textstats.fingerprint(F.col("text")))
+    keep = docs.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+    return (
+        scored.join(lang, "doc_id")
+        .join(keep, "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "ppl_bucket",
+            "is_keeper",
+            (
+                (F.col("pred_lang") == "en")
+                & (F.col("ppl_bucket") <= PIPE12_MAX_PPL_BUCKET)
+                & F.col("is_keeper")
+            ).alias("kept"),
+        )
+    )
+
+
+pipe12_ccnet_stack.__doc__ = pipe12_ccnet_stack.__doc__.format(
+    max_bucket=PIPE12_MAX_PPL_BUCKET
+)
