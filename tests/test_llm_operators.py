@@ -2055,3 +2055,84 @@ def test_margin_alignment_planted_pairs_recall_is_total(spark):
         # self-cosine is 1.0 up to fold rounding (dot/(n*n) can land
         # one ULP above), not exactly 1.0
         assert abs(r.cos - 1.0) < 1e-12
+
+
+def test_repeated_kgram_spans_hand_geometry(spark):
+    """dd33 semantics on a hand-built corpus (K=8): shifted-alignment
+    detection (the case dd28's fixed tiles miss), maximal-span
+    merging of overlapping AND abutting windows, within-doc repeats,
+    sub-K docs contributing nothing, clean docs absent."""
+    import hashlib
+
+    from trello_github_etl_spark.operators.span_dedup import (
+        KGRAM_WORDS,
+        repeated_kgram_spans,
+    )
+
+    assert KGRAM_WORDS == 8  # the geometry below is built for K=8
+    run12 = [f"w{i}" for i in range(12)]  # shared 12-token run
+    r1 = [f"r{i}" for i in range(8)]  # within-doc repeated 8-run
+    s1 = [f"s{i}" for i in range(8)]  # runs for the abutting case
+    s2 = [f"t{i}" for i in range(8)]
+    rows = [
+        # A: run12 at offset 0, unique tail -> span [0, 12)
+        (1, run12 + [f"a{i}" for i in range(5)]),
+        # B: run12 at offset 3 (SHIFTED vs A) -> span [3, 15)
+        (2, ["b0", "b1", "b2"] + run12 + ["b3"]),
+        # C: r1 twice WITHIN one doc, gap > K -> two spans
+        (3, [f"c{i}" for i in range(4)] + r1
+            + [f"d{i}" for i in range(4)] + r1),
+        # D: shorter than K -> no postings at all
+        (4, ["e0", "e1", "e2"]),
+        # E: unique throughout -> absent from the output
+        (5, [f"u{i}" for i in range(20)]),
+        # F: s1 then s2 back-to-back; marked windows at pos 2 and 10
+        #    abut exactly (10 == 2 + K) -> ONE merged span [2, 18)
+        (6, ["g0", "g1"] + s1 + s2 + ["g2"]),
+        (7, ["h0"] + s1 + ["h1", "h2"]),  # donor for s1
+        (8, ["j0", "j1"] + s2),  # donor for s2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, _tk array<string>")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repeated_kgram_spans(docs).collect()
+    }
+
+    def fp(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert set(got) == {1, 2, 3, 6, 7, 8}
+    assert got[1] == dict(doc_id=1, n_marked=5, n_spans=1,
+                          dup_tokens=12, span_fp=fp("0:12"))
+    assert got[2] == dict(doc_id=2, n_marked=5, n_spans=1,
+                          dup_tokens=12, span_fp=fp("3:15"))
+    assert got[3] == dict(doc_id=3, n_marked=2, n_spans=2,
+                          dup_tokens=16, span_fp=fp("4:12;16:24"))
+    assert got[6] == dict(doc_id=6, n_marked=2, n_spans=1,
+                          dup_tokens=16, span_fp=fp("2:18"))
+    assert got[7]["span_fp"] == fp("1:9")
+    assert got[8]["span_fp"] == fp("2:10")
+
+
+def test_repeated_kgram_spans_catches_shift_dd28_tiles_miss(spark):
+    """The raison d'etre vs dd28: an 8-word run duplicated at offsets
+    0 and 3 shares NO stride-8 tile, so tile-based span dedup sees
+    nothing, while the sliding posting list marks both."""
+    from trello_github_etl_spark.operators.span_dedup import (
+        repeated_kgram_spans,
+        span_dedup,
+    )
+
+    run = [f"w{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [
+            (1, run + [f"a{i}" for i in range(8)]),
+            (2, ["b0", "b1", "b2"] + run + [f"c{i}" for i in range(5)]),
+        ],
+        "doc_id long, _tk array<string>",
+    )
+    tiles = {r["doc_id"]: r["n_dropped"] for r in span_dedup(docs).collect()}
+    assert tiles == {1: 0, 2: 0}  # tile dedup: blind to the shift
+    spans = {r["doc_id"]: r["dup_tokens"]
+             for r in repeated_kgram_spans(docs).collect()}
+    assert spans == {1: 8, 2: 8}  # sliding k-grams: both marked

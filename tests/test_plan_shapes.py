@@ -526,3 +526,21 @@ def test_pipe11_stack_composes_without_blowup(spark):
             assert "BuildRight" in ln and "Cross" in ln
     for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^,]*),", plan):
         assert "_bkt" in m.group(1)
+
+
+def test_dd33_repeated_kgram_spans_linear_no_pairs(spark):
+    import re
+
+    plan = _plan(_q(spark, "dd33_repeated_kgram_spans"))
+    # suffix-array-style dedup must never materialize doc pairs: the
+    # only join is the postings->repeated-keys equi-join, and the
+    # gaps-and-islands windows are keyed on doc_id (never global)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs  # lag + running sum are present...
+    for s in specs:
+        assert "doc_id" in s  # ...and every spec is doc-keyed

@@ -28,8 +28,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TILE_WORDS = 8
+
+# dd33's sliding-window width (Lee et al. 2021 use 50 BPE tokens on
+# real crawls; 8 words matches this corpus's ~54-word docs the same
+# way TILE_WORDS does for dd28). Single-homed: the dd33 oracle and
+# the skew gate derive from this constant.
+KGRAM_WORDS = 8
 
 
 def tile_spans(
@@ -117,4 +124,116 @@ def span_dedup(
         "n_dropped",
         F.md5("_cleaned").alias("cleaned_fp"),
         F.length("_cleaned").alias("cleaned_len"),
+    )
+
+
+def kgram_postings(
+    docs: DataFrame, id_col: str = "doc_id", toks_col: str = "_tk"
+) -> DataFrame:
+    """(id, pos, kgram_key) — one row per SLIDING KGRAM_WORDS-word
+    window (stride 1, vs tile_spans' stride TILE_WORDS): position
+    pos covers tokens [pos, pos+KGRAM_WORDS). Docs with fewer than
+    KGRAM_WORDS tokens contribute no rows. The HOF emits only
+    (pos, gram text); md5 is applied after the explode (lambda
+    bodies get no subexpression elimination — SCALE.md lesson 38)."""
+    n = F.size(toks_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - KGRAM_WORDS),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(F.col(toks_col), i + 1, KGRAM_WORDS), " "
+            ).alias("gram"),
+        ),
+    )
+    return (
+        docs.filter(n >= KGRAM_WORDS)
+        .select(id_col, F.explode(grams).alias("g"))
+        .select(
+            id_col,
+            F.col("g.pos").cast("long").alias("pos"),
+            F.md5(F.col("g.gram")).alias("kgram_key"),
+        )
+    )
+
+
+def repeated_kgram_spans(
+    docs: DataFrame, id_col: str = "doc_id", toks_col: str = "_tk"
+) -> DataFrame:
+    """Corpus-wide repeated-substring spans, the distributed shape of
+    Lee et al. 2021's suffix-array ExactSubstr dedup ("Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    token span that occurs (anywhere — another doc OR the same doc)
+    at least twice, WITHOUT ever materializing doc pairs. dd28 tiles
+    at stride TILE_WORDS and so misses duplicates at shifted
+    alignments; the sliding k-gram posting list catches any repeated
+    run >= KGRAM_WORDS tokens at any offset, which is exactly what a
+    suffix array buys, re-expressed as three relational steps:
+
+      1. posting list: one row per sliding k-gram (linear in corpus
+         tokens, ~n rows per n-token doc);
+      2. repeated keys: groupBy(kgram_key) HAVING count >= 2 — the
+         map-side-combined occurrence count stands in for the
+         suffix-array LCP test; the postings->repeated equi-join
+         shuffles on the md5-uniform key (hot boilerplate k-grams
+         are the AQE skew-join case, and they are precisely the rows
+         this operator exists to find — no df cap, heavy keys are
+         signal not noise);
+      3. maximal spans: per doc, overlapping-or-abutting marked
+         windows merge via gaps-and-islands (lag + running sum over
+         a window PARTITIONED BY doc id — bounded by doc length,
+         never a global sort).
+
+    Returns one row per doc that contains >= 1 repeated k-gram:
+    (id, n_marked sliding windows, n_spans maximal spans, dup_tokens
+    covered by those spans, span_fp = md5 of the ordered
+    'start:end' half-open token ranges)."""
+    # pin: postings feed BOTH the occurrence count and the marked
+    # join (same two-consumer shape as span_dedup's tiles pin;
+    # lifetime note there applies — multi-query drivers clearCache
+    # between queries).
+    post = kgram_postings(docs, id_col, toks_col).persist()
+    rep = (
+        post.groupBy("kgram_key")
+        .agg(F.count("*").alias("_occ"))
+        .filter(F.col("_occ") >= 2)
+        .select("kgram_key")
+    )
+    marked = post.join(rep, "kgram_key").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    # two selects because lag and the running sum cannot nest in one
+    # expression; both windows share (partition, order) so they plan
+    # as ONE Window node over one hash exchange on the doc id
+    flagged = marked.withColumn(
+        "_new",
+        F.when(
+            lagp.isNull() | (F.col("pos") > lagp + KGRAM_WORDS), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + KGRAM_WORDS).alias("spanend"),
+        F.count("*").alias("_n_pos"),
+    )
+    spans_str = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("start", "spanend"))),
+            lambda s: F.concat_ws(
+                ":",
+                s["start"].cast("string"),
+                s["spanend"].cast("string"),
+            ),
+        ),
+        ";",
+    )
+    return per_island.groupBy(id_col).agg(
+        F.sum("_n_pos").alias("n_marked"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("spanend") - F.col("start")).alias("dup_tokens"),
+        F.md5(spans_str).alias("span_fp"),
     )

@@ -3336,7 +3336,9 @@ def t19_unigram_surprisal_buckets(
 
 
 from trello_github_etl_spark.operators.span_dedup import (  # noqa: E402
+    KGRAM_WORDS as _KGRAM,
     TILE_WORDS as _TILE,
+    repeated_kgram_spans as _repeated_kgram_spans,
     span_dedup as _span_dedup,
 )
 
@@ -3503,6 +3505,80 @@ def dd30_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         _augmented_docs(spark, sf_dir), max_shingle_df=DD30_MAX_SHINGLE_DF
     )
+
+
+_DD33_ORACLE = (
+    """
+    WITH docs AS ("""
+    + SQL_AUGMENTED_DOCS
+    + """),
+    toks AS (
+      SELECT doc_id, """
+    + SQL_TOKENS.format(t="text")
+    + """ AS tk FROM docs
+    ),
+    post AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(
+               list_slice(tk, i+1, i+{K}), ' ')) AS kgram_key
+      FROM toks,
+        UNNEST(range(0, greatest(len(tk)-{K}+1, 0))) AS u(i)
+    ),
+    rep AS (
+      SELECT kgram_key FROM post GROUP BY kgram_key HAVING COUNT(*) >= 2
+    ),
+    marked AS (SELECT doc_id, pos FROM post JOIN rep USING (kgram_key)),
+    flag AS (
+      SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos > lag(pos) OVER w + {K}
+             THEN 1 ELSE 0 END AS is_new
+      FROM marked
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+      FROM flag
+    ),
+    per_isl AS (
+      SELECT doc_id, isl_id, MIN(pos) AS strt,
+             MAX(pos) + {K} AS spanend, COUNT(*) AS n_pos
+      FROM isl GROUP BY doc_id, isl_id
+    )
+    SELECT doc_id,
+      CAST(SUM(n_pos) AS BIGINT) AS n_marked,
+      CAST(COUNT(*) AS BIGINT) AS n_spans,
+      CAST(SUM(spanend - strt) AS BIGINT) AS dup_tokens,
+      md5(string_agg(
+        CAST(strt AS VARCHAR) || ':' || CAST(spanend AS VARCHAR),
+        ';' ORDER BY strt)) AS span_fp
+    FROM per_isl GROUP BY doc_id
+    """.replace("{K}", str(_KGRAM))
+)
+
+
+@query("dd33_repeated_kgram_spans", oracle=_DD33_ORACLE)
+def dd33_repeated_kgram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style repeated-substring detection (Lee et al.
+    2021's ExactSubstr dedup), the alignment-free sibling dd28's
+    fixed tiles cannot be: sliding KGRAM_WORDS-word windows (stride
+    1) catch a duplicated run at ANY token offset, merged per doc
+    into maximal half-open spans. Runs over the augmented corpus:
+    exact re-crawls mark whole docs end-to-end, ' extraword' near
+    copies mark everything but the tail, and the base corpus's own
+    natural boilerplate shows up as partial spans. Linear — one
+    map-side-combined occurrence count, one equi-join on the
+    md5-uniform k-gram key, one doc-keyed gaps-and-islands window;
+    doc pairs are never materialized (see
+    operators/span_dedup.repeated_kgram_spans for the scale
+    contract)."""
+    docs = ensure_parallelism(_augmented_docs(spark, sf_dir))
+    shared = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk")
+    )
+    return _repeated_kgram_spans(shared, id_col="doc_id", toks_col="_tk")
 
 
 # ---------------------------------------------------------------------------
