@@ -544,3 +544,16 @@ def test_dd33_repeated_kgram_spans_linear_no_pairs(spark):
     assert specs  # lag + running sum are present...
     for s in specs:
         assert "doc_id" in s  # ...and every spec is doc-keyed
+
+
+def test_t22_domain_rollup_scan_fused_zero_joins(spark):
+    plan = _plan(_q(spark, "t22_domain_quality_rollup"))
+    # host + canonical URL + all six structural rule booleans are one
+    # projection fused into the documents scan; the only shuffles are
+    # ensure_parallelism's round-robin and the groupBy(domain)
+    # aggregate (countDistinct adds its expand, not a join)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert "SinglePartition" not in plan
+    assert "HashAggregate" in plan

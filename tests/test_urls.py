@@ -222,3 +222,49 @@ def test_canonicalization_cross_engine_and_fixpoint(spark, urls):
     assert got == want, {
         k: (got[k], want.get(k)) for k in got if got[k] != want.get(k)
     }
+
+
+def test_canonical_host_agrees_with_canonicalize_url_on_goldens(spark):
+    """canonical_host must equal the host component embedded in
+    canonicalize_url's output (t22 groups by the former while
+    counting distinct values of the latter — drift between them
+    would misattribute pages to domains)."""
+    from trello_github_etl_spark.functions.urls import canonical_host
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(GOLDEN)],
+        "i long, raw string",
+    )
+    rows = (
+        df.select(
+            "raw",
+            canonical_host(F.col("raw")).alias("host"),
+            canonicalize_url(F.col("raw")).alias("canon"),
+        )
+        .collect()
+    )
+    for r in rows:
+        # host of the canonical URL, re-extracted: strip scheme,
+        # userinfo, port, path — must equal canonical_host(raw)
+        rest = r["canon"].split("://", 1)[1]
+        auth = rest.split("/", 1)[0].split("?", 1)[0]
+        auth = auth.rsplit("@", 1)[-1]
+        host = auth.rsplit(":", 1)[0] if ":" in auth else auth
+        assert r["host"] == host, (r["raw"], r["host"], host)
+    # and the pathological cases: userinfo case survives nowhere in
+    # the host, default-port and explicit-port spellings collapse
+    extra = spark.createDataFrame(
+        [
+            (1, "HTTP://UsEr@WWW.ExAmple.COM:80/x"),
+            (2, "http://user@example.com/x"),
+            (3, "https://www.example.com:8443/x"),
+        ],
+        "i long, u string",
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in extra.select(
+            "i", canonical_host(F.col("u")).alias("h")
+        ).collect()
+    }
+    assert got == {1: "example.com", 2: "example.com", 3: "example.com"}

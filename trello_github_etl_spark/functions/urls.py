@@ -124,3 +124,21 @@ def canonicalize_url(
         canon_path,
         canon_query,
     )
+
+
+def canonical_host(url: Column) -> Column:
+    """The canonical HOST of an absolute http(s) URL — the same
+    steps canonicalize_url applies to the authority (drop fragment,
+    split authority, strip case-sensitive userinfo, lowercase, strip
+    port, strip leading ``www.``), exposed on its own for
+    domain-level rollups (RefinedWeb-style per-domain filtering
+    groups by this). The synthetic hosts here are registrable
+    domains already; a corpus with deep subdomains would compose a
+    public-suffix lookup on top."""
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
+    authority_raw = F.regexp_extract(rest, "^([^/?]*)", 1)
+    authority = F.lower(F.regexp_replace(authority_raw, "^.*@", ""))
+    return F.regexp_replace(
+        F.regexp_replace(authority, ":[0-9]+$", ""), r"^www\.", ""
+    )

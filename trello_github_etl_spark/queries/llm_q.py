@@ -4151,3 +4151,111 @@ def pipe12_ccnet_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipe12_ccnet_stack.__doc__ = pipe12_ccnet_stack.__doc__.format(
     max_bucket=PIPE12_MAX_PPL_BUCKET
 )
+
+
+# ---------------------------------------------------------------------------
+# t22 — domain-level quality rollup (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+# Verdict threshold, single-homed: Spark predicate and oracle SQL
+# both splice this constant. 0.5 is exact in binary, so the >=
+# comparison cannot straddle an ULP between engines.
+T22_MIN_PASS_RATE = 0.5
+
+_T22_ORACLE = f"""
+    WITH u AS (
+      SELECT doc_id, {SQL_MESSY_URL} AS url FROM documents
+    ),
+    {SQL_URL_CANON_CTES},
+    h AS (
+      SELECT c.doc_id, c.canon_url, c6.host AS domain
+      FROM c JOIN c6 USING (doc_id)
+    ),
+    g AS (
+      WITH aug AS (SELECT doc_id, text FROM documents),
+      {_T17_RULES_SQL}
+    ),
+    per AS (
+      SELECT h.domain,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT h.canon_url) AS BIGINT) AS n_pages,
+        CAST(SUM(CASE WHEN g.r_word_count AND g.r_mean_len AND g.r_symbol
+                       AND g.r_bullet AND g.r_ellipsis AND g.r_alpha
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM h JOIN g USING (doc_id)
+      GROUP BY h.domain
+    )
+    SELECT domain, n_docs, n_pages, n_keep,
+      CAST(n_keep AS DOUBLE) / n_docs AS pass_rate,
+      CASE WHEN CAST(n_keep AS DOUBLE) / n_docs >= {T22_MIN_PASS_RATE}
+           THEN 'kept' ELSE 'blocked' END AS verdict
+    FROM per
+    """
+
+
+@query("t22_domain_quality_rollup", oracle=_T22_ORACLE)
+def t22_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filtering (the RefinedWeb/C4 move of
+    judging PROVENANCE, not just documents: a domain whose pages
+    mostly fail the quality rules is a content farm, and its
+    remaining pages are suspect too). Per canonical host: page count,
+    DISTINCT canonical-URL count (re-fetches collapse), Gopher-rule
+    pass count/rate, and a kept/blocked verdict at
+    T22_MIN_PASS_RATE. Composes three existing single-homed
+    fragments — the messy-URL derivation, the URL canonicalization
+    rules (functions/urls.canonical_host, the authority steps of
+    canonicalize_url), and t17's Gopher rule set — so the rollup
+    cannot drift from the per-doc operators.
+
+    The pass predicate is the LANGUAGE-AGNOSTIC structural subset of
+    the Gopher rules (everything except r_stop): a domain rollup
+    mixes languages, and the required-English-stopwords lexicon rule
+    would score every non-English domain 0.0 regardless of quality —
+    CCNet/RefinedWeb apply lexicon rules per-language AFTER lang-id,
+    never at the provenance level. (On this corpus it is also the
+    honesty condition: the synthetic word-salad carries no English
+    stopwords, so the full conjunction is constant-false — a dead
+    verdict branch.)
+
+    Scale shape: host, canonical URL, and all seven rule booleans
+    are ONE pure-builtin projection fused into the documents scan
+    (zero joins — the oracle joins its CTEs because SQL has no
+    lesson-38 concern; Spark computes both sides of the 'join' on
+    the same row), followed by ONE groupBy(domain) with map-side
+    partial aggregation; countDistinct adds the standard two-phase
+    expand. Domains are Zipf-hot in real crawls — the heavy groups
+    are exactly what AQE skew-split handles, and no per-domain state
+    grows beyond four counters."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    url = _messy_url(F.col("doc_id"))
+    shared = docs.select(
+        "text",
+        textstats.tokens(F.col("text")).alias("_tk"),
+        url.alias("_url"),
+    )
+    rules = _qr.gopher_rules(F.col("_tk"), F.col("text"))
+    structural = (
+        rules["r_word_count"]
+        & rules["r_mean_len"]
+        & rules["r_symbol"]
+        & rules["r_bullet"]
+        & rules["r_ellipsis"]
+        & rules["r_alpha"]
+    )
+    proj = shared.select(
+        urls.canonical_host(F.col("_url")).alias("domain"),
+        urls.canonicalize_url(F.col("_url")).alias("canon_url"),
+        structural.alias("_keep"),
+    )
+    agg = proj.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("canon_url").alias("n_pages"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_keep"),
+    )
+    return agg.withColumn(
+        "pass_rate", F.col("n_keep").cast("double") / F.col("n_docs")
+    ).withColumn(
+        "verdict",
+        F.when(F.col("pass_rate") >= T22_MIN_PASS_RATE, "kept").otherwise(
+            "blocked"
+        ),
+    )
