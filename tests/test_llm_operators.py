@@ -2136,3 +2136,63 @@ def test_repeated_kgram_spans_catches_shift_dd28_tiles_miss(spark):
     spans = {r["doc_id"]: r["dup_tokens"]
              for r in repeated_kgram_spans(docs).collect()}
     assert spans == {1: 8, 2: 8}  # sliding k-grams: both marked
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """Hand geometry: a tight cluster whose nearest neighbors share
+    the anchor's label must NOT appear as negatives; the mined
+    negative is the nearest DIFFERENT-label vector, even though it
+    is farther than every same-label neighbor."""
+    # one cell (nlist=1 via explicit centroid at the origin-ish
+    # direction) so cell blocking cannot hide the semantics
+    rows = [
+        # label-0 cluster hugging +x
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),
+        (3, [0.998, 0.02, 0.0, 0.0], 0),
+        # label-1 vector, close-ish to the cluster: THE hard negative
+        (4, [0.9, 0.3, 0.0, 0.0], 1),
+        # label-1 vector, far away
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "cent_id int, c_vec array<float>"
+    )
+    got = similarity.hard_negative_mining(emb, centroids=cents, k=2)
+    per = {}
+    for r in got.collect():
+        per.setdefault(r["anchor_id"], []).append(
+            (r["rk"], r["neg_id"], r["neg_label"])
+        )
+    # anchor 1's same-label neighbors 2,3 are cosine-closer than 4,
+    # but negatives must be label!=0: top negative is 4, then 5
+    assert sorted(per[1]) == [(1, 4, 1), (2, 5, 1)]
+    # anchor 4 (label 1): negatives are the label-0 cluster, nearest
+    # first (vec 3 has the largest cosine to 4, then 2)
+    assert [n for _, n, _ in sorted(per[4])] == [3, 2]
+    # no row anywhere pairs equal labels
+    assert all(
+        r["anchor_label"] != r["neg_label"] for r in got.collect()
+    )
+
+
+def test_hard_negative_mining_k_cap_and_determinism(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100.0, 0.0, 0.0], i % 2) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "cent_id int, c_vec array<float>"
+    )
+    a = similarity.hard_negative_mining(emb, centroids=cents, k=3).collect()
+    b = similarity.hard_negative_mining(emb, centroids=cents, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = {}
+    for r in a:
+        per.setdefault(r["anchor_id"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per.values())
+    assert len(per) == 10  # every anchor has cross-label candidates

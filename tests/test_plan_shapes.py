@@ -557,3 +557,26 @@ def test_t22_domain_rollup_scan_fused_zero_joins(spark):
     assert "Generate" not in plan
     assert "SinglePartition" not in plan
     assert "HashAggregate" in plan
+
+
+def test_s17_hard_negatives_label_filter_inside_cell_join(spark):
+    import re
+
+    plan = _plan(_q(spark, "s17_hard_negative_mining"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the label inequality must sit in the PAIR-JOIN condition (same-
+    # label candidates rejected before any cosine fold), not in a
+    # post-join Filter: find the cell-keyed join line and check it
+    # carries the label comparison
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if ("Join" in ln and "cell" in ln)
+    ]
+    assert join_lines, plan
+    assert any("label" in ln for ln in join_lines), join_lines
+    # the top-k window is anchor-keyed, never global
+    for m in re.finditer(
+        r"row_number\(\) windowspecdefinition\(([^,]*),", plan
+    ):
+        assert "anchor_id" in m.group(1)

@@ -1441,3 +1441,106 @@ def margin_alignment(
         .filter(F.col("_rk") == 1)
         .select("x_id", "y_id", "cos", "margin")
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    cache_key: str | None = None,
+    nlist: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    every anchor vector, the k nearest IN-CELL vectors carrying a
+    DIFFERENT label — the negatives closest to the decision boundary,
+    which is what contrastive batches are built from (in-batch random
+    negatives are mostly easy; ANN-mined hard negatives are the
+    standard fix, e.g. ANCE / DPR-style retrieval training).
+
+    Returns (anchor_id, neg_id, anchor_label, neg_label, cos, rk)
+    with rk in 1..k per anchor; ties break (cos DESC, neg_id ASC).
+
+    Scale shape — the s15 discipline with one extra lever: the label
+    inequality is part of the PAIR-JOIN CONDITION, so same-label
+    pairs (the majority inside a cell when labels correlate with
+    geometry, which is the whole premise of embedding training) are
+    rejected by the join before any cosine fold is spent on them —
+    filtering after scoring would do the full quadratic in-cell work
+    only to drop most of it. Candidates come from the shared
+    self-seeded √N cells (never all-pairs); each unordered cross-
+    label pair is scored once and exploded into its two directed
+    rows (Spark dedups exchanges under a union, not join subtrees —
+    r5 code review, same as mutual_knn_graph); one anchor-keyed
+    window takes top-k. The label join onto the assignment frame is
+    id-keyed and narrow (two columns)."""
+    from pyspark.sql.window import Window
+
+    from trello_github_etl_spark.operators.gen import exploded
+
+    auto_k: int | None = None
+    if centroids is None:
+        centroids, suffix, seed_k = auto_seed_centroids(
+            embeddings, nlist, vec_col, id_col
+        )
+        if nlist is None:
+            auto_k = seed_k
+        if cache_key is not None:
+            cache_key = cache_key + suffix
+    elif nlist is not None:
+        raise ValueError(
+            "nlist applies only to the self-seeding path; pass either "
+            "centroids or nlist, not both"
+        )
+    cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
+    lab = embeddings.select(id_col, label_col)
+    cl = cells.join(lab, id_col)
+    if auto_k is not None:
+        # explicit cell-keyed repartition before the self-join, exempt
+        # from AQE byte-based coalescing (SCALE.md lesson 36)
+        cl = cl.repartition(auto_k, F.col("cell"))
+    x, y = cl.alias("x"), cl.alias("y")
+    cond = (
+        (F.col("x.cell") == F.col("y.cell"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        & (F.col(f"x.{label_col}") != F.col(f"y.{label_col}"))
+    )
+    pairs = x.join(y, cond).select(
+        F.col(f"x.{id_col}").alias("va"),
+        F.col(f"y.{id_col}").alias("vb"),
+        F.col(f"x.{label_col}").alias("la"),
+        F.col(f"y.{label_col}").alias("lb"),
+        cosine_prenormed(
+            F.col(f"x.{vec_col}"),
+            F.col(f"y.{vec_col}"),
+            F.col("x._norm"),
+            F.col("y._norm"),
+        ).alias("cos"),
+    )
+    both_dirs = F.array(
+        F.struct(
+            F.col("va").alias("anchor_id"),
+            F.col("vb").alias("neg_id"),
+            F.col("la").alias("anchor_label"),
+            F.col("lb").alias("neg_label"),
+            F.col("cos").alias("cos"),
+        ),
+        F.struct(
+            F.col("vb").alias("anchor_id"),
+            F.col("va").alias("neg_id"),
+            F.col("lb").alias("anchor_label"),
+            F.col("la").alias("neg_label"),
+            F.col("cos").alias("cos"),
+        ),
+    )
+    directed = exploded(pairs, [], both_dirs, "e").select(
+        "e.anchor_id", "e.neg_id", "e.anchor_label", "e.neg_label", "e.cos"
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("neg_id").asc()
+    )
+    return directed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

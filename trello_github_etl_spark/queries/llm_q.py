@@ -4259,3 +4259,78 @@ def t22_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blocked"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# s17 — hard-negative mining (operators/similarity.hard_negative_mining)
+# ---------------------------------------------------------------------------
+S17_K = 3
+
+_S17_ORACLE = (
+    """
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id,
+             embedding AS c_vec
+      FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (
+        SELECT GREATEST({nmin}, LEAST({nmax},
+                        CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))
+        FROM embeddings
+      )
+    ),
+    cells AS (
+      SELECT vec_id, embedding, label, cent_id AS cell FROM (
+        SELECT t.vec_id, t.embedding, t.label, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {cos_tc} DESC, c.cent_id ASC) AS rn
+        FROM embeddings t, cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             a.label AS la, b.label AS lb,
+             {cos_ab} AS cos
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+       AND a.label <> b.label
+    ),
+    directed AS (
+      SELECT va AS anchor_id, vb AS neg_id,
+             la AS anchor_label, lb AS neg_label, cos FROM pairs
+      UNION ALL
+      SELECT vb, va, lb, la, cos FROM pairs
+    )
+    SELECT anchor_id, neg_id, anchor_label, neg_label, cos,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cos DESC, neg_id ASC) AS rk
+      FROM directed
+    ) WHERE rk <= {k}
+    """.replace("{cos_tc}", _sql_cosine("t.embedding", "c.c_vec"))
+       .replace("{cos_ab}", _sql_cosine("a.embedding", "b.embedding"))
+       .replace("{k}", str(S17_K))
+       .replace("{nmin}", str(similarity.IVF_NLIST_MIN))
+       .replace("{nmax}", str(similarity.IVF_NLIST_MAX))
+)
+
+
+@query("s17_hard_negative_mining", oracle=_S17_ORACLE)
+def s17_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-mined hard negatives for contrastive training (the
+    ANCE/DPR move): per anchor, the S17_K nearest same-cell vectors
+    with a DIFFERENT label — boundary-hugging negatives, not the
+    easy random ones. The label inequality lives in the pair-join
+    condition so same-label candidates die before their cosine is
+    ever folded (see operators/similarity.hard_negative_mining).
+    Cells are the shared self-seeded sqrt(N) IVF partition (s15's
+    machinery and caveat: cross-cell near-negatives are missed
+    exactly as in every IVF retrieval path). Ties break (cos DESC,
+    neg_id ASC); the oracle replays the identical derivation."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return similarity.hard_negative_mining(
+        emb, k=S17_K, cache_key=f"ivfauto-s17|{sf_dir}"
+    )
