@@ -144,6 +144,10 @@ HEADLINE = [
     "dd32_incremental_semantic_dedup",
     "s16_margin_alignment",
     "pipe12_ccnet_stack",
+    "dd33_repeated_kgram_spans",
+    "t22_domain_quality_rollup",
+    "s17_hard_negative_mining",
+    "pipe13_provenance_stack",
 ]
 
 

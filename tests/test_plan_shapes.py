@@ -580,3 +580,12 @@ def test_s17_hard_negatives_label_filter_inside_cell_join(spark):
         r"row_number\(\) windowspecdefinition\(([^,]*),", plan
     ):
         assert "anchor_id" in m.group(1)
+
+
+def test_pipe13_provenance_stack_no_cartesian(spark):
+    plan = _plan(_q(spark, "pipe13_provenance_stack"))
+    # three axes compose via doc_id/domain hash joins; nothing may
+    # plan as a product, and no window may go global
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan

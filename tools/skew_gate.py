@@ -84,6 +84,17 @@ SKEW_QUERIES = [
     # pipe12's keeper election meets the 1,000-member exact-dup
     # family as ONE hot fingerprint window partition
     "pipe12_ccnet_stack",
+    # r11 additions: dd33's posting list meets the 1,000-member
+    # exact family as ~10^3-occurrence k-gram keys through the
+    # repeated-keys join (the AQE skew-join case its docstring
+    # claims); t22's domain rollup meets the 1,000-fetch hot host as
+    # one heavy groupBy(domain) partition; s17's cross-label pair
+    # join meets the 400-member single-cell embedding cluster
+    # (labels rotate % 10 inside it, so ~90% of its quadratic
+    # candidates are cross-label and survive to scoring)
+    "dd33_repeated_kgram_spans",
+    "t22_domain_quality_rollup",
+    "s17_hard_negative_mining",
 ]
 
 # Bench subset: the lever queries with meaningful data work. dd6/dd9/
@@ -110,6 +121,9 @@ BENCH_QUERIES = [
     "t21_backoff_lm_ppl_deciles",
     "dd32_incremental_semantic_dedup",
     "s16_margin_alignment",
+    "dd33_repeated_kgram_spans",
+    "t22_domain_quality_rollup",
+    "s17_hard_negative_mining",
 ]
 
 
@@ -187,6 +201,38 @@ def _cap_engagement_receipts() -> int:
             .filter(F.col("_n") >= 500)
             .count()
         )
+        # dd33's hot-key receipt (r11): the fixture must push >= 1
+        # k-gram key to >= 500 corpus-wide occurrences via the
+        # REGISTERED derivation (augmented corpus, sliding
+        # KGRAM_WORDS windows) — that is the heavy side of the
+        # repeated-keys join whose skew story dd33 claims
+        from trello_github_etl_spark.operators.span_dedup import (
+            kgram_postings,
+        )
+        from trello_github_etl_spark.operators.textstats import tokens
+
+        toks = docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+        hot_kgrams = (
+            kgram_postings(toks)
+            .groupBy("kgram_key")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") >= 500)
+            .count()
+        )
+        # t22's hot-domain receipt (r11): >= 1 canonical host with
+        # >= 500 docs via the registered derivation — the heavy
+        # groupBy(domain) partition the rollup's skew story names
+        from trello_github_etl_spark.functions.urls import canonical_host
+
+        hot_domains = (
+            raw_docs.select(
+                canonical_host(_messy_url(F.col("doc_id"))).alias("h")
+            )
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 500)
+            .count()
+        )
     finally:
         spark.stop()
     failed = False
@@ -195,6 +241,8 @@ def _cap_engagement_receipts() -> int:
         (f"dd7 shingle-df cap ({DD7_MAX_SHINGLE_DF})", hot7 or 0),
         (f"dd30 shingle-df cap ({DD30_MAX_SHINGLE_DF})", hot30 or 0),
         ("dd31 hot canonical URL (>= 500 fetches)", hot_urls),
+        ("dd33 hot k-gram key (>= 500 occurrences)", hot_kgrams),
+        ("t22 hot domain (>= 500 docs)", hot_domains),
     ):
         if hot > 0:
             print(f"cap engaged: {label} — {hot} hot keys above cap")

@@ -3507,46 +3507,66 @@ def dd30_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd33_ctes(src: str) -> str:
+    """dd33's posting-list/repeated-keys/gaps-and-islands CTE chain
+    over a prior CTE ``src(doc_id, text)``, ending at ``d33_per_isl``
+    (one row per maximal span) — single-homed so the dd33 oracle and
+    pipe13's repetition axis replay the SAME SQL (the pipe12/_t21_ctes
+    discipline). ``d33_toks`` stays visible for per-doc token counts."""
+    return (
+        """
+    d33_toks AS (
+      SELECT doc_id, """
+        + SQL_TOKENS.format(t="text")
+        + """ AS tk FROM """
+        + src
+        + """
+    ),
+    d33_post AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(
+               list_slice(tk, i+1, i+{K}), ' ')) AS kgram_key
+      FROM d33_toks,
+        UNNEST(range(0, greatest(len(tk)-{K}+1, 0))) AS u(i)
+    ),
+    d33_rep AS (
+      SELECT kgram_key FROM d33_post
+      GROUP BY kgram_key HAVING COUNT(*) >= 2
+    ),
+    d33_marked AS (
+      SELECT doc_id, pos FROM d33_post JOIN d33_rep USING (kgram_key)
+    ),
+    d33_flag AS (
+      SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos > lag(pos) OVER w + {K}
+             THEN 1 ELSE 0 END AS is_new
+      FROM d33_marked
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    d33_isl AS (
+      SELECT doc_id, pos,
+        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+      FROM d33_flag
+    ),
+    d33_per_isl AS (
+      SELECT doc_id, isl_id, MIN(pos) AS strt,
+             MAX(pos) + {K} AS spanend, COUNT(*) AS n_pos
+      FROM d33_isl GROUP BY doc_id, isl_id
+    )
+    """.replace("{K}", str(_KGRAM))
+    )
+
+
 _DD33_ORACLE = (
     """
     WITH docs AS ("""
     + SQL_AUGMENTED_DOCS
     + """),
-    toks AS (
-      SELECT doc_id, """
-    + SQL_TOKENS.format(t="text")
-    + """ AS tk FROM docs
-    ),
-    post AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             md5(array_to_string(
-               list_slice(tk, i+1, i+{K}), ' ')) AS kgram_key
-      FROM toks,
-        UNNEST(range(0, greatest(len(tk)-{K}+1, 0))) AS u(i)
-    ),
-    rep AS (
-      SELECT kgram_key FROM post GROUP BY kgram_key HAVING COUNT(*) >= 2
-    ),
-    marked AS (SELECT doc_id, pos FROM post JOIN rep USING (kgram_key)),
-    flag AS (
-      SELECT doc_id, pos,
-        CASE WHEN lag(pos) OVER w IS NULL
-               OR pos > lag(pos) OVER w + {K}
-             THEN 1 ELSE 0 END AS is_new
-      FROM marked
-      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ),
-    isl AS (
-      SELECT doc_id, pos,
-        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
-      FROM flag
-    ),
-    per_isl AS (
-      SELECT doc_id, isl_id, MIN(pos) AS strt,
-             MAX(pos) + {K} AS spanend, COUNT(*) AS n_pos
-      FROM isl GROUP BY doc_id, isl_id
-    )
+    """
+    + _dd33_ctes("docs")
+    + """
     SELECT doc_id,
       CAST(SUM(n_pos) AS BIGINT) AS n_marked,
       CAST(COUNT(*) AS BIGINT) AS n_spans,
@@ -3554,8 +3574,8 @@ _DD33_ORACLE = (
       md5(string_agg(
         CAST(strt AS VARCHAR) || ':' || CAST(spanend AS VARCHAR),
         ';' ORDER BY strt)) AS span_fp
-    FROM per_isl GROUP BY doc_id
-    """.replace("{K}", str(_KGRAM))
+    FROM d33_per_isl GROUP BY doc_id
+    """
 )
 
 
@@ -4161,34 +4181,46 @@ pipe12_ccnet_stack.__doc__ = pipe12_ccnet_stack.__doc__.format(
 # comparison cannot straddle an ULP between engines.
 T22_MIN_PASS_RATE = 0.5
 
+# t22's CTE chain over prior CTEs ``u`` + the canon chain (c/c6) —
+# single-homed so pipe13's provenance axis replays the SAME SQL.
+# t22_h doubles as the per-doc (doc_id -> domain, canon_url) map.
+_T22_CTES = f"""
+    t22_h AS (
+      SELECT c.doc_id, c.canon_url, c6.host AS domain
+      FROM c JOIN c6 USING (doc_id)
+    ),
+    t22_g AS (
+      WITH aug AS (SELECT doc_id, text FROM documents),
+      {_T17_RULES_SQL}
+    ),
+    t22_per AS (
+      SELECT t22_h.domain,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT t22_h.canon_url) AS BIGINT) AS n_pages,
+        CAST(SUM(CASE WHEN t22_g.r_word_count AND t22_g.r_mean_len
+                       AND t22_g.r_symbol AND t22_g.r_bullet
+                       AND t22_g.r_ellipsis AND t22_g.r_alpha
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM t22_h JOIN t22_g USING (doc_id)
+      GROUP BY t22_h.domain
+    ),
+    t22_v AS (
+      SELECT domain, n_docs, n_pages, n_keep,
+        CAST(n_keep AS DOUBLE) / n_docs AS pass_rate,
+        CASE WHEN CAST(n_keep AS DOUBLE) / n_docs >= {T22_MIN_PASS_RATE}
+             THEN 'kept' ELSE 'blocked' END AS verdict
+      FROM t22_per
+    )
+    """
+
 _T22_ORACLE = f"""
     WITH u AS (
       SELECT doc_id, {SQL_MESSY_URL} AS url FROM documents
     ),
     {SQL_URL_CANON_CTES},
-    h AS (
-      SELECT c.doc_id, c.canon_url, c6.host AS domain
-      FROM c JOIN c6 USING (doc_id)
-    ),
-    g AS (
-      WITH aug AS (SELECT doc_id, text FROM documents),
-      {_T17_RULES_SQL}
-    ),
-    per AS (
-      SELECT h.domain,
-        CAST(COUNT(*) AS BIGINT) AS n_docs,
-        CAST(COUNT(DISTINCT h.canon_url) AS BIGINT) AS n_pages,
-        CAST(SUM(CASE WHEN g.r_word_count AND g.r_mean_len AND g.r_symbol
-                       AND g.r_bullet AND g.r_ellipsis AND g.r_alpha
-                      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-      FROM h JOIN g USING (doc_id)
-      GROUP BY h.domain
-    )
-    SELECT domain, n_docs, n_pages, n_keep,
-      CAST(n_keep AS DOUBLE) / n_docs AS pass_rate,
-      CASE WHEN CAST(n_keep AS DOUBLE) / n_docs >= {T22_MIN_PASS_RATE}
-           THEN 'kept' ELSE 'blocked' END AS verdict
-    FROM per
+    {_T22_CTES}
+    SELECT domain, n_docs, n_pages, n_keep, pass_rate, verdict
+    FROM t22_v
     """
 
 
@@ -4334,3 +4366,115 @@ def s17_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_mining(
         emb, k=S17_K, cache_key=f"ivfauto-s17|{sf_dir}"
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe13 — the provenance + repetition pre-filter stack
+# ---------------------------------------------------------------------------
+PIPE13_MAX_DUP_FRAC = 0.5
+
+_PIPE13_ORACLE = f"""
+    WITH u AS (
+      SELECT doc_id, {SQL_MESSY_URL} AS url FROM documents
+    ),
+    {SQL_URL_CANON_CTES},
+    {_T22_CTES},
+    rawd AS (SELECT doc_id, text FROM documents),
+    {_dd33_ctes("rawd")},
+    d33_doc AS (
+      SELECT doc_id, CAST(SUM(spanend - strt) AS BIGINT) AS dup
+      FROM d33_per_isl GROUP BY doc_id
+    ),
+    ntok AS (SELECT doc_id, len(tk) AS n_tok FROM d33_toks),
+    keep_u AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS url_kept
+      FROM c
+    )
+    SELECT *,
+      (domain_verdict = 'kept' AND url_kept
+       AND dup_frac <= {PIPE13_MAX_DUP_FRAC}) AS kept
+    FROM (
+      SELECT h.doc_id, h.domain, v.verdict AS domain_verdict, k.url_kept,
+        CASE WHEN n.n_tok = 0 THEN 0.0
+             ELSE CAST(COALESCE(d.dup, 0) AS DOUBLE) / n.n_tok
+        END AS dup_frac
+      FROM t22_h h
+      JOIN t22_v v USING (domain)
+      JOIN keep_u k USING (doc_id)
+      JOIN ntok n USING (doc_id)
+      LEFT JOIN d33_doc d USING (doc_id)
+    )
+    """
+
+
+@query("pipe13_provenance_stack", oracle=_PIPE13_ORACLE)
+def pipe13_provenance_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The provenance + repetition PRE-filter — the pass a crawl
+    pipeline runs BEFORE any content model (pipe12's lang/perplexity
+    stack) ever sees the text, because it is the cheapest
+    rejection: judge each page by where it comes from and whether
+    its text is already elsewhere. Three axes composed as ONE plan:
+    domain quality verdict (t22's rollup joined back per doc),
+    canonical-URL keeper election (dd31's window — re-fetches lose),
+    and the repeated-k-gram span fraction (dd33's chain over the RAW
+    corpus; docs whose text is mostly corpus-duplicate spans are
+    boilerplate shells). kept = domain kept AND url keeper AND
+    dup_frac <= {max_frac}. Every fragment is single-homed with its
+    parent's oracle (_T22_CTES, SQL_URL_CANON_CTES, _dd33_ctes) so
+    the composition cannot drift from the parts.
+
+    Scale shape: the domain verdict is a domain-keyed equi-join of a
+    domains-sized frame (never broadcast-assumed — millions of
+    domains at crawl scale); the keeper election and token counts
+    are the parents' plans unchanged; the dup-span axis joins LEFT
+    (a doc with no repeated k-gram is clean, frac 0). Four doc/domain
+    hash joins on top of the parts — nothing quadratic, nothing
+    global."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    url = _messy_url(F.col("doc_id"))
+    prov = docs.select(
+        "doc_id", urls.canonical_host(url).alias("domain")
+    )
+    dv = t22_domain_quality_rollup(spark, sf_dir).select(
+        "domain", F.col("verdict").alias("domain_verdict")
+    )
+    uk = dd31_url_canonical_dedup(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("url_kept"),
+    )
+    shared = docs.select(
+        "doc_id", textstats.tokens(F.col("text")).alias("_tk")
+    )
+    ntok = shared.select("doc_id", F.size("_tk").alias("_n_tok"))
+    dup = _repeated_kgram_spans(shared, id_col="doc_id", toks_col="_tk").select(
+        "doc_id", "dup_tokens"
+    )
+    joined = (
+        prov.join(dv, "domain")
+        .join(uk, "doc_id")
+        .join(ntok, "doc_id")
+        .join(dup, "doc_id", "left")
+    )
+    dup_frac = F.when(F.col("_n_tok") == 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+        / F.col("_n_tok")
+    )
+    return (
+        joined.withColumn("dup_frac", dup_frac)
+        .withColumn(
+            "kept",
+            (F.col("domain_verdict") == "kept")
+            & F.col("url_kept")
+            & (F.col("dup_frac") <= PIPE13_MAX_DUP_FRAC),
+        )
+        .select(
+            "doc_id", "domain", "domain_verdict", "url_kept",
+            "dup_frac", "kept",
+        )
+    )
+
+
+pipe13_provenance_stack.__doc__ = pipe13_provenance_stack.__doc__.format(
+    max_frac=PIPE13_MAX_DUP_FRAC
+)
