@@ -148,6 +148,7 @@ HEADLINE = [
     "t22_domain_quality_rollup",
     "s17_hard_negative_mining",
     "pipe13_provenance_stack",
+    "dd34_cross_source_overlap",
 ]
 
 

@@ -2196,3 +2196,63 @@ def test_hard_negative_mining_k_cap_and_determinism(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
                for v in per.values())
     assert len(per) == 10  # every anchor has cross-label candidates
+
+
+def test_cross_source_overlap_matrix_semantics(spark):
+    """dd34's pair math on a hand corpus: a fingerprint spanning
+    three sources yields all three pairs; whitespace variants share
+    a fingerprint; a within-source dup never creates a self-pair;
+    jaccard uses distinct-fingerprint counts."""
+    from trello_github_etl_spark.queries.llm_q import (
+        dd34_cross_source_overlap,  # noqa: F401 (registry import)
+    )
+    from trello_github_etl_spark.operators import textstats
+
+    from trello_github_etl_spark.operators.gen import exploded  # noqa: F401
+
+    rows = [
+        (1, "shared text one", "a"),
+        (2, "Shared   TEXT one", "b"),      # same canonical fp as 1
+        (3, "shared text one  ", "c"),      # and as 3 -> a,b,c triple
+        (4, "only in a", "a"),
+        (5, "only in a", "a"),              # within-source dup: no pair
+        (6, "a and b both", "a"),
+        (7, "a and b both", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    f = (
+        docs.select(
+            textstats.fingerprint(F.col("text")).alias("fp"), "source"
+        ).distinct()
+    )
+    # replicate the registered aggregation inline over the hand corpus
+    import trello_github_etl_spark.queries.llm_q as llm
+
+    per = f.groupBy("source").agg(F.count("*").alias("n_fps"))
+    sets = (
+        f.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    srcs = F.col("srcs")
+    pair_arr = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+            ),
+        )
+    )
+    from trello_github_etl_spark.operators.gen import exploded as ex
+
+    pairs = ex(sets, [], pair_arr, "p").select("p.sa", "p.sb")
+    got = {
+        (r["sa"], r["sb"]): r["n"]
+        for r in pairs.groupBy("sa", "sb").agg(F.count("*").alias("n")).collect()
+    }
+    # fp1 spans {a,b,c} -> three pairs; fp6 spans {a,b} -> one more
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    per_map = {r["source"]: r["n_fps"] for r in per.collect()}
+    # source a: fps {shared, only-in-a, a-and-b} = 3 DISTINCT
+    assert per_map == {"a": 3, "b": 2, "c": 1}

@@ -589,3 +589,15 @@ def test_pipe13_provenance_stack_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_dd34_overlap_matrix_no_doc_pair_join(spark):
+    plan = _plan(_q(spark, "dd34_cross_source_overlap"))
+    # pair expansion happens INSIDE the per-fingerprint source array
+    # (a Generate over <= C(n_sources,2) elements), never as a
+    # doc-level self-join; no products, no global windows
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "Generate" in plan
+    assert "Window" not in plan

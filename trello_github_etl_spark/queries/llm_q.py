@@ -4478,3 +4478,143 @@ def pipe13_provenance_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipe13_provenance_stack.__doc__ = pipe13_provenance_stack.__doc__.format(
     max_frac=PIPE13_MAX_DUP_FRAC
 )
+
+
+# ---------------------------------------------------------------------------
+# dd34 — cross-source duplication overlap matrix
+# ---------------------------------------------------------------------------
+# Snapshot-overlap augmentation, single-homed Spark/SQL: the raw
+# corpus has zero cross-source exact dups (each doc's fingerprint is
+# unique), so simulate crawl-snapshot re-fetches — %4 docs re-appear
+# under the NEXT source with doubled trailing whitespace (fingerprint
+# -invariant: normalize_text collapses it, receipting that the
+# overlap is canonical-text overlap, not byte equality), %10==1 docs
+# under source+2 with one trailing space.
+_SQL_DD34_AUG = """
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text || '  ',
+           'src' || CAST(((doc_id % 20) + 1) % 20 AS VARCHAR)
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || ' ',
+           'src' || CAST(((doc_id % 20) + 2) % 20 AS VARCHAR)
+    FROM documents WHERE doc_id % 10 = 1
+"""
+
+
+def _dd34_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    d = F.col("doc_id")
+
+    def nxt(off: int) -> F.Column:
+        return F.concat(
+            F.lit("src"), (((d % 20) + off) % 20).cast("string")
+        )
+
+    c1 = docs.filter(d % 4 == 0).select(
+        (d + 100000).alias("doc_id"),
+        F.concat("text", F.lit("  ")).alias("text"),
+        nxt(1).alias("source"),
+    )
+    c2 = docs.filter(d % 10 == 1).select(
+        (d + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" ")).alias("text"),
+        nxt(2).alias("source"),
+    )
+    return docs.unionByName(c1).unionByName(c2)
+
+
+@query(
+    "dd34_cross_source_overlap",
+    oracle=f"""
+    WITH aug AS ({_SQL_DD34_AUG}),
+    f AS (
+      SELECT DISTINCT
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+        source
+      FROM aug
+    ),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps FROM f GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_fps,
+           pa.n_fps AS fps_a, pb.n_fps AS fps_b,
+           CAST(shared_fps AS DOUBLE)
+             / (pa.n_fps + pb.n_fps - shared_fps) AS overlap_jaccard
+    FROM shared
+    JOIN per pa ON pa.source = source_a
+    JOIN per pb ON pb.source = source_b
+    """,
+)
+def dd34_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level duplication matrix (the CommonCrawl-
+    snapshot-overlap analysis RefinedWeb runs before choosing what to
+    dedup across dumps): for every pair of sources, how many
+    canonical-text fingerprints they share, each side's distinct-
+    fingerprint count, and the Jaccard overlap. The fingerprint is
+    dd1's (md5 of whitespace-collapsed lowercase), so byte-different
+    re-fetches of one page count as overlap — which is the point.
+
+    Scale shape: one DISTINCT (fp, source) shuffle, then groupBy(fp)
+    collecting the source SET — bounded by the number of sources
+    (snapshots number in the hundreds, never corpus-scale), pair
+    expansion inside the array (<= C(n_sources, 2) per fingerprint,
+    via index-lambda transform — never a doc-pair join), one
+    groupBy(pair) of a tiny domain, and two joins against the
+    sources-sized count frame. Doc pairs are never materialized; the
+    heavy keys are hot fingerprints, the usual AQE skew-join case."""
+    f = (
+        ensure_parallelism(_dd34_aug(spark, sf_dir))
+        .select(
+            textstats.fingerprint(F.col("text")).alias("fp"), "source"
+        )
+        .distinct()
+    )
+    per = f.groupBy("source").agg(F.count("*").alias("n_fps"))
+    srcs = F.col("srcs")
+    pair_arr = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
+    sets = (
+        f.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = exploded(sets, [], pair_arr, "p").select(
+        "p.source_a", "p.source_b"
+    )
+    cnt = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_fps")
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("n_fps").alias("fps_a")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("n_fps").alias("fps_b")
+    )
+    return (
+        cnt.join(pa, "source_a")
+        .join(pb, "source_b")
+        .select(
+            "source_a", "source_b", "shared_fps", "fps_a", "fps_b",
+            (
+                F.col("shared_fps").cast("double")
+                / (F.col("fps_a") + F.col("fps_b") - F.col("shared_fps"))
+            ).alias("overlap_jaccard"),
+        )
+    )
