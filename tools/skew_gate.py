@@ -95,6 +95,10 @@ SKEW_QUERIES = [
     "dd33_repeated_kgram_spans",
     "t22_domain_quality_rollup",
     "s17_hard_negative_mining",
+    # dd34's source-overlap matrix meets the 1,000-member exact
+    # family as ONE fingerprint spanning all 20 sources -> a C(20,2)
+    # pair expansion inside a single hot group
+    "dd34_cross_source_overlap",
 ]
 
 # Bench subset: the lever queries with meaningful data work. dd6/dd9/
@@ -124,6 +128,7 @@ BENCH_QUERIES = [
     "dd33_repeated_kgram_spans",
     "t22_domain_quality_rollup",
     "s17_hard_negative_mining",
+    "dd34_cross_source_overlap",
 ]
 
 
