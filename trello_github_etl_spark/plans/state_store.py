@@ -43,9 +43,9 @@ True multi-writer (a commit log with conflict *resolution*, not just
 detection) remains what a real table format adds.
 
 Swap decision (re-checked each round, VERDICT r2 #8 / r3 #7 / r4 #7):
-delta-spark is still not importable (round 11, 2026-08-15: ``import
-delta`` fails; the container has no package index egress — same
-result every round since r2), so the store stays. The swap recipe when it lands: DeltaTable.forPath +
+delta-spark is still not importable (round 11 close, 2026-08-16:
+``import delta`` fails; the container has no package index egress —
+same result every round since r2), so the store stays. The swap recipe when it lands: DeltaTable.forPath +
 ``MERGE INTO`` replaces merge(); version time travel replaces
 read(version); the CAS tests in tests/test_state_store.py and the
 sketch replay-gate tests are the behavioral contract the Delta-backed
