@@ -2256,3 +2256,67 @@ def test_cross_source_overlap_matrix_semantics(spark):
     per_map = {r["source"]: r["n_fps"] for r in per.collect()}
     # source a: fps {shared, only-in-a, a-and-b} = 3 DISTINCT
     assert per_map == {"a": 3, "b": 2, "c": 1}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs_toks=st.lists(
+        st.lists(st.integers(0, 3), min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+def test_repeated_kgram_spans_matches_python_model(spark, docs_toks, k):
+    """Model-based: dd33's distributed posting-list/islands plan must
+    equal a plain Python reference (corpus-wide sliding k-gram
+    occurrence counting, per-doc overlap-or-abut interval merging)
+    on arbitrary tiny corpora — tiny alphabet so organic repeats are
+    common, the regime where island merging, within-doc repeats, and
+    the abutting boundary (pos == prev + k) all interact."""
+    import hashlib
+    from collections import Counter
+
+    from trello_github_etl_spark.operators.span_dedup import (
+        repeated_kgram_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(d, [f"w{t}" for t in toks]) for d, toks in enumerate(docs_toks)],
+        "doc_id long, _tk array<string>",
+    )
+    counts = Counter()
+    grams_per_doc = []
+    for toks in docs_toks:
+        gs = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        grams_per_doc.append(gs)
+        counts.update(gs)
+    model = {}
+    for d, gs in enumerate(grams_per_doc):
+        marked = [i for i, g in enumerate(gs) if counts[g] >= 2]
+        if not marked:
+            continue
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1]:  # overlap OR abut merges
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        fp = hashlib.md5(
+            ";".join(f"{s}:{e}" for s, e in spans).encode()
+        ).hexdigest()
+        model[d] = (
+            len(marked),
+            len(spans),
+            sum(e - s for s, e in spans),
+            fp,
+        )
+    got = {
+        r["doc_id"]: (r["n_marked"], r["n_spans"], r["dup_tokens"], r["span_fp"])
+        for r in repeated_kgram_spans(df, k=k).collect()
+    }
+    assert got == model

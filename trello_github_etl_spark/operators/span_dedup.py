@@ -128,7 +128,10 @@ def span_dedup(
 
 
 def kgram_postings(
-    docs: DataFrame, id_col: str = "doc_id", toks_col: str = "_tk"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "_tk",
+    k: int = KGRAM_WORDS,
 ) -> DataFrame:
     """(id, pos, kgram_key) — one row per SLIDING KGRAM_WORDS-word
     window (stride 1, vs tile_spans' stride TILE_WORDS): position
@@ -138,16 +141,16 @@ def kgram_postings(
     bodies get no subexpression elimination — SCALE.md lesson 38)."""
     n = F.size(toks_col)
     grams = F.transform(
-        F.sequence(F.lit(0), n - KGRAM_WORDS),
+        F.sequence(F.lit(0), n - k),
         lambda i: F.struct(
             i.alias("pos"),
             F.array_join(
-                F.slice(F.col(toks_col), i + 1, KGRAM_WORDS), " "
+                F.slice(F.col(toks_col), i + 1, k), " "
             ).alias("gram"),
         ),
     )
     return (
-        docs.filter(n >= KGRAM_WORDS)
+        docs.filter(n >= k)
         .select(id_col, F.explode(grams).alias("g"))
         .select(
             id_col,
@@ -158,7 +161,10 @@ def kgram_postings(
 
 
 def repeated_kgram_spans(
-    docs: DataFrame, id_col: str = "doc_id", toks_col: str = "_tk"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "_tk",
+    k: int = KGRAM_WORDS,
 ) -> DataFrame:
     """Corpus-wide repeated-substring spans, the distributed shape of
     Lee et al. 2021's suffix-array ExactSubstr dedup ("Deduplicating
@@ -192,7 +198,7 @@ def repeated_kgram_spans(
     # join (same two-consumer shape as span_dedup's tiles pin;
     # lifetime note there applies — multi-query drivers clearCache
     # between queries).
-    post = kgram_postings(docs, id_col, toks_col).persist()
+    post = kgram_postings(docs, id_col, toks_col, k).persist()
     rep = (
         post.groupBy("kgram_key")
         .agg(F.count("*").alias("_occ"))
@@ -208,7 +214,7 @@ def repeated_kgram_spans(
     flagged = marked.withColumn(
         "_new",
         F.when(
-            lagp.isNull() | (F.col("pos") > lagp + KGRAM_WORDS), 1
+            lagp.isNull() | (F.col("pos") > lagp + k), 1
         ).otherwise(0),
     )
     isl = flagged.withColumn(
@@ -217,7 +223,7 @@ def repeated_kgram_spans(
     )
     per_island = isl.groupBy(id_col, "_isl").agg(
         F.min("pos").alias("start"),
-        (F.max("pos") + KGRAM_WORDS).alias("spanend"),
+        (F.max("pos") + k).alias("spanend"),
         F.count("*").alias("_n_pos"),
     )
     spans_str = F.array_join(
