@@ -101,6 +101,26 @@ ALLOWED_SCALE = {
         "warmed). Re-adjudicate if the sf1 time itself grows "
         "super-linearly in future decades"
     ),
+    "t1_token_stats": (
+        "threshold straddle from cross-window drift, not a plan "
+        "change (r11b adjudication): 5.9x vs r10's passing 4.39x on "
+        "the SAME code — PLANS.md diff at HEAD is expr-id "
+        "renumbering only — with the two legs drifting in OPPOSITE "
+        "directions across measurement windows (sf0.1 0.335->0.288, "
+        "sf1 1.471->1.698; calibrations 0.718 -> 0.435-0.588). t1 is "
+        "the saturated shared-token map t3's entry describes and "
+        "lesson 43's overhead-floor attribution covers; compute-"
+        "bound maps live in the 3-6x band on 10x data. "
+        "Re-adjudicate above 7x"
+    ),
+    "hof1_quantity_array_ops": (
+        "threshold straddle, same r11b adjudication as t1: 5.11x "
+        "(2% over the tripwire) vs r10's passing 3.77x on unchanged "
+        "code — a pure array-HOF projection whose per-row work is "
+        "constant; the sf1 leg moved 4.454->5.337 s between rounds "
+        "while the sf0.1 leg shrank, i.e. two windows' machine "
+        "states, not work growth. Re-adjudicate above 7x"
+    ),
 }
 
 # Adjudicated round-over-round regressions: name -> attribution, as
