@@ -149,6 +149,7 @@ HEADLINE = [
     "s17_hard_negative_mining",
     "pipe13_provenance_stack",
     "dd34_cross_source_overlap",
+    "t23_source_unigram_tvd",
 ]
 
 

@@ -2320,3 +2320,34 @@ def test_repeated_kgram_spans_matches_python_model(spark, docs_toks, k):
         for r in repeated_kgram_spans(df, k=k).collect()
     }
     assert got == model
+
+
+def test_source_unigram_tvd_hand_values(spark):
+    """t23's exact TVD on a hand corpus, including the
+    disjoint-support path (tvd exactly 1.0) the synthetic corpus
+    never exercises: a={x,x,y}, b={x,z} -> TVD 1/2; c={q,q} is
+    vocabulary-disjoint from both -> TVD exactly 1.0."""
+    import trello_github_etl_spark.queries.llm_q as llm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y", "a"),
+            (2, "x z", "b"),
+            (3, "q q", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in llm.t23_source_unigram_tvd(spark, d).collect()
+    }
+    assert out[("a", "b")]["tvd"] == 0.5
+    assert out[("a", "b")]["shared_toks"] == 1
+    assert out[("a", "c")]["tvd"] == 1.0
+    assert out[("a", "c")]["shared_toks"] == 0
+    assert out[("b", "c")]["tvd"] == 1.0
+    assert out[("a", "b")]["n_a"] == 3 and out[("a", "b")]["n_b"] == 2

@@ -601,3 +601,17 @@ def test_dd34_overlap_matrix_no_doc_pair_join(spark):
     assert "SinglePartition" not in plan
     assert "Generate" in plan
     assert "Window" not in plan
+
+
+def test_t23_tvd_no_token_self_join_single_scan(spark):
+    plan = _plan(_q(spark, "t23_source_unigram_tvd"))
+    # the oracle's token-level counts-x-counts self-join is exactly
+    # what Spark must NOT do at a 10^9-token vocabulary: pairs come
+    # from the in-array expansion (Generate over the per-token source
+    # set). The only cross product is the declared sources-x-sources
+    # totals frame (rows = #sources). The pinned counts cache serves
+    # every downstream reference, so the tokenize pass runs once.
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "InMemoryTableScan" in plan

@@ -99,6 +99,10 @@ SKEW_QUERIES = [
     # family as ONE fingerprint spanning all 20 sources -> a C(20,2)
     # pair expansion inside a single hot group
     "dd34_cross_source_overlap",
+    # t23's (source, tok) count shuffle meets the u^3-Zipfian token
+    # head; the per-token source-set expansion stays bounded by the
+    # 20 sources regardless of token heat
+    "t23_source_unigram_tvd",
 ]
 
 # Bench subset: the lever queries with meaningful data work. dd6/dd9/
@@ -129,6 +133,7 @@ BENCH_QUERIES = [
     "t22_domain_quality_rollup",
     "s17_hard_negative_mining",
     "dd34_cross_source_overlap",
+    "t23_source_unigram_tvd",
 ]
 
 

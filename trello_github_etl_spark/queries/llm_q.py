@@ -4618,3 +4618,152 @@ def dd34_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — corpus-mixture drift matrix: pairwise source unigram TVD
+# ---------------------------------------------------------------------------
+_T23_ORACLE = (
+    """
+    WITH tk AS (
+      SELECT source, unnest("""
+    + SQL_TOKENS.format(t="text")
+    + """) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb,
+        CAST(SUM(ABS(CAST(a.c AS DECIMAL(38,0)) * tb.n
+                     - CAST(b.c AS DECIMAL(38,0)) * ta.n))
+             AS DECIMAL(38,0)) AS sabs,
+        CAST(SUM(a.c) AS BIGINT) AS sca,
+        CAST(SUM(b.c) AS BIGINT) AS scb,
+        CAST(COUNT(*) AS BIGINT) AS shared_toks
+      FROM counts a
+      JOIN counts b ON a.tok = b.tok AND a.source < b.source
+      JOIN totals ta ON ta.source = a.source
+      JOIN totals tb ON tb.source = b.source
+      GROUP BY 1, 2
+    ),
+    allp AS (
+      SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+      FROM totals a JOIN totals b ON a.source < b.source
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+      p.na AS n_a, p.nb AS n_b,
+      COALESCE(i.shared_toks, 0) AS shared_toks,
+      CAST(COALESCE(i.sabs, 0)
+           + CAST(p.nb AS DECIMAL(38,0)) * (p.na - COALESCE(i.sca, 0))
+           + CAST(p.na AS DECIMAL(38,0)) * (p.nb - COALESCE(i.scb, 0))
+           AS DOUBLE)
+        / CAST(2 * CAST(p.na AS DECIMAL(38,0)) * p.nb AS DOUBLE) AS tvd
+    FROM allp p
+    LEFT JOIN inter i ON p.sa = i.sa AND p.sb = i.sb
+    """
+)
+
+
+@query("t23_source_unigram_tvd", oracle=_T23_ORACLE)
+def t23_source_unigram_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture drift matrix: EXACT pairwise total-variation
+    distance between every two sources' unigram distributions —
+    the mixture-design diagnostic (which crawl dumps / domains are
+    distributionally interchangeable, which add coverage) run before
+    choosing sampling weights. TVD = 1/2 Σ_tok |p_a − p_b| is
+    computed WITHOUT floats until the last step: the numerator is
+    Σ |c_a·N_b − c_b·N_a| over shared tokens plus the two
+    disjoint-support terms N_b·(N_a − Σ∩c_a) + N_a·(N_b − Σ∩c_b) —
+    the algebra that turns 'sum over the union of vocabularies'
+    into intersection-only work — in DECIMAL(38,0), then ONE double
+    division by 2·N_a·N_b. Both engines produce bit-identical
+    doubles (numerator and denominator are exactly representable
+    well past this corpus's scale; at 10^15+ tokens per source
+    switch the final cast to a DECIMAL division).
+
+    Scale shape: one explode → map-side-combined groupBy
+    (source, tok); one groupBy(tok) collecting the per-source count
+    SET (bounded by the number of sources, like dd34's machinery);
+    in-array pair expansion (≤ C(n_sources, 2) per token — never a
+    token-level self-join, which is the oracle's O(vocab·s²) shape
+    Spark must avoid at 10^9-token vocabularies); two broadcast
+    joins against the sources-sized totals frame; one tiny
+    groupBy(pair). Pairs with zero shared tokens still appear
+    (TVD exactly 1.0) via the totals×totals frame."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "source", F.explode(textstats.tokens(F.col("text"))).alias("tok")
+    )
+    # pin: counts feeds the totals frame AND the per-token set
+    # grouping — unpinned, the tokenize+explode corpus pass (the hot
+    # scan) re-runs once per downstream reference (measured five
+    # Generate subtrees in the unpinned plan). Same lifetime contract
+    # as dd28's tiles pin: multi-query drivers clearCache between
+    # queries.
+    counts = (
+        tk.groupBy("source", "tok").agg(F.count("*").alias("c")).persist()
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    sets = (
+        counts.groupBy("tok")
+        .agg(F.sort_array(F.collect_list(F.struct("source", "c"))).alias("sc"))
+        .filter(F.size("sc") >= 2)
+    )
+    sc = F.col("sc")
+    pair_arr = F.flatten(
+        F.transform(
+            sc,
+            lambda x, i: F.transform(
+                F.slice(sc, i + 2, F.size(sc)),
+                lambda y: F.struct(
+                    x["source"].alias("sa"),
+                    x["c"].alias("ca"),
+                    y["source"].alias("sb"),
+                    y["c"].alias("cb"),
+                ),
+            ),
+        )
+    )
+    pairs = exploded(sets, [], pair_arr, "p").select(
+        "p.sa", "p.ca", "p.sb", "p.cb"
+    )
+    ta = totals.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    tb = totals.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    dec = "decimal(38,0)"
+    inter = (
+        pairs.join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ca").cast(dec) * F.col("nb")
+                    - F.col("cb").cast(dec) * F.col("na")
+                )
+            ).alias("sabs"),
+            F.sum("ca").alias("sca"),
+            F.sum("cb").alias("scb"),
+            F.count("*").alias("shared_toks"),
+        )
+    )
+    allp = ta.crossJoin(tb).filter(F.col("sa") < F.col("sb"))
+    j = allp.join(inter, ["sa", "sb"], "left")
+    num = (
+        F.coalesce(F.col("sabs"), F.lit(0).cast(dec))
+        + F.col("nb").cast(dec) * (F.col("na") - F.coalesce("sca", F.lit(0)))
+        + F.col("na").cast(dec) * (F.col("nb") - F.coalesce("scb", F.lit(0)))
+    )
+    den = F.lit(2).cast(dec) * F.col("na").cast(dec) * F.col("nb")
+    return j.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.coalesce("shared_toks", F.lit(0)).alias("shared_toks"),
+        (num.cast("double") / den.cast("double")).alias("tvd"),
+    )
