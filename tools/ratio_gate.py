@@ -101,7 +101,7 @@ ALLOWED_SCALE = {
         "warmed). Re-adjudicate if the sf1 time itself grows "
         "super-linearly in future decades"
     ),
-    "t1_token_stats": (
+    "t1_token_stats": (7.0,
         "threshold straddle from cross-window drift, not a plan "
         "change (r11b adjudication): 5.9x vs r10's passing 4.39x on "
         "the SAME code — PLANS.md diff at HEAD is expr-id "
@@ -110,16 +110,17 @@ ALLOWED_SCALE = {
         "sf1 1.471->1.698; calibrations 0.718 -> 0.435-0.588). t1 is "
         "the saturated shared-token map t3's entry describes and "
         "lesson 43's overhead-floor attribution covers; compute-"
-        "bound maps live in the 3-6x band on 10x data. "
-        "Re-adjudicate above 7x"
+        "bound maps live in the 3-6x band on 10x data; the 7.0 "
+        "bound is ENFORCED — past it this entry stops acquitting"
     ),
-    "hof1_quantity_array_ops": (
+    "hof1_quantity_array_ops": (7.0,
         "threshold straddle, same r11b adjudication as t1: 5.11x "
         "(2% over the tripwire) vs r10's passing 3.77x on unchanged "
         "code — a pure array-HOF projection whose per-row work is "
         "constant; the sf1 leg moved 4.454->5.337 s between rounds "
         "while the sf0.1 leg shrank, i.e. two windows' machine "
-        "states, not work growth. Re-adjudicate above 7x"
+        "states, not work growth; the 7.0 bound is ENFORCED — past "
+        "it this entry stops acquitting"
     ),
 }
 
@@ -361,8 +362,26 @@ def main() -> int:
             if work != 10.0:
                 rec["work_growth_10x"] = work
             if c1 >= MIN_SECS and rec["scale_ratio"] > threshold:
-                if q in ALLOWED_SCALE:
-                    rec["scale_allowed"] = ALLOWED_SCALE[q]
+                entry = ALLOWED_SCALE.get(q)
+                # bounded entries — (max_ratio, reason) — acquit only
+                # UP TO their re-adjudication ratio; the prose bound
+                # alone was unenforced, so a real blow-up past it
+                # would have been auto-acquitted forever (the exact
+                # defect r10 ADVICE found in unscoped ALLOWED_REGRESS
+                # entries). str entries stay unbounded: structural
+                # floors/ablations whose ratio is the documented
+                # design, not a noise straddle.
+                if isinstance(entry, tuple):
+                    bound, reason = entry
+                    if rec["scale_ratio"] <= bound:
+                        rec["scale_allowed"] = reason
+                        allowed_hits.append(q)
+                    else:
+                        rec["scale_flag"] = True
+                        rec["scale_allowlist_exceeded"] = bound
+                        scale_flags.append(q)
+                elif entry is not None:
+                    rec["scale_allowed"] = entry
                     allowed_hits.append(q)
                 else:
                     rec["scale_flag"] = True
