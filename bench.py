@@ -150,6 +150,11 @@ HEADLINE = [
     "pipe13_provenance_stack",
     "dd34_cross_source_overlap",
     "t23_source_unigram_tvd",
+    # round-12 additions: the linear-occupancy ANN-mining quartet
+    "s18_mutual_knn_linear",
+    "s19_margin_alignment_linear",
+    "s20_hard_negatives_linear",
+    "dd35_incremental_semdedup_linear",
 ]
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -194,9 +195,37 @@ def auto_nlist(n: int) -> int:
     return max(IVF_NLIST_MIN, min(IVF_NLIST_MAX, math.ceil(math.sqrt(max(n, 1)))))
 
 
+# Constant-EXPECTED-CELL-SIZE cell-count policy (VERDICT r11 #1): the
+# √N rule above still leaves within-cell pair work O(N²/√N) = O(N^1.5)
+# — the measured 11–16× 50×-probe ratios on the ANN *mining* quartet
+# (s15/s16/s17/dd32). nlist = ⌈N / target⌉ pins expected occupancy at
+# ``target`` so pair work is O(N·target) — linear in the corpus. The
+# price moves to the assignment pass: a FLAT argmax over ⌈N/target⌉
+# centroids is O(N²·dim/target) — *worse* than the pair work it saved
+# — which is why linear cell counts only make sense with the
+# TWO-LEVEL assignment (ivf_assign_2level: O(N·√nlist·dim)). The max
+# clamp bounds the coarse structure's broadcast footprint (2²⁰ cells
+# ≈ 0.5 GB of fp64 seeds at dim 64); past it, raise ``target`` —
+# exactly FAISS's guidance when nlist outgrows the index.
+LINEAR_CELL_TARGET = 64
+LINEAR_NLIST_MAX = 1 << 20
+
+
+def linear_nlist(n: int, target: int = LINEAR_CELL_TARGET) -> int:
+    """⌈N/target⌉ clamped to [IVF_NLIST_MIN, LINEAR_NLIST_MAX] —
+    integer ceiling division on both engines ((COUNT(*) + target-1)
+    // target in DuckDB), so no float rounding can diverge."""
+    if target < 1:
+        raise ValueError(f"target must be >= 1, got {target}")
+    return max(
+        IVF_NLIST_MIN,
+        min(LINEAR_NLIST_MAX, (max(n, 1) + target - 1) // target),
+    )
+
+
 def auto_seed_centroids(
     embeddings: DataFrame,
-    nlist: int | None = None,
+    nlist: "int | Callable[[int], int] | None" = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, str, int]:
@@ -230,7 +259,7 @@ def auto_seed_centroids(
     """
     from pyspark.sql.window import Window
 
-    if nlist is not None and nlist < 1:
+    if nlist is not None and not callable(nlist) and nlist < 1:
         raise ValueError(f"nlist must be >= 1, got {nlist}")
     # the count job runs EVERY call by design: memoizing it under
     # the caller's base cache key would silently defeat the
@@ -246,6 +275,15 @@ def auto_seed_centroids(
     n = embeddings.count()
     if nlist is None:
         k = auto_nlist(n)
+    elif callable(nlist):
+        # corpus-adaptive policies beyond √N (e.g. linear_nlist for
+        # constant expected occupancy) plug in as n → k derivations;
+        # the suffix below still folds the REALIZED (k, n) pair, so
+        # two policies landing on the same k on the same corpus share
+        # seeds safely (the seed rule depends only on k)
+        k = nlist(n)
+        if k < 1:
+            raise ValueError(f"nlist callable returned {k}, must be >= 1")
     else:
         k = nlist
     suffix = f"|auto-k{k}-n{n}"
@@ -267,6 +305,11 @@ def auto_seed_centroids(
 # without it every ivf_* plan build re-runs the collect job.
 _CENTROID_CACHE: dict[str, list] = {}
 
+# Same single-flight contract for ivf_assign_2level's per-super
+# grouped seed arrays (key carries "|grp"): a hit skips the corpus
+# seed-scan + k-row assignment job entirely.
+_GROUPED_SEED_CACHE: dict[str, tuple] = {}
+
 
 def _collect_centroids(centroids: DataFrame, cache_key: str | None) -> list:
     """``cache_key`` IDENTIFIES THE CENTROID SET: a hit returns the
@@ -284,6 +327,47 @@ def _collect_centroids(centroids: DataFrame, cache_key: str | None) -> list:
     if cache_key is not None:
         _CENTROID_CACHE[cache_key] = rows
     return rows
+
+
+def _cell_scores_sql(packed: str, vec_col: str) -> str:
+    """SQL expression scoring a vector column against a packed
+    array<struct<cid:int,cn:double,cv:array>> of centroids — the ONE
+    definition of the assignment fold, shared by ivf_assign (literal
+    and broadcast-row packings) and ivf_assign_2level's second stage
+    (a per-super array column), so the strict-fold dot and the
+    dot/|c| ranking convention cannot drift between the flat and
+    hierarchical paths.
+
+    Rank is by dot(v,c)/|c| — the row's own norm is a positive
+    per-row constant, so this order IS the cosine order, and leaving
+    |v| out keeps every subexpression referenced exactly once. (Two
+    CSE traps found by measuring: lambda bodies get no subexpression
+    elimination, so a `_norm` column referenced inside k lambdas
+    re-folds the norm k times, and argmax via
+    array_position(scores, array_max(scores)) evaluates the whole
+    score array twice. Single-reference expressions sidestep both.)
+    """
+    # SQL twin of dot(): strict left fold, cast-to-double per element.
+    sql_dot = (
+        "aggregate(zip_with(`{v}`, c.cv, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    ).format(v=vec_col)
+    return (
+        "transform({packed}, c -> named_struct("
+        "'s', {dot} / c.cn, 'cid', c.cid))"
+    ).format(packed=packed, dot=sql_dot)
+
+
+def _argmax_cid_sql(scores: str) -> str:
+    """Nearest cent_id from a _cell_scores_sql array: one fold,
+    strict > keeps the FIRST max ⇒ ties break to the lowest cent_id
+    (score arrays are built in ascending-cid order)."""
+    return (
+        "(aggregate({scores},"
+        " named_struct('s', CAST('-Infinity' AS DOUBLE), 'cid', -1),"
+        " (acc, x) -> IF(x.s > acc.s, x, acc))).cid"
+    ).format(scores=scores)
 
 
 def ivf_assign(
@@ -390,33 +474,13 @@ def ivf_assign(
                 for r in cent_rows
             )
         )
-    # SQL twin of dot(): strict left fold, cast-to-double per element.
-    sql_dot = (
-        "aggregate(zip_with(`{v}`, c.cv, (x, y) ->"
-        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    ).format(v=vec_col)
-    # Rank cells by dot(v,c)/|c| — the row's own norm is a positive
-    # per-row constant, so this order IS the cosine order, and leaving
-    # |v| out keeps every subexpression referenced exactly once. (Two
-    # CSE traps found by measuring: lambda bodies get no
-    # subexpression elimination, so a `_norm` column referenced
-    # inside k lambdas re-folds the norm k times, and argmax via
-    # array_position(scores, array_max(scores)) evaluates the whole
-    # score array twice. Single-reference expressions sidestep both.)
-    scores = (
-        "transform({packed}, c -> named_struct("
-        "'s', {dot} / c.cn, 'cid', c.cid))"
-    ).format(packed=packed, dot=sql_dot)
+    scores = _cell_scores_sql(packed, vec_col)
     if nprobe == 1:
-        # one fold, strict > keeps the FIRST max ⇒ lowest cent_id ties
-        cell = (
-            "(aggregate({scores},"
-            " named_struct('s', CAST('-Infinity' AS DOUBLE), 'cid', -1),"
-            " (acc, x) -> IF(x.s > acc.s, x, acc))).cid"
-        ).format(scores=scores)
         return vn.select(
-            id_col, F.expr(cell).alias("cell"), vec_col, "_norm"
+            id_col,
+            F.expr(_argmax_cid_sql(scores)).alias("cell"),
+            vec_col,
+            "_norm",
         )
     # sort (score desc, cent_id asc) via (-s, cid) struct ordering
     ranked = (
@@ -436,6 +500,109 @@ def ivf_assign(
             "_norm",
             (F.col("pos") + 1).alias("_crank"),
         )
+    )
+
+
+def ivf_assign_2level(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Two-level (coarse → fine) cell assignment: argmax over the
+    ⌈√k⌉ lowest-cent_id SUPER seeds first, then argmax over only the
+    seeds whose own super matches. Output shape is identical to
+    ``ivf_assign(..., nprobe=1)`` — (id, cell, vec, _norm) with cell
+    a seed cent_id — so cell_pairs and every downstream consumer work
+    unchanged.
+
+    WHY: flat assignment is O(N·k·dim). With the constant-occupancy
+    policy (linear_nlist: k = ⌈N/target⌉) that is O(N²·dim/target) —
+    the assignment pass itself would re-create the quadratic blowup
+    the linear cell count removed from the pair stage (VERDICT r11
+    #1). Hierarchical search costs O(N·(√k + N/k·corr)·dim) ≈
+    O(N·√k·dim): per point, ⌈√k⌉ super scores plus the ~k/√k seeds
+    of one super. At k = 2²⁰ (LINEAR_NLIST_MAX) that is 2·1024
+    centroid folds per point instead of 10⁶. The residual √k growth
+    is the coarse-search term every IVF system keeps; production ANN
+    cuts it to O(log k) with a centroid graph (HNSW) — out of scope
+    here, and irrelevant below ~10¹⁰ vectors.
+
+    APPROXIMATION: the two-level argmax can differ from the flat
+    argmax (the globally-nearest seed may live under a super the
+    point didn't pick) — the standard coarse-quantizer trade,
+    recall-measured in tests/test_linear_variants.py, NOT a drift
+    hazard: oracles replay the same two-level rule (see llm_q's
+    _sql_2level chain).
+
+    Determinism: every stage reuses ivf_assign's strict folds and
+    its dot/|c| monotone ranking; the per-super seed arrays are
+    sort_array'd ascending cid so the shared _argmax_cid_sql
+    first-max fold keeps the lowest cent_id on ties — the same
+    tie-break an oracle's (cos DESC, cent_id ASC) ROW_NUMBER lands
+    on (same ULP-class caveat as ivf_assign, documented there).
+
+    EMPTY-SUPER SAFETY (why the inner join below loses no rows): a
+    super's own seed scores cos=1.0 against itself, so it can only
+    assign elsewhere to an IDENTICAL lower-cid super — and any point
+    tying between the two picks that same lower cid; a super with no
+    seeds is therefore never any point's argmax.
+
+    Scale shape: stage 1 is two ivf_assign narrow passes (points and
+    the k-row seed table, both against √k supers — literal-inlined
+    or one-row broadcast per IVF_INLINE_MAX); stage 2 is one
+    broadcast hash join on the super id against the ≤√k-row grouped
+    seed table (total payload: all k seed vectors, ~0.5 KB each —
+    broadcast-bounded by the LINEAR_NLIST_MAX clamp) followed by one
+    HOF fold per point. No corpus shuffle anywhere.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    k1 = math.ceil(math.sqrt(k))
+    supers = centroids.filter(F.col("cent_id") < k1)
+    skey = (cache_key + "|sup") if cache_key is not None else None
+    seed_sup = ivf_assign(
+        centroids.select(
+            F.col("cent_id").alias("__sid"), F.col("c_vec").alias("__svec")
+        ),
+        supers,
+        1,
+        vec_col="__svec",
+        id_col="__sid",
+        cache_key=skey,
+    ).select(
+        F.col("cell").alias("__sup"),
+        F.struct(
+            F.col("__sid").alias("cid"),
+            F.col("_norm").alias("cn"),
+            F.col("__svec").alias("cv"),
+        ).alias("__seed"),
+    )
+    grouped = seed_sup.groupBy("__sup").agg(
+        F.sort_array(F.collect_list("__seed")).alias("__seeds__")
+    )
+    # Materialize the ≤√k-row grouped seed table driver-side ONCE per
+    # cache key (the _CENTROID_CACHE pattern): left as a lazy plan it
+    # embeds a corpus TakeOrdered (the seed limit) that would re-run
+    # on EVERY action over the result — collected floats round-trip
+    # exactly (float32 → Python float → float32 is lossless), so the
+    # rebuilt broadcast is bit-identical to the in-plan frame.
+    gkey = (cache_key + "|grp") if cache_key is not None else None
+    if gkey is not None and gkey in _GROUPED_SEED_CACHE:
+        grows, gschema = _GROUPED_SEED_CACHE[gkey]
+    else:
+        grows, gschema = grouped.collect(), grouped.schema
+        if gkey is not None:
+            _GROUPED_SEED_CACHE[gkey] = (grows, gschema)
+    grouped_b = vectors.sparkSession.createDataFrame(grows, gschema)
+    pts = ivf_assign(vectors, supers, 1, vec_col, id_col, skey)
+    cell = _argmax_cid_sql(_cell_scores_sql("`__seeds__`", vec_col))
+    return (
+        pts.withColumnRenamed("cell", "__sup")
+        .join(F.broadcast(grouped_b), "__sup")
+        .select(id_col, F.expr(cell).alias("cell"), vec_col, "_norm")
     )
 
 
@@ -1097,6 +1264,79 @@ def matryoshka_rerank_topk(
     return _exact_rerank(cand, queries, targets, topk, query_vec, target_vec)
 
 
+def blocked_cell_sides(
+    x_frame: DataFrame,
+    y_frame: DataFrame,
+    x_id: str,
+    y_id: str,
+    blocks: int,
+) -> tuple[DataFrame, DataFrame, Column]:
+    """Salt two cell-assigned frames for a BLOCKED cell equi-join —
+    the giant-cell skew lever, single-homed (r12: cell_pairs'
+    self-join, margin_alignment's cross-side join and
+    hard_negative_mining's label join all splice this; before the
+    extraction each would have re-implemented the salting and the
+    partner-match invariant could fork silently).
+
+    Each row gets ``_blk`` = hash(id) % B and is replicated against
+    every partner block ``_pb`` ∈ [0, B); the returned join condition
+    (cell, x._blk = y._pb, x._pb = y._blk) matches every (x, y) pair
+    on EXACTLY ONE replica combination (x's replica with _pb = y's
+    block meets y's replica with _pb = x's block), so the pair
+    multiset is identical to the plain cell equi-join — purely a
+    physical re-plan spreading one cell's quadratic work over B²
+    independent tasks at a B× replication cost through the shuffle.
+    Callers AND their own predicates (id inequality, label
+    inequality, …) onto the returned condition.
+
+    Both sides are explicitly repartitioned on their key columns with
+    a pinned partition count because AQE coalesces shuffles on input
+    BYTES and cannot see the cosine folds Catalyst pushes into the
+    join condition (SCALE.md lesson 36); an explicit numPartitions
+    repartition is exempt. The shuffle_hash hint pins the join onto
+    those exchanges — otherwise Catalyst broadcasts whichever side
+    fits under autoBroadcastJoinThreshold, which at 100 TB is a
+    broadcast of the corpus (lesson 36 (a)), and sort-merge would add
+    a per-partition sort the bounded (≤ c/B)-row hash build doesn't
+    need.
+    """
+
+    def _salted(frame: DataFrame, id_col: str) -> DataFrame:
+        return frame.withColumn(
+            "_blk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int"),
+        ).withColumn(
+            "_pb", F.explode(F.array(*[F.lit(j) for j in range(blocks)]))
+        )
+
+    # the conf value is non-integer on some platforms (e.g. "auto"
+    # under Databricks auto-optimized shuffle) — fall back to the
+    # cluster's default parallelism (r7 advice)
+    try:
+        nparts = int(
+            x_frame.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        nparts = x_frame.sparkSession.sparkContext.defaultParallelism
+    x = (
+        _salted(x_frame, x_id)
+        .repartition(nparts, F.col("cell"), F.col("_blk"), F.col("_pb"))
+        .alias("x")
+    )
+    y = (
+        _salted(y_frame, y_id)
+        .repartition(nparts, F.col("cell"), F.col("_pb"), F.col("_blk"))
+        .hint("shuffle_hash")
+        .alias("y")
+    )
+    cond = (
+        (F.col("x.cell") == F.col("y.cell"))
+        & (F.col("x._blk") == F.col("y._pb"))
+        & (F.col("x._pb") == F.col("y._blk"))
+    )
+    return x, y, cond
+
+
 def cell_pairs(
     cells: DataFrame,
     vec_col: str = "embedding",
@@ -1148,44 +1388,8 @@ def cell_pairs(
             F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
         )
     else:
-        salted = cells.withColumn(
-            "_blk",
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int"),
-        ).withColumn(
-            "_pb", F.explode(F.array(*[F.lit(j) for j in range(blocks)]))
-        )
-        # the conf value is non-integer on some platforms (e.g.
-        # "auto" under Databricks auto-optimized shuffle) — fall
-        # back to the cluster's default parallelism (r7 advice)
-        try:
-            nparts = int(
-                cells.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except (TypeError, ValueError):
-            nparts = cells.sparkSession.sparkContext.defaultParallelism
-        # shuffle_hash pin: without it Catalyst broadcasts whichever
-        # side fits under autoBroadcastJoinThreshold — locally fast on
-        # a small fixture, dead at 100 TB where the cells frame is
-        # billions of rows (lesson 36's finding (a)); the hint keeps
-        # the join on the two explicit exchanges below, and a hash
-        # join (not sort-merge) because per-partition build sides are
-        # bounded by ≤ c/B rows of one cell-block by construction.
-        x = salted.repartition(
-            nparts, F.col("cell"), F.col("_blk"), F.col("_pb")
-        ).alias("x")
-        y = (
-            salted.repartition(
-                nparts, F.col("cell"), F.col("_pb"), F.col("_blk")
-            )
-            .hint("shuffle_hash")
-            .alias("y")
-        )
-        cond = (
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col("x._blk") == F.col("y._pb"))
-            & (F.col("x._pb") == F.col("y._blk"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        )
+        x, y, cond = blocked_cell_sides(cells, cells, id_col, id_col, blocks)
+        cond = cond & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
     return (
         x.join(y, cond)
         .select(
@@ -1208,8 +1412,9 @@ def mutual_knn_graph(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
-    nlist: int | None = None,
+    nlist: "int | Callable[[int], int] | None" = None,
     pair_blocks: int = 1,
+    two_level: bool = False,
 ) -> DataFrame:
     """Mutual k-NN graph over the corpus — the candidate structure
     semantic-dedup and diversity-sampling pipelines build first
@@ -1248,12 +1453,22 @@ def mutual_knn_graph(
     (see its docstring): B>1 spreads one cell's quadratic candidate
     scoring over B² tasks with an identical pair multiset — the kNN
     ranking downstream is untouched, so the graph is bit-identical.
+
+    ``nlist`` may be a callable n → k (e.g. linear_nlist for
+    constant expected occupancy — VERDICT r11 #1); pair this with
+    ``two_level=True`` so the assignment pass stays O(N·√nlist·dim)
+    instead of flat O(N·nlist·dim) (see ivf_assign_2level), and with
+    ``pair_blocks`` > 1 (the blocked join carries its own pinned
+    exchange; the linear path skips the per-cell repartition, whose
+    task count would track nlist). ``two_level`` requires the
+    self-seeding path (explicit centroids raise).
     """
     from pyspark.sql.window import Window
 
     from trello_github_etl_spark.operators.gen import exploded
 
     auto_k: int | None = None
+    seed_k: int | None = None
     if centroids is None:
         # NOTE: the unpacked cell count must NOT be named ``k`` — it
         # would shadow the kNN neighbor-count parameter and silently
@@ -1274,7 +1489,18 @@ def mutual_knn_graph(
             "nlist applies only to the self-seeding path; pass either "
             "centroids or nlist, not both"
         )
-    cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
+    elif two_level:
+        raise ValueError(
+            "two_level requires the self-seeding path (centroids=None)"
+        )
+    if two_level:
+        cells = ivf_assign_2level(
+            embeddings, centroids, seed_k, vec_col, id_col, cache_key
+        )
+    else:
+        cells = ivf_assign(
+            embeddings, centroids, 1, vec_col, id_col, cache_key
+        )
     if auto_k is not None:
         # auto path: explicit k-way repartition BY CELL before the
         # self-join — an explicit numPartitions exchange is exempt
@@ -1331,6 +1557,9 @@ def margin_alignment(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
+    nlist: "int | Callable[[int], int] | None" = None,
+    pair_blocks: int = 1,
+    two_level: bool = False,
 ) -> DataFrame:
     """Margin-based bitext/cross-corpus alignment scoring (Artetxe &
     Schwenk 2019's ratio margin, the xSIM/LASER mining criterion;
@@ -1373,28 +1602,56 @@ def margin_alignment(
     under the pair count."""
     from pyspark.sql.window import Window
 
+    seed_k: int | None = None
     if centroids is None:
-        centroids, suffix, _seed_k = auto_seed_centroids(
+        centroids, suffix, seed_k = auto_seed_centroids(
             xs.select(id_col, vec_col).unionByName(
                 ys.select(id_col, vec_col)
             ),
-            None,
+            nlist,
             vec_col,
             id_col,
         )
         if cache_key is not None:
             cache_key = cache_key + suffix
-    xc = ivf_assign(xs, centroids, 1, vec_col, id_col, cache_key)
-    yc = ivf_assign(ys, centroids, 1, vec_col, id_col, cache_key)
+    elif nlist is not None:
+        raise ValueError(
+            "nlist applies only to the self-seeding path; pass either "
+            "centroids or nlist, not both"
+        )
+    elif two_level:
+        raise ValueError(
+            "two_level requires the self-seeding path (centroids=None)"
+        )
+    if two_level:
+        # linear-nlist discipline (VERDICT r11 #1): hierarchical
+        # assignment keeps the pass O(N·√nlist·dim) — see
+        # ivf_assign_2level; flat assignment at nlist = N/target
+        # would itself be quadratic in the corpus
+        xc = ivf_assign_2level(xs, centroids, seed_k, vec_col, id_col, cache_key)
+        yc = ivf_assign_2level(ys, centroids, seed_k, vec_col, id_col, cache_key)
+    else:
+        xc = ivf_assign(xs, centroids, 1, vec_col, id_col, cache_key)
+        yc = ivf_assign(ys, centroids, 1, vec_col, id_col, cache_key)
     yren = yc.select(
         "cell",
         F.col(id_col).alias("_y_id"),
         F.col(vec_col).alias("_y_vec"),
         F.col("_norm").alias("_y_norm"),
     )
+    if pair_blocks == 1:
+        base = xc.join(yren, "cell")
+    else:
+        # giant-cell skew lever: identical pair multiset, one cell's
+        # |xcell|·|ycell| cosine work spread over B² tasks
+        # (blocked_cell_sides' invariant) — margin/avg stages are
+        # untouched, so the output frame is bit-identical
+        bx, by, bcond = blocked_cell_sides(
+            xc, yren, id_col, "_y_id", pair_blocks
+        )
+        base = bx.join(by, bcond)
     pairs = (
-        xc.join(yren, "cell")
-        .select(
+        base.select(
             F.col(id_col).alias("x_id"),
             F.col("_y_id").alias("y_id"),
             cosine_prenormed(
@@ -1451,7 +1708,9 @@ def hard_negative_mining(
     id_col: str = "vec_id",
     label_col: str = "label",
     cache_key: str | None = None,
-    nlist: int | None = None,
+    nlist: "int | Callable[[int], int] | None" = None,
+    pair_blocks: int = 1,
+    two_level: bool = False,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training: for
     every anchor vector, the k nearest IN-CELL vectors carrying a
@@ -1481,6 +1740,7 @@ def hard_negative_mining(
     from trello_github_etl_spark.operators.gen import exploded
 
     auto_k: int | None = None
+    seed_k: int | None = None
     if centroids is None:
         centroids, suffix, seed_k = auto_seed_centroids(
             embeddings, nlist, vec_col, id_col
@@ -1494,16 +1754,38 @@ def hard_negative_mining(
             "nlist applies only to the self-seeding path; pass either "
             "centroids or nlist, not both"
         )
-    cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
+    elif two_level:
+        raise ValueError(
+            "two_level requires the self-seeding path (centroids=None)"
+        )
+    if two_level:
+        # linear-nlist discipline (VERDICT r11 #1) — see
+        # ivf_assign_2level for the assignment-cost argument
+        cells = ivf_assign_2level(
+            embeddings, centroids, seed_k, vec_col, id_col, cache_key
+        )
+    else:
+        cells = ivf_assign(
+            embeddings, centroids, 1, vec_col, id_col, cache_key
+        )
     lab = embeddings.select(id_col, label_col)
     cl = cells.join(lab, id_col)
-    if auto_k is not None:
+    if auto_k is not None and pair_blocks == 1:
         # explicit cell-keyed repartition before the self-join, exempt
-        # from AQE byte-based coalescing (SCALE.md lesson 36)
+        # from AQE byte-based coalescing (SCALE.md lesson 36); the
+        # blocked join below carries its own pinned exchange
         cl = cl.repartition(auto_k, F.col("cell"))
-    x, y = cl.alias("x"), cl.alias("y")
+    if pair_blocks == 1:
+        x, y = cl.alias("x"), cl.alias("y")
+        cond = (F.col("x.cell") == F.col("y.cell"))
+    else:
+        # giant-cell skew lever (blocked_cell_sides): same pair
+        # multiset, one cell's quadratic work over B² tasks; the
+        # label inequality is ANDed on below so same-label pairs
+        # still die inside the join, before any cosine fold
+        x, y, cond = blocked_cell_sides(cl, cl, id_col, id_col, pair_blocks)
     cond = (
-        (F.col("x.cell") == F.col("y.cell"))
+        cond
         & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         & (F.col(f"x.{label_col}") != F.col(f"y.{label_col}"))
     )

@@ -4767,3 +4767,342 @@ def t23_source_unigram_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("shared_toks", F.lit(0)).alias("shared_toks"),
         (num.cast("double") / den.cast("double")).alias("tvd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-occupancy ANN mining (VERDICT r11 #1) — s18/s19/s20/dd35
+# ---------------------------------------------------------------------------
+# The √N-cell quartet (s15/s16/s17/dd32) does O(N²/√N) = O(N^1.5)
+# within-cell pair work — measured 11–16× at the 50× probe
+# (BENCH_sf5_r11ops.json). These four re-run the same semantics under
+# the CONSTANT-EXPECTED-OCCUPANCY policy: nlist = ⌈N/target⌉
+# (similarity.linear_nlist) pins cells at ~LINEAR_CELL_TARGET members
+# so pair work is O(N·target) — corpus-linear — while the TWO-LEVEL
+# assignment (similarity.ivf_assign_2level) keeps the assignment pass
+# O(N·√nlist·dim) instead of the flat O(N·nlist·dim) that would have
+# re-created the quadratic. pair_blocks=4 (dd26's lever, single-homed
+# in similarity.blocked_cell_sides) spreads residual hot cells over
+# B² tasks with a bit-identical pair multiset. The √N originals stay
+# registered as the measured pedagogical tier, exactly like
+# dd14/dd15 → dd24/dd26.
+
+LINEAR_PAIR_BLOCKS = 4
+
+_LINEAR_NLIST_SQL = (
+    f"GREATEST({similarity.IVF_NLIST_MIN},"
+    f" LEAST({similarity.LINEAR_NLIST_MAX},"
+    f" (COUNT(*) + {similarity.LINEAR_CELL_TARGET - 1})"
+    f" // {similarity.LINEAR_CELL_TARGET}))"
+)
+
+
+def _sql_2level_cents(corpus: str = "embeddings") -> str:
+    """cents/sups/seed_sup CTE bodies (splice inside WITH): the
+    linear-nlist seed derivation plus the coarse level — the ⌈√k⌉
+    lowest-cent_id seeds promoted to supers, each seed argmax-assigned
+    to one super by cosine (ties → lowest sup_id), exactly
+    ivf_assign_2level's seed→super stage (its dot/|c| rank is
+    monotone-equal to full cosine per row)."""
+    cos_cs = _sql_cosine("c.c_vec", "s.s_vec")
+    return f"""cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id,
+             embedding AS c_vec
+      FROM {corpus}
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (
+        SELECT {_LINEAR_NLIST_SQL} FROM {corpus})
+    ),
+    sups AS (
+      SELECT cent_id AS sup_id, c_vec AS s_vec FROM cents
+      WHERE cent_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+                       FROM cents)
+    ),
+    seed_sup AS (
+      SELECT cent_id, sup FROM (
+        SELECT c.cent_id, s.sup_id AS sup,
+               ROW_NUMBER() OVER (PARTITION BY c.cent_id
+                 ORDER BY {cos_cs} DESC, s.sup_id ASC) AS rn
+        FROM cents c, sups s) WHERE rn = 1
+    )"""
+
+
+def _sql_2level_cells(p: str, extra_cols: tuple = ()) -> str:
+    """{p}_sup / {p}_cells CTE bodies assigning a points relation
+    ``p(vec_id, embedding, *extra_cols)`` through the two-level
+    chain: argmax super first, then argmax over ONLY the seeds whose
+    own super matches — ivf_assign_2level's exact rule, so a Spark
+    two_level=True frame hashes identically."""
+    cos_ts = _sql_cosine("t.embedding", "s.s_vec")
+    cos_tc = _sql_cosine("t.embedding", "c.c_vec")
+    ex = "".join(f", t.{c}" for c in extra_cols)
+    exo = "".join(f", {c}" for c in extra_cols)
+    return f"""{p}_sup AS (
+      SELECT vec_id, embedding{exo}, sup FROM (
+        SELECT t.vec_id, t.embedding{ex}, s.sup_id AS sup,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                 ORDER BY {cos_ts} DESC, s.sup_id ASC) AS rn
+        FROM {p} t, sups s) WHERE rn = 1
+    ),
+    {p}_cells AS (
+      SELECT vec_id, embedding{exo}, cell FROM (
+        SELECT t.vec_id, t.embedding{ex}, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                 ORDER BY {cos_tc} DESC, c.cent_id ASC) AS rn
+        FROM {p}_sup t
+        JOIN seed_sup ss ON ss.sup = t.sup
+        JOIN cents c ON c.cent_id = ss.cent_id) WHERE rn = 1
+    )"""
+
+
+@query(
+    "s18_mutual_knn_linear",
+    oracle=f"""
+    WITH {_sql_2level_cents("embeddings")},
+    {_sql_2level_cells("embeddings")},
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_sql_cosine('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings_cells a JOIN embeddings_cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    directed AS (
+      SELECT va AS src, vb AS dst, cos FROM pairs
+      UNION ALL
+      SELECT vb, va, cos FROM pairs
+    ),
+    ranked AS (
+      SELECT src, dst, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk
+      FROM directed
+    )
+    SELECT least(src, dst) AS vec_a, greatest(src, dst) AS vec_b,
+           MAX(cos) AS cos
+    FROM ranked WHERE rk <= {S15_K}
+    GROUP BY least(src, dst), greatest(src, dst)
+    HAVING COUNT(*) = 2
+    """,
+)
+def s18_mutual_knn_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s15's mutual k-NN graph under the LINEAR cell policy — the
+    100 TB configuration (VERDICT r11 #1): nlist = ⌈N/64⌉ constant
+    expected occupancy (pair work O(N·64), not O(N^1.5)), two-level
+    assignment (O(N·√nlist·dim)), pair_blocks=4 hot-cell salting
+    (bit-identical multiset; blocked_cell_sides). Candidates are
+    within-SMALLER-cells only, so the graph is a recall-traded
+    approximation of s15's — measured, not hidden:
+    tests/test_linear_variants.py pins edge recall vs the
+    brute-force k-NN ground truth for both variants side by side."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.mutual_knn_graph(
+        emb,
+        k=S15_K,
+        nlist=similarity.linear_nlist,
+        two_level=True,
+        pair_blocks=LINEAR_PAIR_BLOCKS,
+        cache_key=f"ivflin-s18|{sf_dir}",
+    )
+
+
+@query(
+    "s19_margin_alignment_linear",
+    oracle=f"""
+    WITH {_sql_2level_cents("embeddings")},
+    xs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    ys AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    {_sql_2level_cells("xs")},
+    {_sql_2level_cells("ys")},
+    pairs AS (
+      SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+             {_sql_cosine('x.embedding', 'y.embedding')} AS cos
+      FROM xs_cells x JOIN ys_cells y ON x.cell = y.cell
+    ),
+    ax AS (
+      SELECT x_id,
+             list_reduce(l, (a, b) -> a + b) / len(l) AS avg_x
+      FROM (
+        SELECT x_id,
+               list_slice(list_sort(list(cos), 'DESC'), 1, {S16_K}) AS l
+        FROM pairs GROUP BY x_id
+      )
+    ),
+    ay AS (
+      SELECT y_id,
+             list_reduce(l, (a, b) -> a + b) / len(l) AS avg_y
+      FROM (
+        SELECT y_id,
+               list_slice(list_sort(list(cos), 'DESC'), 1, {S16_K}) AS l
+        FROM pairs GROUP BY y_id
+      )
+    ),
+    m AS (
+      SELECT p.x_id, p.y_id, p.cos,
+             CASE WHEN (avg_x + avg_y) / 2.0 > 0
+                  THEN p.cos / ((avg_x + avg_y) / 2.0)
+                  ELSE 0.0 END AS margin
+      FROM pairs p JOIN ax USING (x_id) JOIN ay USING (y_id)
+    )
+    SELECT x_id, y_id, cos, margin FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rk
+      FROM m
+    ) WHERE rk = 1
+    """,
+)
+def s19_margin_alignment_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s16's ratio-margin bitext alignment under the linear cell
+    policy (see s18's docstring for the three levers). The union
+    corpus (xs ∪ ys = the whole table) seeds ⌈N/64⌉ cells; the
+    cross-side candidate join is per-SMALL-cell and block-salted, so
+    both the candidate generation AND the per-side top-k
+    neighborhood stats are corpus-linear. Same documented
+    blocked-recall trade as s16, re-measured at the smaller cells."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    xs = emb.filter(F.col("vec_id") % 2 == 0)
+    ys = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_alignment(
+        xs,
+        ys,
+        k=S16_K,
+        nlist=similarity.linear_nlist,
+        two_level=True,
+        pair_blocks=LINEAR_PAIR_BLOCKS,
+        cache_key=f"ivflin-s19|{sf_dir}",
+    )
+
+
+@query(
+    "s20_hard_negatives_linear",
+    oracle=f"""
+    WITH {_sql_2level_cents("embeddings")},
+    pts AS (SELECT vec_id, embedding, label FROM embeddings),
+    {_sql_2level_cells("pts", ("label",))},
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             a.label AS la, b.label AS lb,
+             {_sql_cosine('a.embedding', 'b.embedding')} AS cos
+      FROM pts_cells a JOIN pts_cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+       AND a.label <> b.label
+    ),
+    directed AS (
+      SELECT va AS anchor_id, vb AS neg_id,
+             la AS anchor_label, lb AS neg_label, cos FROM pairs
+      UNION ALL
+      SELECT vb, va, lb, la, cos FROM pairs
+    )
+    SELECT anchor_id, neg_id, anchor_label, neg_label, cos,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cos DESC, neg_id ASC) AS rk
+      FROM directed
+    ) WHERE rk <= {S17_K}
+    """,
+)
+def s20_hard_negatives_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s17's hard-negative mining under the linear cell policy (see
+    s18's docstring for the levers). The label inequality still sits
+    INSIDE the blocked join condition, so same-label candidates die
+    before any cosine fold — composing the two levers costs nothing:
+    blocked_cell_sides returns the base condition and the label/id
+    predicates AND on top."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return similarity.hard_negative_mining(
+        emb,
+        k=S17_K,
+        nlist=similarity.linear_nlist,
+        two_level=True,
+        pair_blocks=LINEAR_PAIR_BLOCKS,
+        cache_key=f"ivflin-s20|{sf_dir}",
+    )
+
+
+@query(
+    "dd35_incremental_semdedup_linear",
+    oracle=f"""
+    WITH {_sql_2level_cents("embeddings")},
+    batch AS ({_DD32_BATCH_SQL}),
+    {_sql_2level_cells("embeddings")},
+    {_sql_2level_cells("batch")},
+    hits AS (
+      SELECT b.vec_id, MIN(s.vec_id) AS state_match
+      FROM batch_cells b JOIN embeddings_cells s ON b.cell = s.cell
+      WHERE {_sql_cosine('b.embedding', 's.embedding')}
+            >= {SEMDEDUP_THRESHOLD}
+      GROUP BY b.vec_id
+    ),
+    peers AS (
+      SELECT y.vec_id, MIN(x.vec_id) AS peer_min
+      FROM batch_cells x JOIN batch_cells y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {_sql_cosine('x.embedding', 'y.embedding')}
+            >= {SEMDEDUP_THRESHOLD}
+      GROUP BY y.vec_id
+    )
+    SELECT b.vec_id, b.cell,
+           CASE WHEN h.state_match IS NOT NULL THEN 'dup_of_state'
+                WHEN p.peer_min IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'kept' END AS verdict,
+           COALESCE(h.state_match, p.peer_min, b.vec_id) AS match_id
+    FROM batch_cells b
+    LEFT JOIN hits h ON h.vec_id = b.vec_id
+    LEFT JOIN peers p ON p.vec_id = b.vec_id
+    """,
+)
+def dd35_incremental_semdedup_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dd32's day-N incremental SemDeDup under the linear cell
+    policy (see s18's docstring for the levers): the committed
+    coarse structure is ⌈N/64⌉ two-level cells, so the per-batch
+    cost — (batch × same-cell-state) + (batch × same-cell-batch) —
+    is bounded by CONSTANT expected occupancy instead of the √N
+    cells that grow linearly in member count. Both the state probe
+    and the in-batch peer join are block-salted (a dup-heavy batch
+    concentrates in its exemplars' cells by construction — the
+    state-probe side is the skew receipt dd32 never had). Same
+    deterministic batch, precedence rule and zero-norm guard as
+    dd32."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents, suffix, k = similarity.auto_seed_centroids(
+        emb, similarity.linear_nlist
+    )
+    v = F.col("vec_id")
+    neg = emb.filter(v % 97 == 3).select(
+        v.alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    batch = (
+        emb.filter(v % 50 == 0)
+        .select((v + 200000).alias("vec_id"), "embedding")
+        .unionByName(
+            neg.select((v + 300000).alias("vec_id"), "embedding")
+        )
+        .unionByName(
+            neg.select((v + 400000).alias("vec_id"), "embedding")
+        )
+        .unionByName(
+            emb.filter(v == 0).select(
+                F.lit(999999).cast("long").alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x - x
+                ).alias("embedding"),
+            )
+        )
+    )
+    return dedup.incremental_semantic_dedup(
+        batch,
+        emb,
+        cents,
+        threshold=SEMDEDUP_THRESHOLD,
+        cache_key=f"ivflin-dd35|{sf_dir}{suffix}",
+        pair_blocks=LINEAR_PAIR_BLOCKS,
+        two_level=True,
+        k=k,
+    )
