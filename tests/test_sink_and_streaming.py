@@ -1150,3 +1150,152 @@ def test_stream_semantic_dedup_via_foreachbatch(spark, tmp_path):
     assert verdicts[1] == "dup_of_state"
     assert verdicts[2] == "kept"
     assert verdicts[3] == "dup_of_state"  # batch-1 keeper now in state
+
+
+def test_recover_orphans_unwedges_crashed_commit(spark, tmp_path):
+    """Unit view of the r11-verdict-#4 crash window: a commit whose
+    version directory landed (parquet complete, _SUCCESS present)
+    but whose manifest publish never ran must (a) WEDGE a plain
+    retry — the directory-claim check cannot distinguish the orphan
+    from a competitor's completed write — and (b) be cleanly removed
+    by recover_orphans, after which the retry commits the identical
+    content from the identical base."""
+    from trello_github_etl_spark.plans.state_store import (
+        CommitConflictError,
+        VersionedStateStore,
+    )
+
+    store = VersionedStateStore(str(tmp_path / "st"))
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS fp")
+    assert store.commit(df, expected_version=0) == 1
+
+    # simulate the crash: v2 fully written, manifest never flipped
+    orig_publish = VersionedStateStore._publish
+    def no_publish(self, manifest):
+        raise RuntimeError("injected crash before manifest publish")
+    VersionedStateStore._publish = no_publish
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.commit(
+                spark.range(5).selectExpr("CAST(id AS STRING) AS fp"),
+                expected_version=1,
+            )
+    finally:
+        VersionedStateStore._publish = orig_publish
+
+    assert store.latest_version() == 1  # publish never happened
+    v2 = os.path.join(store.root, "v00000002")
+    assert os.path.exists(os.path.join(v2, "_SUCCESS"))  # state write done
+
+    # (a) the wedge: every retry from the same base now conflicts
+    with pytest.raises(CommitConflictError, match="already claimed"):
+        store.commit(
+            spark.range(5).selectExpr("CAST(id AS STRING) AS fp"),
+            expected_version=1,
+        )
+
+    # (b) recovery removes ONLY the unpublished orphan
+    assert store.recover_orphans() == [2]
+    assert not os.path.exists(v2)
+    assert store.latest_version() == 1
+    assert store.commit(
+        spark.range(5).selectExpr("CAST(id AS STRING) AS fp"),
+        expected_version=1,
+    ) == 2
+    assert {r.fp for r in store.read(spark).collect()} == {
+        "0", "1", "2", "3", "4"
+    }
+
+
+def test_stream_dedup_crash_window_converges_on_restart(spark, tmp_path):
+    """End-to-end r11-verdict-#4: kill the dedup stream INSIDE the
+    commit window of batch 0 — after the fingerprint state write hits
+    disk, before the manifest publish — restart the SAME stream
+    (same checkpoint), and prove the corpus converges to exactly the
+    state a crash-free run produces. The foreachBatch failure keeps
+    the streaming checkpoint un-advanced, so batch 0 re-delivers;
+    stream_dedup's startup recover_orphans removes the unpublished
+    orphan that would otherwise wedge the retried commit."""
+    import json as _json
+
+    from trello_github_etl_spark.plans.state_store import (
+        VersionedStateStore,
+    )
+    from trello_github_etl_spark.streaming.dedup_stream import (
+        read_fps,
+        stream_dedup,
+    )
+
+    def make_source(d):
+        src = str(tmp_path / d)
+        os.makedirs(src)
+        rows1 = [{"doc_id": 1, "text": "one"}, {"doc_id": 2, "text": "two"}]
+        rows2 = [{"doc_id": 3, "text": "ONE "}, {"doc_id": 4, "text": "three"}]
+        for name, rows, age in (("d1.json", rows1, 600), ("d2.json", rows2, 0)):
+            p = os.path.join(src, name)
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            now = time.time()
+            os.utime(p, (now - age, now - age))
+        return src
+
+    def reader(src):
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    # --- crash-free reference run ---
+    ref_store = VersionedStateStore(str(tmp_path / "fps_ref"))
+    q = (
+        stream_dedup(reader(make_source("src_ref")), ref_store,
+                     str(tmp_path / "ckpt_ref"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ref_fps = sorted(r.fp for r in read_fps(spark, ref_store).collect())
+    assert len(ref_fps) == 3
+
+    # --- injected run: crash before batch 0's manifest publish ---
+    src = make_source("src_crash")
+    store = VersionedStateStore(str(tmp_path / "fps_crash"))
+    orig_publish = VersionedStateStore._publish
+    crashed = {"n": 0}
+    def crash_once(self, manifest):
+        if self is store and crashed["n"] == 0:
+            crashed["n"] = 1
+            raise RuntimeError("injected crash before manifest publish")
+        return orig_publish(self, manifest)
+    VersionedStateStore._publish = crash_once
+    try:
+        q = (
+            stream_dedup(reader(src), store, str(tmp_path / "ckpt_crash"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception):
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+    finally:
+        VersionedStateStore._publish = orig_publish
+
+    assert crashed["n"] == 1
+    assert store.latest_version() == 0  # batch 0's publish never landed
+    orphan = os.path.join(store.root, "v00000001")
+    assert os.path.exists(orphan)  # ...but its state write did
+
+    # --- restart: same checkpoint, same store root ---
+    store2 = VersionedStateStore(store.root)
+    q = (
+        stream_dedup(reader(src), store2, str(tmp_path / "ckpt_crash"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not os.path.exists(orphan) or store2.latest_version() >= 1
+    got = sorted(r.fp for r in read_fps(spark, store2).collect())
+    assert got == ref_fps  # identical corpus state, crash or no crash

@@ -246,19 +246,33 @@ def _cap_engagement_receipts() -> int:
     finally:
         spark.stop()
     failed = False
-    for label, hot in (
-        (f"dd13 fingerprint-df cap ({DD13_MAX_FP_DF})", hot_fp),
-        (f"dd7 shingle-df cap ({DD7_MAX_SHINGLE_DF})", hot7 or 0),
-        (f"dd30 shingle-df cap ({DD30_MAX_SHINGLE_DF})", hot30 or 0),
-        ("dd31 hot canonical URL (>= 500 fetches)", hot_urls),
-        ("dd33 hot k-gram key (>= 500 occurrences)", hot_kgrams),
-        ("t22 hot domain (>= 500 docs)", hot_domains),
+    # Two receipt kinds (r11 ADVICE): CAP receipts prove a registered
+    # df cap actually bites on the fixture (keys ABOVE the cap exist);
+    # EXISTENCE receipts prove the fixture presents the hot keys a
+    # query's skew story names — there is no cap to engage (dd31/dd33
+    # treat heavy keys as signal), so their pass/fail wording must not
+    # claim one (a future failure would otherwise misdirect triage
+    # toward a nonexistent cap knob).
+    for kind, label, hot in (
+        ("cap", f"dd13 fingerprint-df cap ({DD13_MAX_FP_DF})", hot_fp),
+        ("cap", f"dd7 shingle-df cap ({DD7_MAX_SHINGLE_DF})", hot7 or 0),
+        ("cap", f"dd30 shingle-df cap ({DD30_MAX_SHINGLE_DF})", hot30 or 0),
+        ("exist", "dd31 hot canonical URL (>= 500 fetches)", hot_urls),
+        ("exist", "dd33 hot k-gram key (>= 500 occurrences)", hot_kgrams),
+        ("exist", "t22 hot domain (>= 500 docs)", hot_domains),
     ):
         if hot > 0:
-            print(f"cap engaged: {label} — {hot} hot keys above cap")
-        else:
+            if kind == "cap":
+                print(f"cap engaged: {label} — {hot} hot keys above cap")
+            else:
+                print(f"skew receipt: {label} — {hot} hot keys present")
+        elif kind == "cap":
             print(f"SKEW GATE FAILED: {label} has 0 keys above cap "
                   f"on the fixture — dead configuration")
+            failed = True
+        else:
+            print(f"SKEW GATE FAILED: {label} has 0 hot keys on the "
+                  f"fixture — the skew story has nothing to bite on")
             failed = True
     return 1 if failed else 0
 

@@ -55,6 +55,32 @@ TRACKING_PARAM_RE = r"^(utm_[a-zA-Z]+|gclid|fbclid|msclkid|mc_eid)="
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
 
+def _split_authority(url: Column) -> tuple[Column, Column, Column, Column]:
+    """(no_frag, rest, authority_raw, authority) — fragment stripped,
+    scheme removed, authority isolated, then userinfo dropped (keyed
+    on the LAST '@'; host can't contain one) and lowercased. The ONE
+    definition of the fragment/scheme/authority/userinfo steps shared
+    by canonicalize_url and canonical_host (r11 ADVICE: duplicated
+    trees guarded only by a golden test can desync t22's grouping
+    host from the canon_url it counts distinct values of — e.g. an
+    IDN or public-suffix addition landing in one and not the other).
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
+    authority_raw = F.regexp_extract(rest, "^([^/?]*)", 1)
+    authority = F.lower(F.regexp_replace(authority_raw, "^.*@", ""))
+    return no_frag, rest, authority_raw, authority
+
+
+def _authority_host(authority: Column) -> Column:
+    """Canonical host of a lowercased authority: strip the port
+    suffix, then a leading ``www.`` label — shared by both public
+    functions (see _split_authority)."""
+    return F.regexp_replace(
+        F.regexp_replace(authority, ":[0-9]+$", ""), r"^www\.", ""
+    )
+
+
 def canonicalize_url(
     url: Column, tracking_param_re: str = TRACKING_PARAM_RE
 ) -> Column:
@@ -68,26 +94,21 @@ def canonicalize_url(
     overrides the dropped-param pattern for corpora whose tracking
     vocabulary differs (must stay anchored with ``^(...)=``).
     """
-    no_frag = F.regexp_replace(url, "#.*$", "")
+    no_frag, rest, authority_raw, authority = _split_authority(url)
     scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
-    rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
-    authority_raw = F.regexp_extract(rest, "^([^/?]*)", 1)
     path_query = F.regexp_replace(rest, "^[^/?]*", "")
 
     # userinfo is CASE-SENSITIVE per RFC 3986 §6.2.2.1 (only scheme
-    # and host case-normalize) — split it off verbatim before
-    # lowercasing, keyed on the LAST '@' (host can't contain one).
-    # `userinfo` captures through the '@' so an explicit-empty
-    # userinfo ('http://@x.com') survives distinct from no-userinfo
-    # (post-r10 review: lowercasing the whole authority falsely
-    # merged distinct-user URLs and www-stripped usernames).
+    # and host case-normalize) — _split_authority drops it from the
+    # lowercased authority; re-extract it verbatim here, captured
+    # through the '@' so an explicit-empty userinfo ('http://@x.com')
+    # survives distinct from no-userinfo (post-r10 review:
+    # lowercasing the whole authority falsely merged distinct-user
+    # URLs and www-stripped usernames).
     userinfo = F.regexp_extract(authority_raw, "^(.*@)", 1)
-    authority = F.lower(F.regexp_replace(authority_raw, "^.*@", ""))
 
     port = F.regexp_extract(authority, ":([0-9]+)$", 1)
-    host = F.regexp_replace(
-        F.regexp_replace(authority, ":[0-9]+$", ""), r"^www\.", ""
-    )
+    host = _authority_host(authority)
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )
@@ -134,11 +155,8 @@ def canonical_host(url: Column) -> Column:
     domain-level rollups (RefinedWeb-style per-domain filtering
     groups by this). The synthetic hosts here are registrable
     domains already; a corpus with deep subdomains would compose a
-    public-suffix lookup on top."""
-    no_frag = F.regexp_replace(url, "#.*$", "")
-    rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
-    authority_raw = F.regexp_extract(rest, "^([^/?]*)", 1)
-    authority = F.lower(F.regexp_replace(authority_raw, "^.*@", ""))
-    return F.regexp_replace(
-        F.regexp_replace(authority, ":[0-9]+$", ""), r"^www\.", ""
-    )
+    public-suffix lookup on top. Composed from the SAME
+    _split_authority/_authority_host trees canonicalize_url uses, so
+    the two cannot desync (r11 ADVICE)."""
+    _no_frag, _rest, _raw, authority = _split_authority(url)
+    return _authority_host(authority)

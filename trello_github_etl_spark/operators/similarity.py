@@ -377,8 +377,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest coarse cells.
+
+    ``extra_cols`` ride through the narrow assignment map unchanged
+    (appended after ``_norm``): a consumer that needs per-vector
+    payload alongside the cell (hard_negative_mining's label) carries
+    it here instead of re-joining the corpus onto itself by id
+    afterwards — at 100 TB that re-join is a full corpus shuffle the
+    projection avoids for free (r12: measured on the s20 50× probe).
 
     ``centroids`` is (cent_id, c_vec) — tiny by construction (that is
     what makes them *coarse*), so they are collected once driver-side
@@ -417,6 +425,7 @@ def ivf_assign(
             F.lit(None).cast("int").alias("cell"),
             vec_col,
             "_norm",
+            *extra_cols,
         )
         if nprobe > 1:
             out = out.withColumn("_crank", F.lit(None).cast("int"))
@@ -481,6 +490,7 @@ def ivf_assign(
             F.expr(_argmax_cid_sql(scores)).alias("cell"),
             vec_col,
             "_norm",
+            *extra_cols,
         )
     # sort (score desc, cent_id asc) via (-s, cid) struct ordering
     ranked = (
@@ -491,13 +501,18 @@ def ivf_assign(
 
     return (
         pos_exploded(
-            vn, [id_col, vec_col, "_norm"], F.expr(ranked), "pos", "col"
+            vn,
+            [id_col, vec_col, "_norm", *extra_cols],
+            F.expr(ranked),
+            "pos",
+            "col",
         )
         .select(
             id_col,
             F.col("col.cid").alias("cell"),
             vec_col,
             "_norm",
+            *extra_cols,
             (F.col("pos") + 1).alias("_crank"),
         )
     )
@@ -510,6 +525,7 @@ def ivf_assign_2level(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Two-level (coarse → fine) cell assignment: argmax over the
     ⌈√k⌉ lowest-cent_id SUPER seeds first, then argmax over only the
@@ -597,12 +613,14 @@ def ivf_assign_2level(
         if gkey is not None:
             _GROUPED_SEED_CACHE[gkey] = (grows, gschema)
     grouped_b = vectors.sparkSession.createDataFrame(grows, gschema)
-    pts = ivf_assign(vectors, supers, 1, vec_col, id_col, skey)
+    pts = ivf_assign(vectors, supers, 1, vec_col, id_col, skey, extra_cols)
     cell = _argmax_cid_sql(_cell_scores_sql("`__seeds__`", vec_col))
     return (
         pts.withColumnRenamed("cell", "__sup")
         .join(F.broadcast(grouped_b), "__sup")
-        .select(id_col, F.expr(cell).alias("cell"), vec_col, "_norm")
+        .select(
+            id_col, F.expr(cell).alias("cell"), vec_col, "_norm", *extra_cols
+        )
     )
 
 
@@ -1733,8 +1751,9 @@ def hard_negative_mining(
     label pair is scored once and exploded into its two directed
     rows (Spark dedups exchanges under a union, not join subtrees —
     r5 code review, same as mutual_knn_graph); one anchor-keyed
-    window takes top-k. The label join onto the assignment frame is
-    id-keyed and narrow (two columns)."""
+    window takes top-k. The label rides through the assignment's
+    narrow projection (ivf_assign's extra_cols) — no corpus-on-corpus
+    id join anywhere in the plan (r12)."""
     from pyspark.sql.window import Window
 
     from trello_github_etl_spark.operators.gen import exploded
@@ -1758,18 +1777,32 @@ def hard_negative_mining(
         raise ValueError(
             "two_level requires the self-seeding path (centroids=None)"
         )
+    # the label RIDES THROUGH the assignment projection (extra_cols)
+    # instead of re-joining the corpus onto itself by id afterwards —
+    # that join was a full corpus shuffle at scale (r12, measured on
+    # the s20 50× probe)
     if two_level:
         # linear-nlist discipline (VERDICT r11 #1) — see
         # ivf_assign_2level for the assignment-cost argument
-        cells = ivf_assign_2level(
-            embeddings, centroids, seed_k, vec_col, id_col, cache_key
+        cl = ivf_assign_2level(
+            embeddings,
+            centroids,
+            seed_k,
+            vec_col,
+            id_col,
+            cache_key,
+            (label_col,),
         )
     else:
-        cells = ivf_assign(
-            embeddings, centroids, 1, vec_col, id_col, cache_key
+        cl = ivf_assign(
+            embeddings,
+            centroids,
+            1,
+            vec_col,
+            id_col,
+            cache_key,
+            (label_col,),
         )
-    lab = embeddings.select(id_col, label_col)
-    cl = cells.join(lab, id_col)
     if auto_k is not None and pair_blocks == 1:
         # explicit cell-keyed repartition before the self-join, exempt
         # from AQE byte-based coalescing (SCALE.md lesson 36); the

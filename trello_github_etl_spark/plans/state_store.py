@@ -43,7 +43,9 @@ True multi-writer (a commit log with conflict *resolution*, not just
 detection) remains what a real table format adds.
 
 Swap decision (re-checked each round, VERDICT r2 #8 / r3 #7 / r4 #7):
-delta-spark is still not importable (round 11 close, 2026-08-16:
+delta-spark is still not importable (round 12, 2026-08-16: ``pip
+install delta-spark`` completes without installing — no package
+index egress — and ``import delta`` still fails; round 11 close:
 ``import delta`` fails; the container has no package index egress —
 same result every round since r2), so the store stays. The swap recipe when it lands: DeltaTable.forPath +
 ``MERGE INTO`` replaces merge(); version time travel replaces
@@ -207,6 +209,48 @@ class VersionedStateStore:
             m2.setdefault("meta", {}).update(meta)
         self._publish(m2)
         return version
+
+    def recover_orphans(self) -> list[int]:
+        """Startup crash recovery for THE single writer (r11 verdict
+        #4): remove version directories ABOVE the published manifest
+        version and return their numbers.
+
+        The crash window that makes this necessary: commit() writes
+        the version directory (parquet job completes, ``_SUCCESS``
+        lands) and THEN publishes the manifest — a crash between the
+        two leaves v_{current+1} on disk, complete but unpublished.
+        On restart the retry recomputes from the same base and calls
+        commit(), whose directory-claim check finds the orphan,
+        cannot distinguish it from a COMPETITOR's completed write
+        (``_SUCCESS`` present), and refuses — wedging every retry
+        into a bogus conflict forever. Under the store's documented
+        single-writer contract, an unpublished directory at startup
+        can only be this writer's own crashed commit, so removing it
+        is safe and the recomputed retry republishes identical
+        content from the identical base version (the convergence
+        claim tests/test_sink_and_streaming.py's crash-injection test
+        proves end-to-end).
+
+        MUST only run while no commit is in flight — i.e. at writer
+        startup/restart, which is where the stream_* wirings call it.
+        Published data is untouched by construction (only dirs
+        strictly above ``current`` are candidates), so time travel
+        and the replay-gate metadata survive."""
+        import shutil
+
+        current = self._read_manifest()["current"]
+        removed = []
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v > current:
+                shutil.rmtree(os.path.join(self.root, name))
+                removed.append(v)
+        return removed
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to any committed version."""

@@ -3742,6 +3742,15 @@ SQL_URL_CANON_CTES = """
     )
     """
 
+# The keeper election over the canonical URL — lowest doc_id per
+# canon_url group wins (window MIN; re-fetches lose). Single-homed
+# (r11 ADVICE): dd31's verdict/keeper_id, pipe11's k CTE and
+# pipe13's keep_u all splice THESE two fragments, so a future change
+# to the election rule (e.g. keep-best-quality) cannot silently
+# leave one composed stack on the old rule while dd31 moves.
+SQL_URL_KEEPER_MIN = "MIN(doc_id) OVER (PARTITION BY canon_url)"
+SQL_URL_KEEPER_PRED = f"doc_id = {SQL_URL_KEEPER_MIN}"
+
 
 @query(
     "dd31_url_canonical_dedup",
@@ -3751,8 +3760,8 @@ SQL_URL_CANON_CTES = """
     ),
     {SQL_URL_CANON_CTES}
     SELECT doc_id, url, canon_url,
-           MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
-           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+           {SQL_URL_KEEPER_MIN} AS keeper_id,
+           CASE WHEN {SQL_URL_KEEPER_PRED}
                 THEN 'kept' ELSE 'dup_url' END AS verdict
     FROM c
     """,
@@ -4013,7 +4022,7 @@ def t21_backoff_lm_ppl_deciles(
     {SQL_URL_CANON_CTES},
     k AS (
       SELECT doc_id, canon_url,
-             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+             CASE WHEN {SQL_URL_KEEPER_PRED}
                   THEN 'kept' ELSE 'dup_url' END AS verdict
       FROM c
     ),
@@ -4388,7 +4397,7 @@ _PIPE13_ORACLE = f"""
     ntok AS (SELECT doc_id, len(tk) AS n_tok FROM d33_toks),
     keep_u AS (
       SELECT doc_id,
-             doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS url_kept
+             {SQL_URL_KEEPER_PRED} AS url_kept
       FROM c
     )
     SELECT *,
@@ -4732,8 +4741,26 @@ def t23_source_unigram_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = exploded(sets, [], pair_arr, "p").select(
         "p.sa", "p.ca", "p.sb", "p.cb"
     )
-    ta = totals.select(F.col("source").alias("sa"), F.col("n").alias("na"))
-    tb = totals.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    # LOUD overflow guard (r11 ADVICE): with ANSI off, a
+    # DECIMAL(38,0) overflow in the |ca·nb − cb·na| sum would emit
+    # NULL tvd silently. The docstring's 10^15-token bound is now
+    # ENFORCED: assert_true raises at execution if any source total
+    # exceeds it (c ≤ n per token, so bounding n bounds every
+    # product at < 10^31 and the sum at < vocab·10^31 — safe in 38
+    # digits through 10^7 distinct tokens; shard the matrix past
+    # that). The when(isNull, n) wrapper keeps the assertion
+    # REFERENCED so Catalyst cannot prune it away (assert_true
+    # returns NULL on pass).
+    _t23_guard = F.assert_true(
+        F.col("n") <= F.lit(10**15),
+        F.lit(
+            "t23: source token total exceeds 1e15 — decimal(38,0) TVD "
+            "numerator could overflow to NULL; shard the computation"
+        ),
+    )
+    guarded_n = F.when(_t23_guard.isNull(), F.col("n")).otherwise(F.col("n"))
+    ta = totals.select(F.col("source").alias("sa"), guarded_n.alias("na"))
+    tb = totals.select(F.col("source").alias("sb"), guarded_n.alias("nb"))
     dec = "decimal(38,0)"
     inter = (
         pairs.join(F.broadcast(ta), "sa")

@@ -157,6 +157,9 @@ def stream_ingest(
 ):
     """Wire the composed batch plan into foreachBatch. ``on_batch``
     receives (batch_id, verdicts) for observability/testing."""
+    # startup crash recovery — see stream_dedup's note /
+    # VersionedStateStore.recover_orphans
+    band_store.recover_orphans()
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         verdicts = ingest_batch(

@@ -70,6 +70,12 @@ def stream_dedup(
 ):
     """Wire the batch plan into foreachBatch. ``on_batch`` receives
     (batch_id, verdicts) for observability/testing."""
+    # startup crash recovery: a crash between a batch's state write
+    # and its manifest publish leaves an unpublished orphan that
+    # would wedge the first retried commit into a bogus conflict —
+    # see VersionedStateStore.recover_orphans (single-writer safe:
+    # this wiring IS the one writer, and it is not yet running)
+    store.recover_orphans()
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         verdicts = dedup_batch(batch.sparkSession, store, batch)

@@ -124,6 +124,9 @@ def stream_semantic_dedup(
 ):
     """Wire the batch plan into foreachBatch. ``on_batch`` receives
     (batch_id, verdicts) for observability/testing."""
+    # startup crash recovery — see stream_dedup's note /
+    # VersionedStateStore.recover_orphans
+    store.recover_orphans()
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         verdicts = semantic_dedup_batch(

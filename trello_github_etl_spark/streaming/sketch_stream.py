@@ -104,6 +104,9 @@ def stream_sketch(
     token_col: str = "token",
 ):
     """foreachBatch wiring for a live token stream."""
+    # startup crash recovery — see stream_dedup's note /
+    # VersionedStateStore.recover_orphans
+    store.recover_orphans()
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         apply_batch(
