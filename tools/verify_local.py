@@ -61,9 +61,16 @@ def main() -> int:
     spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')"
-        )
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')"
+            )
+        except duckdb.Error:
+            # partial fixture dirs are legitimate (.data/sf5 carries
+            # only documents/embeddings by design — tools/make_sfN.py);
+            # a query over a missing table then fails LOUDLY in its
+            # own row instead of killing the whole sweep here
+            print(f"note: table {t!r} absent at {args.sf}; view skipped")
 
     # Each query additionally emits one machine-readable line
     # ("RESULT {json}") that tools/sweep_to_json.py copies VERBATIM
