@@ -1276,9 +1276,11 @@ def test_simhash_hamming_pairs_find_planted_near_copies(spark):
     from tests.conftest import SF_DIR as _SF
 
     docs = _augmented_docs(spark, _SF)
+    from trello_github_etl_spark.queries.llm_q import DOC_SHIFT
+
     planted = {
-        (r.doc_id, r.doc_id + 100000)
-        for r in docs.filter(F.col("doc_id") < 100000)
+        (r.doc_id, r.doc_id + DOC_SHIFT)
+        for r in docs.filter(F.col("doc_id") < DOC_SHIFT)
         .filter(F.col("doc_id") % 50 == 0)
         .select("doc_id")
         .collect()

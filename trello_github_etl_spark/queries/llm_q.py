@@ -6,8 +6,8 @@ including MinHash signatures, LSH buckets, SimHash bits, and cosine
 scores (strict left-fold double arithmetic on both engines).
 
 Dedup corpora are augmented deterministically on BOTH sides: exact
-copies (doc_id+100000) and near-copies with one appended token
-(doc_id+200000), so duplicate pairs exist to find.
+copies (doc_id+DOC_SHIFT) and near-copies with one appended token
+(doc_id+2*DOC_SHIFT), so duplicate pairs exist to find.
 """
 
 from __future__ import annotations
@@ -40,22 +40,34 @@ SQL_SHINGLES3 = (
 # first 60 bits of md5 as BIGINT (operators/dedup._token_hash60 twin)
 SQL_H60 = "CAST(TRY_CAST('0x' || substr(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
 
-SQL_AUGMENTED_DOCS = """
+# Planted-fixture id namespace for DOCUMENT corpora. 10M clears any
+# synthetic corpus this repo generates (sf5's doc_ids reach 250k; the
+# old +100000 collided there — 3,000 duplicate doc_ids whose shingle
+# sets silently MERGED in every group-by-doc_id path while per-row
+# paths kept them apart, found by the r12 sf5 oracle sweep, the exact
+# cross-scale interference class VERDICT r11 #2 predicted). Shifts
+# are multiples of DOC_SHIFT so planted namespaces stay disjoint; all
+# shifts are EVEN, preserving the doc_id-parity arguments (dd12).
+# Embedding plantings stay at +100000/+200000/…: vec_ids top out at
+# 99,999 at sf5 — the boundary is documented in tools/make_sfN.py.
+DOC_SHIFT = 10_000_000
+
+SQL_AUGMENTED_DOCS = f"""
     SELECT doc_id, text, lang FROM documents
     UNION ALL
-    SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 5 = 0
+    SELECT doc_id + {DOC_SHIFT}, text, lang FROM documents WHERE doc_id % 5 = 0
     UNION ALL
-    SELECT doc_id + 200000, text || ' extraword', lang FROM documents WHERE doc_id % 7 = 0
+    SELECT doc_id + {2 * DOC_SHIFT}, text || ' extraword', lang FROM documents WHERE doc_id % 7 = 0
 """
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     exact = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+        (F.col("doc_id") + DOC_SHIFT).alias("doc_id"), "text", "lang"
     )
     near = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 2 * DOC_SHIFT).alias("doc_id"),
         F.concat("text", F.lit(" extraword")).alias("text"),
         "lang",
     )
@@ -1064,17 +1076,17 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd10_incremental_dedup",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
       SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
       FROM documents
     ),
     batch AS (
-      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + {DOC_SHIFT} AS doc_id, text FROM documents WHERE doc_id % 5 = 0
       UNION ALL
-      SELECT doc_id + 300000, text || ' fresh-content' FROM documents WHERE doc_id % 9 = 4
+      SELECT doc_id + {3 * DOC_SHIFT}, text || ' fresh-content' FROM documents WHERE doc_id % 9 = 4
       UNION ALL
-      SELECT doc_id + 400000, text || ' fresh-content' FROM documents WHERE doc_id % 9 = 4
+      SELECT doc_id + {4 * DOC_SHIFT}, text || ' fresh-content' FROM documents WHERE doc_id % 9 = 4
     ),
     fps AS (
       SELECT doc_id,
@@ -1107,16 +1119,16 @@ def dd10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = docs.filter(F.col("doc_id") % 9 == 4)
     batch = (
         docs.filter(F.col("doc_id") % 5 == 0)
-        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + DOC_SHIFT).alias("doc_id"), "text")
         .unionByName(
             fresh.select(
-                (F.col("doc_id") + 300000).alias("doc_id"),
+                (F.col("doc_id") + 3 * DOC_SHIFT).alias("doc_id"),
                 F.concat("text", F.lit(" fresh-content")).alias("text"),
             )
         )
         .unionByName(
             fresh.select(
-                (F.col("doc_id") + 400000).alias("doc_id"),
+                (F.col("doc_id") + 4 * DOC_SHIFT).alias("doc_id"),
                 F.concat("text", F.lit(" fresh-content")).alias("text"),
             )
         )
@@ -1300,13 +1312,13 @@ def dd7_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deterministic contamination fixture, identical on both sides: the
 # "benchmark" is every doc with doc_id % 97 = 0; the corpus is the
-# rest PLUS a near-verbatim copy of each benchmark doc (id+300000,
+# rest PLUS a near-verbatim copy of each benchmark doc (id+3*DOC_SHIFT,
 # two appended tokens) — the planted leaks decontamination must catch.
 SQL_DECON_BENCH = "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0"
 SQL_DECON_CORPUS = f"""
     SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
     UNION ALL
-    SELECT doc_id + 300000, text || ' tail tail' FROM ({SQL_DECON_BENCH})
+    SELECT doc_id + {3 * DOC_SHIFT}, text || ' tail tail' FROM ({SQL_DECON_BENCH})
 """
 
 
@@ -1348,7 +1360,7 @@ def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(
         bench.select(
-            (F.col("doc_id") + 300000).alias("doc_id"),
+            (F.col("doc_id") + 3 * DOC_SHIFT).alias("doc_id"),
             F.concat("text", F.lit(" tail tail")).alias("text"),
         )
     )
@@ -2729,13 +2741,13 @@ _DD23_SIG_LIST = ", ".join(
     "dd23_incremental_near_dedup",
     oracle=f"""
     WITH batch AS (
-      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + {DOC_SHIFT} AS doc_id, text FROM documents WHERE doc_id % 5 = 0
       UNION ALL
-      SELECT doc_id + 300000, reverse(text) FROM documents WHERE doc_id % 9 = 4
+      SELECT doc_id + {3 * DOC_SHIFT}, reverse(text) FROM documents WHERE doc_id % 9 = 4
       UNION ALL
-      SELECT doc_id + 400000, reverse(text) FROM documents WHERE doc_id % 9 = 4
+      SELECT doc_id + {4 * DOC_SHIFT}, reverse(text) FROM documents WHERE doc_id % 9 = 4
       UNION ALL
-      SELECT 999999, ''
+      SELECT {5 * DOC_SHIFT - 1}, ''
     ),
     ctoks AS (
       SELECT doc_id, {SQL_TOKENS.format(t='text')} AS tk FROM documents
@@ -2804,22 +2816,22 @@ def dd23_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = docs.filter(F.col("doc_id") % 9 == 4)
     batch = (
         docs.filter(F.col("doc_id") % 5 == 0)
-        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + DOC_SHIFT).alias("doc_id"), "text")
         .unionByName(
             fresh.select(
-                (F.col("doc_id") + 300000).alias("doc_id"),
+                (F.col("doc_id") + 3 * DOC_SHIFT).alias("doc_id"),
                 F.reverse(F.col("text")).alias("text"),
             )
         )
         .unionByName(
             fresh.select(
-                (F.col("doc_id") + 400000).alias("doc_id"),
+                (F.col("doc_id") + 4 * DOC_SHIFT).alias("doc_id"),
                 F.reverse(F.col("text")).alias("text"),
             )
         )
         .unionByName(
             spark.range(1).select(
-                F.lit(999999).cast("long").alias("doc_id"),
+                F.lit(5 * DOC_SHIFT - 1).cast("long").alias("doc_id"),
                 F.lit("").alias("text"),
             )
         )
@@ -4499,14 +4511,14 @@ pipe13_provenance_stack.__doc__ = pipe13_provenance_stack.__doc__.format(
 # -invariant: normalize_text collapses it, receipting that the
 # overlap is canonical-text overlap, not byte equality), %10==1 docs
 # under source+2 with one trailing space.
-_SQL_DD34_AUG = """
+_SQL_DD34_AUG = f"""
     SELECT doc_id, text, source FROM documents
     UNION ALL
-    SELECT doc_id + 100000, text || '  ',
+    SELECT doc_id + {DOC_SHIFT}, text || '  ',
            'src' || CAST(((doc_id % 20) + 1) % 20 AS VARCHAR)
     FROM documents WHERE doc_id % 4 = 0
     UNION ALL
-    SELECT doc_id + 200000, text || ' ',
+    SELECT doc_id + {2 * DOC_SHIFT}, text || ' ',
            'src' || CAST(((doc_id % 20) + 2) % 20 AS VARCHAR)
     FROM documents WHERE doc_id % 10 = 1
 """
@@ -4524,12 +4536,12 @@ def _dd34_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     c1 = docs.filter(d % 4 == 0).select(
-        (d + 100000).alias("doc_id"),
+        (d + DOC_SHIFT).alias("doc_id"),
         F.concat("text", F.lit("  ")).alias("text"),
         nxt(1).alias("source"),
     )
     c2 = docs.filter(d % 10 == 1).select(
-        (d + 200000).alias("doc_id"),
+        (d + 2 * DOC_SHIFT).alias("doc_id"),
         F.concat("text", F.lit(" ")).alias("text"),
         nxt(2).alias("source"),
     )

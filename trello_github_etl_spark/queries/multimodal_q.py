@@ -204,7 +204,7 @@ def mm5_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hamming 0), and LENGTH-PRESERVING edits move only the touched
     slices (property-tested).  Honest divergence from a real pixel
     decode: a length-CHANGING edit shifts every slice boundary and
-    scrambles the grid (the +200000 suffix near-copies do NOT pair),
+    scrambles the grid (the +2*DOC_SHIFT suffix near-copies do NOT pair),
     whereas real aHash average-pools a resized pixel grid and
     absorbs such shifts — the pairing contract downstream of the
     decode is what this query exercises.  Corpus = the augmented

@@ -22,6 +22,7 @@ from trello_github_etl_spark.operators import packing, textstats
 from trello_github_etl_spark.operators.gen import exploded
 from trello_github_etl_spark.operators.parallel import ensure_parallelism
 from trello_github_etl_spark.queries.llm_q import (
+    DOC_SHIFT,
     SQL_H60,
     SQL_STOPLIST,
     SQL_TOKENS,
@@ -924,7 +925,7 @@ def _pipe8_oracle() -> str:
     fan AS (
       SELECT doc_id, text FROM aug
       UNION ALL
-      SELECT doc_id + 100000, text FROM aug WHERE doc_id % 50 = 0
+      SELECT doc_id + {DOC_SHIFT}, text FROM aug WHERE doc_id % 50 = 0
     ),
     toks AS (
       SELECT doc_id, text, {SQL_TOKENS.format(t='text')} AS tk FROM fan
@@ -1001,7 +1002,7 @@ def pipe8_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` (plan-pinned).
 
     Fixture mirrors t7 + s3: every %11 doc gains a PII tail, every
-    %50 doc is re-crawled verbatim at id+100000 — planted via an
+    %50 doc is re-crawled verbatim at id+DOC_SHIFT — planted via an
     IN-PLAN conditional explode (per-row array fan-out), not a
     self-union, which is what keeps the scan count at one.
 
@@ -1035,7 +1036,7 @@ def pipe8_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("text"))
     one = F.struct(F.col("doc_id").alias("doc_id"), text2.alias("text"))
     copy = F.struct(
-        (F.col("doc_id") + 100000).alias("doc_id"), text2.alias("text")
+        (F.col("doc_id") + DOC_SHIFT).alias("doc_id"), text2.alias("text")
     )
     fan = exploded(
         docs,
