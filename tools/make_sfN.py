@@ -31,6 +31,14 @@ Deterministic: numpy default_rng seeded per entity id with the SAME
 seed scheme as make_sf1 (a doc with id i is byte-identical across
 sfN dirs for every N where it exists).
 
+PLANTED-ID BOUNDARIES (r12): document-fixture plantings use
+llm_q.DOC_SHIFT = 10M multiples, safe to doc_id < 10M (mult 2000).
+EMBEDDING plantings still use +100000/+200000/…: vec_ids reach
+100000·(mult/50), so --mult 50 is the LAST collision-free embedding
+scale — going past it requires bumping the vec planting shifts the
+way DOC_SHIFT was bumped (the +100000 doc collision at mult 50
+silently merged 3,000 ids in group-by paths; see the r12 fix).
+
     python tools/make_sfN.py --mult 50        # .data/sf5 (50x sf0.1)
 """
 
