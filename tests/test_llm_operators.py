@@ -957,6 +957,25 @@ def test_twostar_raises_on_exhausted_iterations(spark):
         dedup.connected_components_twostar(pairs, max_iter=1)
 
 
+def test_min_label_raises_on_exhausted_iterations(spark):
+    """Min-label propagation must ALSO fail loudly when the round
+    budget is smaller than the graph's diameter — the r12 50x sweep
+    caught it returning partially-propagated labels silently (198k
+    wrong cluster ids) when a star-edge chain needed 38 rounds
+    against the old cap of 25. Two-star had this guard from r9;
+    the asymmetry was the bug."""
+    from trello_github_etl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
+    # and a budget >= diameter converges to the single chain class
+    labels = dedup.connected_components(pairs, max_iter=64).collect()
+    assert {r.cluster_id for r in labels} == {0}
+
+
 def test_real_codec_24bit_wav_is_loud_boundary(spark):
     """24-bit PCM passes the RIFF magic but needs byte repacking —
     must raise the documented NotImplementedError, not a KeyError."""

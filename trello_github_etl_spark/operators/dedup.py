@@ -727,7 +727,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 64,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, cluster_id=min reachable node) from an undirected edge
@@ -742,6 +742,17 @@ def connected_components(
     collects. For graphs with giant components, swap in the
     large-star/small-star algorithm (Kiveris et al.) — the round
     structure below is the same.
+
+    NON-CONVERGENCE IS AN ERROR (r12 sf5 sweep finding): exhausting
+    ``max_iter`` with labels still changing means the returned frame
+    is NOT components — it's a partially-propagated mush, and
+    returning it silently produced 198k wrong cluster labels at the
+    50× corpus, where a star-edge chain's diameter (measured 38
+    rounds; sf1 fit inside the old cap of 25) crossed the cap.
+    The loop now raises instead; callers with unknown-diameter
+    graphs belong on connected_components_twostar (O(log² n) rounds
+    regardless of diameter — dd9 passed the same 50× oracle the
+    capped loop failed).
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # cache the symmetrized edge list: every iteration joins against
@@ -792,6 +803,16 @@ def connected_components(
         labels = joined.select("node", "label")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): the graph's diameter "
+            "exceeds the round budget and the partial labels are NOT "
+            "components. Raise max_iter, or use "
+            "connected_components_twostar (O(log^2 n) rounds regardless "
+            "of diameter)."
+        )
     edges.unpersist()  # final labels are checkpoint-backed above
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -1772,12 +1793,18 @@ def dup_cluster_keepers(
     the corpus-shrink plan a pipeline applies as an anti-join of
     non-keepers.
 
-    Scale shape: clustering is dd6's (banded LSH, iterative
-    min-propagation — candidate pairs only); the cluster frame holds
-    ONLY pair-involved docs (dup-free corpora contribute nothing),
-    and joins doc-keyed against the quality projection. The elect
-    step is one window + one groupBy on cluster_id — same key, so
-    Catalyst plans a single exchange for both.
+    Scale shape: clustering is dd9's TWO-STAR path (banded LSH star
+    edges → large-star/small-star components; switched from dd6's
+    min-label propagation after the r12 50× sweep caught the
+    diameter cap silently mislabeling — the decision stage must be
+    diameter-proof because it runs on exactly the corpora whose
+    cluster shapes degrade); components are identical by contract
+    (both close over the band-sharing relation, oracle-pinned). The
+    cluster frame holds ONLY pair-involved docs (dup-free corpora
+    contribute nothing), and joins doc-keyed against the quality
+    projection. The elect step is one window + one groupBy on
+    cluster_id — same key, so Catalyst plans a single exchange for
+    both.
     """
     from pyspark.sql.window import Window
 
@@ -1786,7 +1813,9 @@ def dup_cluster_keepers(
         tokens,
     )
 
-    clusters = dup_clusters(docs, text_col, checkpoint_dir=checkpoint_dir)
+    clusters = dup_clusters_twostar(
+        docs, text_col, checkpoint_dir=checkpoint_dir
+    )
     # shared token projection: quality_score tokenizes twice
     # internally (SCALE.md lesson 38)
     qual = docs.select(

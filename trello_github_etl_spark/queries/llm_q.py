@@ -1059,7 +1059,8 @@ _KEEPERS_ORACLE = f"""{_CLUSTERS_CTES},
 def dd22_dup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION stage: elect the member to keep per
     near-dup cluster (quality argmax, doc_id tie-break) — the
-    corpus-shrink plan downstream of dd6's clustering. Exact-copy
+    corpus-shrink plan downstream of clustering (dd9's two-star path
+    since r12: the decision stage must be diameter-proof). Exact-copy
     clusters resolve by tie-break; near-copy clusters by quality.
     See operators/dedup.dup_cluster_keepers (window + groupBy share
     one cluster_id exchange; cluster frame holds only pair-involved
