@@ -146,6 +146,18 @@ ALLOWED_REGRESS = {
         "environmental drift on a config-sized workload, no 100 TB "
         "relevance; re-adjudicate if it crosses 2.5 s"
     ),
+    "dd22_dup_cluster_keepers": (
+        "r12 ATTRIBUTED plan change, not drift: the keeper stage "
+        "switched from min-label propagation to the diameter-proof "
+        "two-star components after the 50x sweep caught the old path "
+        "silently mislabeling past its round cap (commit f7aae55). "
+        "Two-star pays 2 shuffle stages/round, so sf0.1 rose "
+        "~5.4-6.5 s -> 7.2-8.8 s, while sf1 IMPROVED 24.5 -> 20.6 s "
+        "and sf5 went wrong -> hash-exact; the small-scale premium "
+        "buys correctness on exactly the corpora whose cluster "
+        "shapes degrade. Re-adjudicate if sf0.1 crosses 12 s or the "
+        "sf1 advantage inverts"
+    ),
 }
 
 
