@@ -158,6 +158,26 @@ ALLOWED_REGRESS = {
         "shapes degrade. Re-adjudicate if sf0.1 crosses 12 s or the "
         "sf1 advantage inverts"
     ),
+    "pipe6_corpus_shuffle": (
+        "r12 adjudicated environment, not plan: raw sf0.1 medians "
+        "{1.50, 1.48, 1.34} vs the r11 prior runs' own spread "
+        "{1.51, 1.61, 1.06} — the flag is the 1.3x bar against the "
+        "prior pool's fastest outlier (lesson 45's min-pool "
+        "mismatch), persisting across all three r12 pairings only "
+        "because every r12 run sits mid-spread. Zero source diff on "
+        "its path this round (git cf7543a..HEAD: packing.py "
+        "untouched, pipeline_q diff is DOC_SHIFT-only, none of it "
+        "on pipe6). Re-adjudicate if sf0.1 crosses 3 s"
+    ),
+    "pipe12_ccnet_stack": (
+        "r12 adjudicated environment, not plan: raw sf0.1 medians "
+        "{1.87, 1.90, 1.80} vs prior spread {2.09, 1.96, 1.44} — "
+        "current MAX is below the prior MAX; the flag is the 1.3x "
+        "bar against the prior fastest outlier (lesson 45). PLANS.md "
+        "section regenerated this round is BIT-IDENTICAL to r11's "
+        "after plan_id normalization (0 diff lines). Re-adjudicate "
+        "if sf0.1 crosses 4 s"
+    ),
 }
 
 
