@@ -328,3 +328,25 @@ def test_margin_linear_recall_dominates(spark, emb01):
     agree_lin = sum(best_lin.get(x) == truth[x] for x in xs) / len(xs)
     assert agree_lin >= agree_sqrt - 0.02
     assert agree_lin >= 0.15
+
+
+def test_ivf_assign_2level_rejects_nondense_cent_ids(spark):
+    """r12 ADVICE: the supers filter assumes dense cent_ids 0..k-1;
+    non-dense ids (or a k inconsistent with the frame) would leave
+    supers empty/undersized and the inner join on __sup would
+    silently drop rows. The collected seed table now validates seed
+    coverage == k and raises instead."""
+    emb = _emb(spark, SF001).limit(64)
+    k = 4
+    # ids shifted by +10: no centroid has cent_id < ceil(sqrt(4)) = 2,
+    # so supers would be empty and every row would silently vanish
+    cents = (
+        _emb(spark, SF001)
+        .limit(k)
+        .select(
+            (F.monotonically_increasing_id() + 10).alias("cent_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+    )
+    with pytest.raises(ValueError, match="dense"):
+        sim.ivf_assign_2level(emb, cents, k).collect()

@@ -2372,3 +2372,38 @@ def test_source_unigram_tvd_hand_values(spark):
     assert out[("a", "c")]["shared_toks"] == 0
     assert out[("b", "c")]["tvd"] == 1.0
     assert out[("a", "b")]["n_a"] == 3 and out[("a", "b")]["n_b"] == 2
+
+
+def test_t23_overflow_guard_fires(spark, tmp_path, monkeypatch):
+    """r12 ADVICE: the r11 assert_true wrapper had identical when/
+    otherwise branches, so SimplifyConditionals pruned the assertion
+    and the 'ENFORCED' 1e15 bound was dead code. The reworked guard
+    puts raise_error in the violating branch (branches differ →
+    survives optimization); lowering the module bound onto a real
+    corpus proves the raise actually fires at execution."""
+    import os
+
+    import trello_github_etl_spark.queries.llm_q as llm
+
+    docs = spark.createDataFrame(
+        [(1, "x x y", "a"), (2, "x z", "b")],
+        "doc_id long, text string, source string",
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    monkeypatch.setattr(llm, "_T23_N_BOUND", 2)
+    with pytest.raises(Exception, match="exceeds"):
+        llm.t23_source_unigram_tvd(spark, d).collect()
+    # and at the real bound the same corpus passes untouched
+    monkeypatch.setattr(llm, "_T23_N_BOUND", 10**15)
+    assert llm.t23_source_unigram_tvd(spark, d).count() == 1
+
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    """r12 ADVICE: max_iter <= 0 skips the loop body, leaving the
+    for-else's convergence check with an unbound `changed` — the
+    intended RuntimeError would surface as a NameError. Entry
+    validation fails loudly instead."""
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.connected_components(pairs, max_iter=0)

@@ -181,3 +181,21 @@ def test_vacuum_raced_commit_fails_loudly(spark, store):
     store._read_manifest = real
     # the (simulated) winner's pointer was never regressed
     assert store._read_manifest()["current"] == 2
+
+
+def test_recover_orphans_skips_version_named_files(spark, store):
+    """r12 ADVICE: a stray regular FILE whose name parses as a
+    version (e.g. a leftover marker) must not make recover_orphans
+    raise NotADirectoryError and wedge stream startup — files are
+    never commit candidates and are skipped; orphan DIRECTORIES
+    above current are still removed."""
+    store.commit(_df(spark, [("a", "t1")]))
+    with open(os.path.join(store.root, "v00000002"), "w") as fh:
+        fh.write("not a commit directory")
+    _df(spark, [("zz", "junk")]).write.parquet(
+        os.path.join(store.root, "v00000003")
+    )
+    assert store.recover_orphans() == [3]
+    # the stray file survives untouched; the store still reads
+    assert os.path.isfile(os.path.join(store.root, "v00000002"))
+    assert [r.entity_id for r in store.read(spark).collect()] == ["a"]

@@ -754,6 +754,11 @@ def connected_components(
     regardless of diameter — dd9 passed the same 50× oracle the
     capped loop failed).
     """
+    if max_iter < 1:
+        # r12 ADVICE: with max_iter <= 0 the loop body never runs, so
+        # the for-else's RuntimeError would hit an unbound `changed`
+        # (NameError) — fail loudly at entry instead.
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # cache the symmetrized edge list: every iteration joins against
     # it, and without the cache each round would re-run the entire

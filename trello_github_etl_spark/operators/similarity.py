@@ -610,6 +610,21 @@ def ivf_assign_2level(
         grows, gschema = _GROUPED_SEED_CACHE[gkey]
     else:
         grows, gschema = grouped.collect(), grouped.schema
+        # r12 ADVICE: the supers filter above ASSUMES dense cent_ids
+        # 0..k-1. Non-dense ids (or a k inconsistent with the frame)
+        # would leave supers empty/undersized and the inner join on
+        # __sup would then silently drop or truncate the assignment.
+        # The grouped seed table is already collected, so the check
+        # is free: every one of the k seeds must appear under exactly
+        # one super.
+        n_seeds = sum(len(r["__seeds__"]) for r in grows)
+        if n_seeds != k:
+            raise ValueError(
+                f"ivf_assign_2level: centroids must carry dense "
+                f"cent_ids 0..k-1 (k={k}), but the two-level seed "
+                f"assignment covered {n_seeds} seeds — non-dense ids "
+                f"or a k inconsistent with the centroid frame"
+            )
         if gkey is not None:
             _GROUPED_SEED_CACHE[gkey] = (grows, gschema)
     grouped_b = vectors.sparkSession.createDataFrame(grows, gschema)

@@ -248,7 +248,15 @@ class VersionedStateStore:
             except ValueError:
                 continue
             if v > current:
-                shutil.rmtree(os.path.join(self.root, name))
+                path = os.path.join(self.root, name)
+                # r12 ADVICE: a stray regular FILE with a version-like
+                # name (v7.tmp-less junk) would make rmtree raise
+                # NotADirectoryError at stream startup and block
+                # recovery forever — only directories are commit
+                # candidates; skip files.
+                if not os.path.isdir(path):
+                    continue
+                shutil.rmtree(path)
                 removed.append(v)
         return removed
 

@@ -4691,6 +4691,12 @@ _T23_ORACLE = (
 )
 
 
+# t23's decimal(38,0)-safety bound on per-source token totals; module
+# level (read at query-BUILD time) so the overflow-guard test can
+# monkeypatch it down to a constructible corpus size.
+_T23_N_BOUND = 10**15
+
+
 @query("t23_source_unigram_tvd", oracle=_T23_ORACLE)
 def t23_source_unigram_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mixture drift matrix: EXACT pairwise total-variation
@@ -4754,24 +4760,31 @@ def t23_source_unigram_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = exploded(sets, [], pair_arr, "p").select(
         "p.sa", "p.ca", "p.sb", "p.cb"
     )
-    # LOUD overflow guard (r11 ADVICE): with ANSI off, a
-    # DECIMAL(38,0) overflow in the |ca·nb − cb·na| sum would emit
-    # NULL tvd silently. The docstring's 10^15-token bound is now
-    # ENFORCED: assert_true raises at execution if any source total
-    # exceeds it (c ≤ n per token, so bounding n bounds every
-    # product at < 10^31 and the sum at < vocab·10^31 — safe in 38
-    # digits through 10^7 distinct tokens; shard the matrix past
-    # that). The when(isNull, n) wrapper keeps the assertion
-    # REFERENCED so Catalyst cannot prune it away (assert_true
-    # returns NULL on pass).
-    _t23_guard = F.assert_true(
-        F.col("n") <= F.lit(10**15),
-        F.lit(
-            "t23: source token total exceeds 1e15 — decimal(38,0) TVD "
-            "numerator could overflow to NULL; shard the computation"
-        ),
+    # LOUD overflow guard (r11 ADVICE, reworked r13): with ANSI off,
+    # a DECIMAL(38,0) overflow in the |ca·nb − cb·na| sum would emit
+    # NULL tvd silently. The docstring's 10^15-token bound is
+    # ENFORCED via a conditional whose branches DIFFER — the r12
+    # assert_true wrapper when(guard.isNull(), n).otherwise(n) had
+    # identical branches, so SimplifyConditionals collapsed it to a
+    # bare `n` and pruned the assertion (verified on 4.1.2: the
+    # optimized plan was a bare Project and no error fired).
+    # raise_error in the violating branch cannot be folded away;
+    # tests/test_llm_queries.py::test_t23_overflow_guard_fires proves
+    # the raise fires on a violating row. Bound rationale: c ≤ n per
+    # token, so n ≤ 1e15 bounds every product at < 10^31 and the sum
+    # at < vocab·10^31 — safe in 38 digits through 10^7 distinct
+    # tokens; shard the matrix past that. The bound is a module
+    # constant so the guard test can lower it onto a corpus that is
+    # actually constructible (1e15 real tokens is not).
+    guarded_n = F.when(F.col("n") <= F.lit(_T23_N_BOUND), F.col("n")).otherwise(
+        F.raise_error(
+            F.lit(
+                "t23: source token total exceeds 1e15 — decimal(38,0) "
+                "TVD numerator could overflow to NULL; shard the "
+                "computation"
+            )
+        ).cast("long")
     )
-    guarded_n = F.when(_t23_guard.isNull(), F.col("n")).otherwise(F.col("n"))
     ta = totals.select(F.col("source").alias("sa"), guarded_n.alias("na"))
     tb = totals.select(F.col("source").alias("sb"), guarded_n.alias("nb"))
     dec = "decimal(38,0)"
