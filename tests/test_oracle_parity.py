@@ -100,3 +100,30 @@ def test_driver_sample_priority_is_first50_and_oracle_backed():
     assert not weak, f"priority names without oracles: {weak}"
     assert list(registry.QUERIES)[:50] == prio
     assert list(registry.ORACLES)[:50] == prio
+
+
+def test_oracle_output_types_have_no_hugeint_or_float32(duck):
+    """r12 driver red, root-caused r13: DuckDB's SUM(BIGINT) returns
+    HUGEINT (int128). The LOCAL harness fetches HUGEINT as exact
+    Python ints, but a pandas-path fetch (the driver's shape)
+    coerces int128 to float64 — '157.0' vs Spark's '157' — a
+    hash mismatch invisible to every local gate. t19 failed its
+    first driver exposure on exactly this; the audit found 8 more
+    never-sampled oracles in the class. Guard: BIND every oracle
+    (no execution) and assert no output column is HUGEINT (cast to
+    BIGINT) or REAL/FLOAT (float32 — same cross-fetch hazard)."""
+    banned = {"HUGEINT", "UHUGEINT", "FLOAT", "REAL"}
+    offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        rel = duck.sql(sql)
+        hit = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in banned
+        ]
+        if hit:
+            offenders[name] = hit
+    assert not offenders, (
+        f"oracles with HUGEINT/float32 output columns {offenders}; "
+        "CAST the expression to BIGINT/DOUBLE in the oracle SQL"
+    )

@@ -125,7 +125,11 @@ def test_unigram_surprisal_hand_model(spark):
     assert out[1]["sum_surprisal"] == 3 and out[1]["n_scored"] == 3
     assert out[2]["sum_surprisal"] == 4
     assert out[3]["sum_surprisal"] == 6
-    assert math.isclose(out[3]["avg_surprisal"], 1.5)
+    # avg_surprisal is internal-only since r13 (VERDICT r12 #1: raw
+    # doubles are kept off the hashed output); the average is the
+    # exact integer pair
+    assert out[3]["sum_surprisal"] / out[3]["n_scored"] == 1.5
+    assert "avg_surprisal" not in out[3].asDict()
     # bucket order follows avg: doc1 (1.0) < doc3 (1.5) < doc2 (2.0)
     assert out[1]["ppl_bucket"] < out[3]["ppl_bucket"] < out[2]["ppl_bucket"]
 

@@ -35,13 +35,21 @@ N_BUCKETS = 10
 def unigram_surprisal(
     docs: DataFrame, id_col: str = "doc_id", toks_col: str = "_tk"
 ) -> DataFrame:
-    """(doc_id, n_scored, sum_surprisal, avg_surprisal, ppl_bucket)
-    for every doc with >= 1 token (explode drops empty-token docs on
-    both engines — documented in the t19 oracle). Bucket 1 = most
-    predictable (lowest surprisal), N_BUCKETS = most surprising;
-    ntile over (avg_surprisal, doc_id) so ties are deterministic.
-    The ntile is ranking.with_global_ntile — the distributed exact
-    two-phase rank, NOT a partitionless window (single-task sort)."""
+    """(doc_id, n_scored, sum_surprisal, ppl_bucket) for every doc
+    with >= 1 token (explode drops empty-token docs on both engines —
+    documented in the t19 oracle). Bucket 1 = most predictable
+    (lowest surprisal), N_BUCKETS = most surprising; ntile over
+    (avg_surprisal, doc_id) so ties are deterministic. The ntile is
+    ranking.with_global_ntile — the distributed exact two-phase
+    rank, NOT a partitionless window (single-task sort).
+
+    The DOUBLE avg_surprisal (= sum_surprisal / n_scored, one
+    IEEE-exact division) is INTERNAL ONLY — the ntile sort key. It
+    is deliberately NOT in the output: it is fully redundant given
+    the two exact integers, and r12's first driver exposure showed
+    the driver environment's value canonicalization of raw doubles
+    (and of DuckDB's uncast HUGEINT sums) cannot be assumed — the
+    hashed surface carries only integers (VERDICT r12 #1)."""
     from trello_github_etl_spark.operators.ranking import (
         with_global_ntile,
     )
@@ -75,9 +83,7 @@ def unigram_surprisal(
         "avg_surprisal",
         [id_col],
         out_col="ppl_bucket",
-    ).select(
-        id_col, "n_scored", "sum_surprisal", "avg_surprisal", "ppl_bucket"
-    )
+    ).select(id_col, "n_scored", "sum_surprisal", "ppl_bucket")
 
 
 def bigram_pairs(

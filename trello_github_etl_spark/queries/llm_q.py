@@ -3312,11 +3312,11 @@ _T19_ORACLE = (
       FROM freq, tot
     ),
     per AS (
-      SELECT t.doc_id, count(*) AS n_scored, sum(s) AS sum_surprisal
+      SELECT t.doc_id, count(*) AS n_scored,
+             CAST(sum(s) AS BIGINT) AS sum_surprisal
       FROM tok t JOIN sup USING (w) GROUP BY t.doc_id
     )
     SELECT doc_id, n_scored, sum_surprisal,
-      CAST(sum_surprisal AS DOUBLE) / n_scored AS avg_surprisal,
       ntile("""
     + str(_PPL_BUCKETS)
     + """) OVER (
@@ -3340,12 +3340,118 @@ def t19_unigram_surprisal_buckets(
     per-partition row_number + broadcast offsets, NOT the
     single-task partitionless window the naive plan would use. The
     vocab side broadcasts (vocabulary << corpus). Docs with zero
-    tokens drop on both engines (inner explode/unnest)."""
+    tokens drop on both engines (inner explode/unnest).
+
+    r12 driver red (hash_match false on first driver exposure, green
+    in every local harness) — two divergence surfaces closed r13:
+    (1) the oracle's bare sum(s) returned DuckDB HUGEINT (int128);
+    a driver-side duckdb that fetches HUGEINT into pandas as float64
+    renders '157.0' against Spark's '157' — now CAST(... AS BIGINT)
+    like t21's CTE (which passed the same driver run); (2) the raw
+    DOUBLE avg_surprisal is dropped from the hashed output (it is
+    redundant: = sum_surprisal/n_scored, both exact integers; the
+    double survives internally as the ntile sort key).
+    t19d_surprisal_column_fps fingerprints each column separately so
+    any residual driver divergence names its column."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     shared = docs.select(
         "doc_id", textstats.tokens(F.col("text")).alias("_tk")
     )
     return unigram_surprisal(shared, id_col="doc_id", toks_col="_tk")
+
+
+# t19d: one md5 per t19 output column. The inner query is _T19_ORACLE's
+# text verbatim-by-construction (same CTE chain), so a driver
+# divergence in any single column flips exactly that fingerprint.
+_T19D_ORACLE = (
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest("""
+    + SQL_TOKENS.format(t="text")
+    + """) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS total FROM tok),
+    sup AS (
+      SELECT w, length(format('{:b}', total // cnt)) AS s
+      FROM freq, tot
+    ),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_scored,
+             CAST(sum(s) AS BIGINT) AS sum_surprisal
+      FROM tok t JOIN sup USING (w) GROUP BY t.doc_id
+    ),
+    outq AS (
+      SELECT doc_id, n_scored, sum_surprisal,
+        ntile("""
+    + str(_PPL_BUCKETS)
+    + """) OVER (
+          ORDER BY CAST(sum_surprisal AS DOUBLE) / n_scored, doc_id
+        ) AS ppl_bucket
+      FROM per
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      md5(array_to_string(list_sort(list(doc_id)), ',')) AS fp_doc_id,
+      md5(array_to_string(list_sort(list(n_scored)), ','))
+        AS fp_n_scored,
+      md5(array_to_string(list_sort(list(sum_surprisal)), ','))
+        AS fp_sum_surprisal,
+      md5(array_to_string(list_sort(list(ppl_bucket)), ','))
+        AS fp_ppl_bucket,
+      md5(array_to_string(list_sort(list(
+        CAST(sum_surprisal AS VARCHAR) || '/' || CAST(n_scored AS VARCHAR)
+      )), ',')) AS fp_avg_pairs
+    FROM outq
+    """
+)
+
+
+@query("t19d_surprisal_column_fps", oracle=_T19D_ORACLE)
+def t19d_surprisal_column_fps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIAGNOSTIC for the r12 t19 driver red (VERDICT r12 #1a): one
+    row whose columns are an md5 fingerprint of EACH t19 output
+    column separately (values sorted, stringified, comma-joined),
+    plus fp_avg_pairs — the dropped DOUBLE average represented
+    exactly as 'sum/n' integer pairs. Every output is a string or a
+    long, so the driver's hash canonicalization has no float or
+    int128 surface left to diverge on; if t19's machinery itself
+    ever diverges in the driver environment, the red fingerprint
+    NAMES the divergent column in CORRECTNESS_r*.json.
+
+    NOT a scale path (this is gate instrumentation): the per-column
+    collect_list pulls one array of scalars per column into a single
+    reduce task — bounded by the corpus row count, fine at gate SFs,
+    deliberately not registered in any bench headline."""
+    base = t19_unigram_surprisal_buckets(spark, sf_dir)
+
+    def _fp(col: F.Column) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(col)),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        )
+
+    return base.agg(
+        F.count("*").alias("n_rows"),
+        _fp(F.col("doc_id")).alias("fp_doc_id"),
+        _fp(F.col("n_scored")).alias("fp_n_scored"),
+        _fp(F.col("sum_surprisal")).alias("fp_sum_surprisal"),
+        _fp(F.col("ppl_bucket")).alias("fp_ppl_bucket"),
+        _fp(
+            F.concat_ws(
+                "/",
+                F.col("sum_surprisal").cast("string"),
+                F.col("n_scored").cast("string"),
+            )
+        ).alias("fp_avg_pairs"),
+    )
 
 
 from trello_github_etl_spark.operators.span_dedup import (  # noqa: E402

@@ -354,7 +354,7 @@ SAMP5_MARGIN = 4
       FROM survivors
     )
     SELECT source, doc_id, h, n_chars,
-           cum_before + n_chars AS cum_chars
+           CAST(cum_before + n_chars AS BIGINT) AS cum_chars
     FROM cum WHERE cum_before < {SAMP5_BUDGET}
     """,
 )
@@ -643,9 +643,10 @@ SQL_PACK_TOKS = f"""
       FROM toks
     )
     SELECT shard, doc_id, n_tokens,
-           prev // {PACK_BUDGET} AS start_seq,
-           prev % {PACK_BUDGET} AS start_off,
-           (prev + greatest(n_tokens, 1) - 1) // {PACK_BUDGET} AS end_seq
+           CAST(prev // {PACK_BUDGET} AS BIGINT) AS start_seq,
+           CAST(prev % {PACK_BUDGET} AS BIGINT) AS start_off,
+           CAST((prev + greatest(n_tokens, 1) - 1) // {PACK_BUDGET}
+                AS BIGINT) AS end_seq
     FROM cum
     """,
 )
@@ -744,7 +745,7 @@ PACK_LIFT_K = 21  # 2^21 bins/shard ceiling; cost is linear in K
     )
     SELECT c.shard, c.doc_id, c.n_tokens,
            w.cnt AS seq_idx,
-           c.cum - s.cum + s.n_tokens AS fill
+           CAST(c.cum - s.cum + s.n_tokens AS BIGINT) AS fill
     FROM walk w
     JOIN cumt c ON c.shard = w.shard AND c.rn = w.p
     JOIN cumt s ON s.shard = w.shard AND s.rn = w.cur
@@ -846,9 +847,10 @@ def pipe6_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM keyed
     )
     SELECT shard, doc_id, n_tokens,
-           prev // {PACK_BUDGET} AS start_seq,
-           prev % {PACK_BUDGET} AS start_off,
-           (prev + greatest(n_tokens, 1) - 1) // {PACK_BUDGET} AS end_seq
+           CAST(prev // {PACK_BUDGET} AS BIGINT) AS start_seq,
+           CAST(prev % {PACK_BUDGET} AS BIGINT) AS start_off,
+           CAST((prev + greatest(n_tokens, 1) - 1) // {PACK_BUDGET}
+                AS BIGINT) AS end_seq
     FROM cum
     """,
 )
@@ -1200,7 +1202,7 @@ SAMP6_MAX_EPOCHS = 4.0  # Muennighoff et al. repeat-value knee
     "samp6_epoch_mix",
     oracle=f"""
     WITH tots AS (
-      SELECT source, SUM(CAST(n_chars AS BIGINT)) AS t_chars
+      SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS t_chars
       FROM documents GROUP BY source HAVING SUM(n_chars) > 0
     ),
     wts AS (

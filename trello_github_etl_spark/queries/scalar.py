@@ -320,7 +320,7 @@ def f14_json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(k_value) AS sum_k,
+           CAST(SUM(k_value) AS BIGINT) AS sum_k,
            MAX(k_value) AS max_k
     FROM (
       SELECT event_type,

@@ -450,8 +450,10 @@ def hof1_quantity_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            CAST(MAX(d.med) AS DOUBLE) AS med,
            CAST(MAX(md.mad) AS DOUBLE) AS mad,
-           SUM(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END) AS n_outliers,
-           SUM(CASE WHEN 2 * d.adev > 3 * md.mad THEN 1 ELSE 0 END) AS n_mild
+           CAST(SUM(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN 2 * d.adev > 3 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mild
     FROM dev d JOIN mad md ON md.o_orderpriority = d.o_orderpriority
     GROUP BY d.o_orderpriority
     """,

@@ -368,10 +368,10 @@ def ev2_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM firsts GROUP BY event_type, first_day
     )
     SELECT event_type, day, new_users,
-           SUM(new_users) OVER (
+           CAST(SUM(new_users) OVER (
              PARTITION BY event_type ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_distinct_users
+           ) AS BIGINT) AS cum_distinct_users
     FROM daily
     ORDER BY event_type, day
     """,
