@@ -1,7 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE JSON line (the LAST stdout line), kept SMALL:
+{"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries":
+ N, "queries": {<the 5 worst only>}, "calibration_secs": ...,
+ "ref_secs": ...}
 
 Each query is executed to completion via a noop-format write so the
 full plan runs with every output column materialized (a bare
@@ -9,13 +11,25 @@ full plan runs with every output column materialized (a bare
 exclude session startup but include all shuffles/scans.
 
 Statistical honesty (VERDICT r2 #2): every query runs N times
-(default 3, env SPARK_GRAFT_BENCH_RUNS); ``queries`` reports the
-per-query MEDIAN.  The [min, max] envelope per query goes to stderr
-and to the sibling file ``BENCH_spread.json`` — NOT the stdout JSON
-line.  VERDICT r3 #1: inlining ``spread`` made the single stdout line
-longer than the driver's tail-capture window, so ``BENCH_r03.json``
-recorded ``"parsed": null``.  The compact line must stay small and
-must be the LAST stdout line.
+(default 3, env SPARK_GRAFT_BENCH_RUNS); the per-query MEDIANS — the
+FULL map — go to stderr and the sibling ``BENCH_spread.json``, never
+the stdout line.  VERDICT r3 #1 and r12 #2: the driver tail-captures
+only the last ~2000 chars of stdout; inlining first ``spread`` (r3)
+and then the grown 89-entry ``queries`` map (r5..r12) pushed the
+line's head — where ``value`` lives — out of the window, so
+``BENCH_r05..r12.json`` all recorded ``"parsed": null``.  The stdout
+line therefore carries ONLY the headline total plus the 5 worst
+queries; tests/test_bench_line.py pins the size budget.
+
+Driver-noise attribution (VERDICT r12 #5): the constant-work
+calibration probe anti-correlated with observed query speed in both
+r11 and r12 — it measures raw CPU, not the I/O+shuffle mix the
+queries see, so it cannot normalize round-over-round driver deltas.
+``ref_secs`` replaces it as the normalizer: a fixed 3-query reference
+cohort (t1/dd3/s1 — scan-, shuffle- and vector-shaped) is re-timed at
+the START, MIDDLE and END of the sweep; the summed per-query medians
+move with whatever the machine is doing DURING the sweep.  Compare
+rounds as value/ref_secs; calibration_secs stays for continuity.
 
 Sub-second queries get extra runs (n*2+1, VERDICT r3 #3: mm1's median
 tripled on n=3 pure noise — tiny queries need more samples for a
@@ -158,6 +172,76 @@ HEADLINE = [
 ]
 
 
+# Reference cohort for driver-noise normalization (VERDICT r12 #5):
+# one parquet-scan-dominated query, one shuffle/join-dominated one,
+# one vector-math one — the three cost shapes the headline mixes.
+# Membership is FROZEN: changing it breaks round-over-round
+# comparability of ref_secs.
+REF_COHORT = ["t1_token_stats", "dd3_minhash_lsh_pairs", "s1_cosine_topk"]
+
+
+def _time_once(spark, name: str) -> float:
+    t0 = time.time()
+    registry.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.time() - t0
+
+
+def _ref_cohort_sample(spark, samples: dict[str, list[float]]) -> None:
+    """One timed run of each cohort query, cache-cleared first so a
+    sibling query's persisted subtree can't subsidize the reading.
+    Partial corpora (docs/embeddings-only sfN dirs) skip missing
+    tables silently — ref_secs then sums whatever cohort survives,
+    which is still internally consistent across rounds at the same
+    SF."""
+    for name in REF_COHORT:
+        if name not in registry.QUERIES:
+            continue
+        spark.catalog.clearCache()
+        try:
+            samples.setdefault(name, []).append(_time_once(spark, name))
+        except Exception:  # noqa: BLE001 — normalizer must never kill the bench
+            pass
+
+
+def compact_line(
+    timings: dict[str, float],
+    sf: str,
+    calibration: float,
+    ref_secs: float,
+    errors: dict[str, str],
+) -> dict:
+    """COMPACT stdout line (VERDICT r12 #2): the driver tail-captures
+    ~2000 chars of stdout; the full 89-entry queries map overflowed
+    it every round since r5, truncating away `value`. Carry only the
+    5 worst queries — the full map lives in BENCH_spread.json and on
+    stderr. tests/test_bench_line.py pins the size budget against a
+    full-registry-sized timing map."""
+    worst5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "queries": worst5,
+        "calibration_secs": calibration,
+        "ref_secs": ref_secs,
+    }
+    if errors:
+        # count only, on the compact line (full messages live in the
+        # sibling artifacts/stderr). partial=true marks that `value`
+        # sums only the SURVIVING queries — without it, a run where a
+        # heavy query failed would read as a round-over-round speedup
+        # (post-r10 review).
+        line["error_count"] = len(errors)
+        line["partial"] = True
+    return line
+
+
 def _calibration_secs(spark) -> float:
     """Constant-work CPU reference (VERDICT r5 #4): hash-fold 50M
     synthetic longs on all cores — zero I/O, zero data dependence, so
@@ -220,7 +304,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in headline:
+    ref_samples: dict[str, list[float]] = {}
+    _ref_cohort_sample(spark, ref_samples)  # START-of-sweep sample
+    midpoint = len(headline) // 2
+    for qi, name in enumerate(headline):
+        if qi == midpoint and qi > 0:
+            _ref_cohort_sample(spark, ref_samples)  # MIDDLE sample
         if name not in registry.QUERIES:
             continue
         # n runs, report the median: single shots are ±30% noisy
@@ -270,10 +359,25 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    _ref_cohort_sample(spark, ref_samples)  # END-of-sweep sample
+    ref_medians = {
+        n: round(statistics.median(v), 3) for n, v in ref_samples.items()
+    }
+    ref_secs = round(sum(ref_medians.values()), 3)
+    print(f"# ref cohort medians: {ref_medians}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Spread/min-max detail: stderr + sibling file, never the stdout
-    # JSON line (the driver tail-captures stdout; keep that line small).
-    detail = {"spread": spread, "runs": n_runs, "calibration_secs": calibration}
+    # Spread/min-max detail AND the full per-query median map: stderr
+    # + sibling file, never the stdout JSON line (the driver
+    # tail-captures ~2000 chars of stdout; keep that line small).
+    detail = {
+        "queries": timings,
+        "spread": spread,
+        "runs": n_runs,
+        "calibration_secs": calibration,
+        "ref_cohort": ref_medians,
+        "ref_secs": ref_secs,
+    }
     if errors:
         detail["errors"] = errors
     print(f"# spread: {json.dumps(detail)}", file=sys.stderr)
@@ -309,6 +413,8 @@ def main() -> None:
                         "spread": spread,
                         "runs": n_runs,
                         "calibration_secs": calibration,
+                        "ref_cohort": ref_medians,
+                        "ref_secs": ref_secs,
                         "sf": sf,
                         "errors": errors,
                     },
@@ -334,23 +440,7 @@ def main() -> None:
                 fh.write("\n")
         except OSError:
             pass  # read-only checkout: stderr copy above still has it
-    line = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calibration_secs": calibration,
-    }
-    if errors:
-        # count only on the compact stdout line (driver tail-captures
-        # it; full messages live in the sibling artifacts/stderr).
-        # partial=true marks that `value` sums only the SURVIVING
-        # queries — without it, a run where a heavy query failed
-        # would read as a round-over-round speedup (post-r10 review).
-        line["error_count"] = len(errors)
-        line["partial"] = True
-    print(json.dumps(line))
+    print(json.dumps(compact_line(timings, sf, calibration, ref_secs, errors)))
 
 
 if __name__ == "__main__":

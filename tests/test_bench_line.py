@@ -1,0 +1,63 @@
+"""The bench stdout contract (VERDICT r12 #2).
+
+The driver tail-captures only the last ~2000 characters of bench.py's
+stdout and json-parses the final line. BENCH_r05..r12 all recorded
+"parsed": null because the line embedded the full per-query map and
+its HEAD (where "value" lives) scrolled out of the window. These
+tests pin the compact-line builder against a full-registry-sized
+timing map so the regression cannot silently return as the headline
+set grows.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+# The driver's capture window is ~2000 chars; leave headroom for the
+# window also holding a stderr-spill or partial previous line.
+LINE_BUDGET = 1200
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    # worst-case realistic name lengths (longest registry names are
+    # ~35 chars) and 4-digit-seconds values
+    return {
+        f"dd{i:03d}_incremental_semdedup_linear_x": 1000.0 + i / 1000
+        for i in range(n)
+    }
+
+
+def test_compact_line_fits_driver_window_at_full_registry_size():
+    line = bench.compact_line(
+        _fake_timings(500), "0.1", 1.234, 5.678, errors={}
+    )
+    s = json.dumps(line)
+    assert len(s) <= LINE_BUDGET, f"{len(s)} chars: {s[:200]}..."
+
+
+def test_compact_line_carries_contract_fields_and_worst5():
+    t = _fake_timings(89)
+    errors = {f"q{i}": "boom" for i in range(3)}
+    line = bench.compact_line(t, "0.1", 1.0, 2.0, errors)
+    assert line["metric"] == "headline_queries_total"
+    assert line["unit"] == "sec"
+    assert line["sf"] == 0.1
+    assert line["n_queries"] == 89
+    assert line["value"] == round(sum(t.values()), 3)
+    assert len(line["queries"]) == 5
+    # the 5 worst by median, descending membership
+    assert set(line["queries"]) == set(
+        sorted(t, key=t.get, reverse=True)[:5]
+    )
+    assert line["error_count"] == 3 and line["partial"] is True
+    assert line["ref_secs"] == 2.0
+    # json round-trip (what the driver does)
+    assert json.loads(json.dumps(line)) == line
+
+
+def test_compact_line_handles_empty_sweep():
+    line = bench.compact_line({}, "custom", 1.0, 0.0, {})
+    assert line["value"] == 0 and line["n_queries"] == 0
+    assert line["sf"] == "custom"
