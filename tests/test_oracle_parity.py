@@ -127,3 +127,52 @@ def test_oracle_output_types_have_no_hugeint_or_float32(duck):
         f"oracles with HUGEINT/float32 output columns {offenders}; "
         "CAST the expression to BIGINT/DOUBLE in the oracle SQL"
     )
+
+
+def test_rotation_policy_covers_every_query_within_bound(spark):
+    """VERDICT r12 #7: no query can hide from the driver forever.
+    Simulate the rotation policy round-over-round (fold each round's
+    window into history, recompute) and assert EVERY registry entry
+    reaches a driver window within ceil(N / chunk) + 1 rounds, where
+    chunk is the per-round fresh capacity (50 minus the anchors)."""
+    import math
+
+    from trello_github_etl_spark import registry
+
+    chunk = registry.DRIVER_SAMPLE_SIZE - len(registry.DRIVER_SAMPLE_ANCHORS)
+    bound = math.ceil(len(registry.QUERIES) / chunk) + 1
+    hist: set = set()  # worst case: nothing ever sampled
+    for _ in range(bound):
+        hist |= set(registry.rotation_plan(frozenset(hist)))
+    missing = set(registry.QUERIES) - hist
+    assert not missing, f"unreached within {bound} rounds: {sorted(missing)}"
+    # steady state still fills the window
+    assert len(registry.rotation_plan(frozenset(registry.QUERIES))) == 50
+
+
+def test_rotation_window_front_loads_never_sampled_queries():
+    """VERDICT r12 #3: this round's window must carry (a) every
+    anchor — including the r12-red t19, its diagnostic, and the
+    board/relational reference-parity slice — and (b) >= 20
+    previously-never-driver-sampled queries."""
+    from trello_github_etl_spark import registry
+
+    prio = registry.DRIVER_SAMPLE_PRIORITY
+    for a in registry.DRIVER_SAMPLE_ANCHORS:
+        assert a in prio, f"anchor {a} missing from window"
+    fresh = [n for n in prio if n not in registry.DRIVER_SAMPLED_HISTORY]
+    assert len(fresh) >= 20, f"only {len(fresh)} never-sampled in window"
+    # history is real: every name in it is (still) a registered query
+    ghost = registry.DRIVER_SAMPLED_HISTORY - set(registry.QUERIES)
+    assert not ghost, f"history names no longer registered: {sorted(ghost)}"
+
+
+def test_prioritize_is_idempotent():
+    """The rotation plan must be stable under repeated load_all()
+    calls (the reorder must not feed back into plan selection)."""
+    from trello_github_etl_spark import registry
+
+    before = list(registry.DRIVER_SAMPLE_PRIORITY)
+    registry._prioritize()
+    assert registry.DRIVER_SAMPLE_PRIORITY == before
+    assert list(registry.QUERIES)[:50] == before
