@@ -104,12 +104,32 @@ def test_semantic_dedup_auto_equals_explicit(spark):
 
 
 def test_mutual_knn_auto_equals_explicit(spark):
+    """The √N OPT-IN path (nlist=auto_nlist — the pre-r13 default)
+    must equal the same structure passed as explicit centroids; and
+    the r13 DEFAULT (linear bundle) must equal its own explicit
+    spelling (nlist=linear_nlist + two_level + pair_blocks)."""
     emb = _emb(spark)
     cents, _, _ = similarity.auto_seed_centroids(emb)
-    auto = sorted(similarity.mutual_knn_graph(emb, k=3).collect())
+    sqrt_tier = sorted(
+        similarity.mutual_knn_graph(
+            emb, k=3, nlist=similarity.auto_nlist
+        ).collect()
+    )
     explicit = sorted(similarity.mutual_knn_graph(emb, cents, k=3).collect())
-    assert auto == explicit
-    assert len(auto) > 0
+    assert sqrt_tier == explicit
+    assert len(sqrt_tier) > 0
+    default = sorted(similarity.mutual_knn_graph(emb, k=3).collect())
+    linear_explicit = sorted(
+        similarity.mutual_knn_graph(
+            emb,
+            k=3,
+            nlist=similarity.linear_nlist,
+            two_level=True,
+            pair_blocks=similarity.LINEAR_PAIR_BLOCKS,
+        ).collect()
+    )
+    assert default == linear_explicit
+    assert len(default) > 0
 
 
 def test_auto_path_accepts_string_ids(spark):

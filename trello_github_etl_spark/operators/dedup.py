@@ -1544,13 +1544,13 @@ def semantic_dedup(
 def incremental_semantic_dedup(
     batch: DataFrame,
     state: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     threshold: float = 0.92,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
-    pair_blocks: int = 1,
-    two_level: bool = False,
+    pair_blocks: int | None = None,
+    two_level: bool | None = None,
     k: int | None = None,
 ) -> DataFrame:
     """Day-N SemDeDup: classify a NEW batch of vectors against the
@@ -1565,7 +1565,11 @@ def incremental_semantic_dedup(
     vectors of prior rounds), ``centroids`` = the committed coarse
     structure — FROZEN: batch vectors assign to the existing cells
     (similarity.ivf_assign's narrow codegen pass), which is what
-    makes the run incremental. Periodic re-seeding/compaction is a
+    makes the run incremental. ``centroids=None`` (the default since
+    r13, VERDICT r12 #4) self-seeds the linear-occupancy tier from
+    ``state`` and applies the scale bundle (two-level assignment,
+    pair_blocks=LINEAR_PAIR_BLOCKS) — the obvious call is the
+    configuration that survived the 50× probe. Periodic re-seeding/compaction is a
     separate dd24 re-run, exactly like a streaming LSM's major
     compaction.
 
@@ -1592,12 +1596,39 @@ def incremental_semantic_dedup(
     per-batch cost O(batch x occupancy) (dd23's lesson-40 note,
     same asymptotic caveat)."""
     from trello_github_etl_spark.operators.similarity import (
+        LINEAR_PAIR_BLOCKS,
+        auto_seed_centroids,
         blocked_cell_sides,
         cell_pairs,
         cosine_prenormed,
         ivf_assign,
         ivf_assign_2level,
+        linear_nlist,
     )
+
+    if centroids is None:
+        # DEFAULT CONFIG (r13, VERDICT r12 #4): with no committed
+        # coarse structure supplied, self-seed the linear-occupancy
+        # tier from the STATE corpus (the committed exemplar set —
+        # the structure a deployment would have frozen) and apply the
+        # scale bundle: two-level assignment + block-salted joins.
+        # Callers with a frozen structure pass it explicitly and own
+        # their knobs, exactly as before.
+        centroids, suffix, seed_k = auto_seed_centroids(
+            state, linear_nlist, vec_col, id_col
+        )
+        if k is None:
+            k = seed_k
+        if two_level is None:
+            two_level = True
+        if pair_blocks is None:
+            pair_blocks = LINEAR_PAIR_BLOCKS
+        if cache_key is not None:
+            cache_key = cache_key + suffix
+    if two_level is None:
+        two_level = False
+    if pair_blocks is None:
+        pair_blocks = 1
 
     if two_level:
         # linear-nlist discipline (VERDICT r11 #1): with

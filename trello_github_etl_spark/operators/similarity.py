@@ -223,6 +223,52 @@ def linear_nlist(n: int, target: int = LINEAR_CELL_TARGET) -> int:
     )
 
 
+# Block factor the linear tier salts giant cells with (cell_pairs /
+# blocked_cell_sides — bit-identical pair multiset over B² tasks).
+# Single-homed here since r13; queries import it.
+LINEAR_PAIR_BLOCKS = 4
+
+# Sentinel: "caller didn't choose a cell policy". Distinguishes an
+# OMITTED nlist (→ the linear default bundle) from an explicit
+# nlist=None (→ the √N pedagogical tier, the pre-r13 default).
+_DEFAULT_NLIST = object()
+
+
+def _resolve_mining_config(centroids, nlist, pair_blocks, two_level):
+    """Default configuration of the ANN *mining* entry points
+    (mutual_knn_graph / margin_alignment / hard_negative_mining) —
+    VERDICT r12 #4: the obvious self-seeding call now gets the
+    LINEAR-occupancy tier (nlist=linear_nlist + two-level assignment
+    + pair_blocks={LINEAR_PAIR_BLOCKS}), the configuration whose 50×
+    corpus probe stayed in the corpus-linear band (2.9–4.3×) where
+    the √N tier grew 11–16×. The √N tier remains the documented
+    opt-in pedagogy: pass nlist=auto_nlist (or None) explicitly.
+    Explicit centroids are untouched — the caller owns the coarse
+    structure and the flat-assignment plan.
+
+    Resolution:
+    - nlist omitted + centroids=None  -> linear_nlist, and UNSET
+      two_level/pair_blocks fill in as True/{LINEAR_PAIR_BLOCKS}.
+    - nlist omitted + explicit centroids -> None (no policy; flat
+      assignment against the given cells).
+    - anything explicit wins over the bundle.
+    """
+    if nlist is _DEFAULT_NLIST:
+        if centroids is None:
+            nlist = linear_nlist
+            if two_level is None:
+                two_level = True
+            if pair_blocks is None:
+                pair_blocks = LINEAR_PAIR_BLOCKS
+        else:
+            nlist = None
+    if pair_blocks is None:
+        pair_blocks = 1
+    if two_level is None:
+        two_level = False
+    return nlist, pair_blocks, two_level
+
+
 def auto_seed_centroids(
     embeddings: DataFrame,
     nlist: "int | Callable[[int], int] | None" = None,
@@ -1445,9 +1491,9 @@ def mutual_knn_graph(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
-    nlist: "int | Callable[[int], int] | None" = None,
-    pair_blocks: int = 1,
-    two_level: bool = False,
+    nlist: "int | Callable[[int], int] | None" = _DEFAULT_NLIST,
+    pair_blocks: int | None = None,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Mutual k-NN graph over the corpus — the candidate structure
     semantic-dedup and diversity-sampling pipelines build first
@@ -1487,19 +1533,23 @@ def mutual_knn_graph(
     scoring over B² tasks with an identical pair multiset — the kNN
     ranking downstream is untouched, so the graph is bit-identical.
 
-    ``nlist`` may be a callable n → k (e.g. linear_nlist for
-    constant expected occupancy — VERDICT r11 #1); pair this with
-    ``two_level=True`` so the assignment pass stays O(N·√nlist·dim)
-    instead of flat O(N·nlist·dim) (see ivf_assign_2level), and with
-    ``pair_blocks`` > 1 (the blocked join carries its own pinned
-    exchange; the linear path skips the per-cell repartition, whose
-    task count would track nlist). ``two_level`` requires the
-    self-seeding path (explicit centroids raise).
+    DEFAULT CONFIG (r13, VERDICT r12 #4): a self-seeding call with
+    ``nlist`` omitted gets the LINEAR-occupancy bundle —
+    nlist=linear_nlist, two_level=True, pair_blocks=LINEAR_PAIR_BLOCKS
+    (see _resolve_mining_config; the 50×-swept scale configuration).
+    The √N tier (the pre-r13 default, with its cell-keyed
+    repartition plan) is the documented opt-in: pass
+    ``nlist=auto_nlist``. Any explicitly-passed knob wins over the
+    bundle. ``two_level`` requires the self-seeding path (explicit
+    centroids raise).
     """
     from pyspark.sql.window import Window
 
     from trello_github_etl_spark.operators.gen import exploded
 
+    nlist, pair_blocks, two_level = _resolve_mining_config(
+        centroids, nlist, pair_blocks, two_level
+    )
     auto_k: int | None = None
     seed_k: int | None = None
     if centroids is None:
@@ -1510,7 +1560,7 @@ def mutual_knn_graph(
         centroids, suffix, seed_k = auto_seed_centroids(
             embeddings, nlist, vec_col, id_col
         )
-        if nlist is None:
+        if nlist is None or nlist is auto_nlist:
             # only the true √N derivation guarantees enough cells for
             # the repartition below to buy parallelism; explicit-nlist
             # self-seeders own their k and keep the plain plan
@@ -1590,9 +1640,9 @@ def margin_alignment(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
-    nlist: "int | Callable[[int], int] | None" = None,
-    pair_blocks: int = 1,
-    two_level: bool = False,
+    nlist: "int | Callable[[int], int] | None" = _DEFAULT_NLIST,
+    pair_blocks: int | None = None,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Margin-based bitext/cross-corpus alignment scoring (Artetxe &
     Schwenk 2019's ratio margin, the xSIM/LASER mining criterion;
@@ -1632,9 +1682,17 @@ def margin_alignment(
     broadcast-or-shuffle joins of KB-per-row stats back onto the
     pairs, one per-x window on the x-keyed shuffle. The per-side
     stats frames are side-sized (one row per surviving x/y), far
-    under the pair count."""
+    under the pair count.
+
+    DEFAULT CONFIG (r13, VERDICT r12 #4): omitted ``nlist`` on the
+    self-seeding path resolves to the linear-occupancy bundle; pass
+    ``nlist=auto_nlist`` for the √N pedagogical tier (see
+    _resolve_mining_config)."""
     from pyspark.sql.window import Window
 
+    nlist, pair_blocks, two_level = _resolve_mining_config(
+        centroids, nlist, pair_blocks, two_level
+    )
     seed_k: int | None = None
     if centroids is None:
         centroids, suffix, seed_k = auto_seed_centroids(
@@ -1741,9 +1799,9 @@ def hard_negative_mining(
     id_col: str = "vec_id",
     label_col: str = "label",
     cache_key: str | None = None,
-    nlist: "int | Callable[[int], int] | None" = None,
-    pair_blocks: int = 1,
-    two_level: bool = False,
+    nlist: "int | Callable[[int], int] | None" = _DEFAULT_NLIST,
+    pair_blocks: int | None = None,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training: for
     every anchor vector, the k nearest IN-CELL vectors carrying a
@@ -1768,18 +1826,26 @@ def hard_negative_mining(
     r5 code review, same as mutual_knn_graph); one anchor-keyed
     window takes top-k. The label rides through the assignment's
     narrow projection (ivf_assign's extra_cols) — no corpus-on-corpus
-    id join anywhere in the plan (r12)."""
+    id join anywhere in the plan (r12).
+
+    DEFAULT CONFIG (r13, VERDICT r12 #4): omitted ``nlist`` on the
+    self-seeding path resolves to the linear-occupancy bundle; pass
+    ``nlist=auto_nlist`` for the √N pedagogical tier (see
+    _resolve_mining_config)."""
     from pyspark.sql.window import Window
 
     from trello_github_etl_spark.operators.gen import exploded
 
+    nlist, pair_blocks, two_level = _resolve_mining_config(
+        centroids, nlist, pair_blocks, two_level
+    )
     auto_k: int | None = None
     seed_k: int | None = None
     if centroids is None:
         centroids, suffix, seed_k = auto_seed_centroids(
             embeddings, nlist, vec_col, id_col
         )
-        if nlist is None:
+        if nlist is None or nlist is auto_nlist:
             auto_k = seed_k
         if cache_key is not None:
             cache_key = cache_key + suffix

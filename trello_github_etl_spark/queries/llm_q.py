@@ -2910,7 +2910,10 @@ def s15_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache per corpus, replacing the old dd14-shared ivf16 key."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.mutual_knn_graph(
-        emb, k=S15_K, cache_key=f"ivfauto-s15|{sf_dir}"
+        emb,
+        k=S15_K,
+        nlist=similarity.auto_nlist,
+        cache_key=f"ivfauto-s15|{sf_dir}",
     )
 
 
@@ -3010,7 +3013,11 @@ def s16_margin_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = emb.filter(F.col("vec_id") % 2 == 0)
     ys = emb.filter(F.col("vec_id") % 2 == 1)
     return similarity.margin_alignment(
-        xs, ys, k=S16_K, cache_key=f"ivfauto-s16|{sf_dir}"
+        xs,
+        ys,
+        k=S16_K,
+        nlist=similarity.auto_nlist,
+        cache_key=f"ivfauto-s16|{sf_dir}",
     )
 
 
@@ -4492,7 +4499,10 @@ def s17_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "label"
     )
     return similarity.hard_negative_mining(
-        emb, k=S17_K, cache_key=f"ivfauto-s17|{sf_dir}"
+        emb,
+        k=S17_K,
+        nlist=similarity.auto_nlist,
+        cache_key=f"ivfauto-s17|{sf_dir}",
     )
 
 
@@ -4945,7 +4955,10 @@ def t23_source_unigram_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered as the measured pedagogical tier, exactly like
 # dd14/dd15 → dd24/dd26.
 
-LINEAR_PAIR_BLOCKS = 4
+# single-homed in operators/similarity since r13 (the default-config
+# flip made the operator own the bundle); kept as a module alias for
+# the oracle SQL constants below
+LINEAR_PAIR_BLOCKS = similarity.LINEAR_PAIR_BLOCKS
 
 _LINEAR_NLIST_SQL = (
     f"GREATEST({similarity.IVF_NLIST_MIN},"
@@ -5052,13 +5065,11 @@ def s18_mutual_knn_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_linear_variants.py pins edge recall vs the
     brute-force k-NN ground truth for both variants side by side."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # DEFAULT-path call (VERDICT r12 #4): no nlist/two_level/
+    # pair_blocks — the operator's own default bundle IS the linear
+    # tier, so this oracle checks what a bare caller gets.
     return similarity.mutual_knn_graph(
-        emb,
-        k=S15_K,
-        nlist=similarity.linear_nlist,
-        two_level=True,
-        pair_blocks=LINEAR_PAIR_BLOCKS,
-        cache_key=f"ivflin-s18|{sf_dir}",
+        emb, k=S15_K, cache_key=f"ivflin-s18|{sf_dir}"
     )
 
 
@@ -5120,14 +5131,10 @@ def s19_margin_alignment_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xs = emb.filter(F.col("vec_id") % 2 == 0)
     ys = emb.filter(F.col("vec_id") % 2 == 1)
+    # DEFAULT-path call (VERDICT r12 #4): the operator's default
+    # bundle IS the linear tier.
     return similarity.margin_alignment(
-        xs,
-        ys,
-        k=S16_K,
-        nlist=similarity.linear_nlist,
-        two_level=True,
-        pair_blocks=LINEAR_PAIR_BLOCKS,
-        cache_key=f"ivflin-s19|{sf_dir}",
+        xs, ys, k=S16_K, cache_key=f"ivflin-s19|{sf_dir}"
     )
 
 
@@ -5170,13 +5177,10 @@ def s20_hard_negatives_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
+    # DEFAULT-path call (VERDICT r12 #4): the operator's default
+    # bundle IS the linear tier.
     return similarity.hard_negative_mining(
-        emb,
-        k=S17_K,
-        nlist=similarity.linear_nlist,
-        two_level=True,
-        pair_blocks=LINEAR_PAIR_BLOCKS,
-        cache_key=f"ivflin-s20|{sf_dir}",
+        emb, k=S17_K, cache_key=f"ivflin-s20|{sf_dir}"
     )
 
 
@@ -5229,9 +5233,6 @@ def dd35_incremental_semdedup_linear(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    cents, suffix, k = similarity.auto_seed_centroids(
-        emb, similarity.linear_nlist
-    )
     v = F.col("vec_id")
     neg = emb.filter(v % 97 == 3).select(
         v.alias("vec_id"),
@@ -5255,13 +5256,12 @@ def dd35_incremental_semdedup_linear(
             )
         )
     )
+    # DEFAULT-path call (VERDICT r12 #4): centroids=None makes the
+    # operator self-seed the linear tier from the state corpus and
+    # apply the scale bundle — this oracle checks the bare call.
     return dedup.incremental_semantic_dedup(
         batch,
         emb,
-        cents,
         threshold=SEMDEDUP_THRESHOLD,
-        cache_key=f"ivflin-dd35|{sf_dir}{suffix}",
-        pair_blocks=LINEAR_PAIR_BLOCKS,
-        two_level=True,
-        k=k,
+        cache_key=f"ivflin-dd35|{sf_dir}",
     )
