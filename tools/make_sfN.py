@@ -146,10 +146,95 @@ def synth_embeddings(out_dir: str, n_out: int) -> None:
     print(f"embeddings: {len(vec_ids)} rows")
 
 
+# --- relational leg (VERDICT r12 #6) -------------------------------
+# The sf5 gate originally carried only documents/embeddings; the
+# planted-id-collision class found at 50x argues for stressing the
+# relational side too. Same derivation as tools/make_sf1.py: mult
+# copies of each sf0.1 table with DISJOINT key offsets, foreign keys
+# remapped consistently. Offset safety at mult=50 (offset * 49 + max
+# key, vs the next planting/shift): orders 49M (<10M? n/a — orders
+# carry no plantings), customer 4.9M, supplier 0.49M, part 4.9M,
+# events 49M, users 0.49M — every synthetic key stays clear of every
+# other copy's range AND of the doc/vec planting shifts, which touch
+# only documents/embeddings. Row groups sized for >= 32 splittable
+# units per big table (the module-docstring layout contract).
+
+_REL_OFFSETS = {
+    "orders": ("o_orderkey", 1_000_000),
+    "customer": ("c_custkey", 100_000),
+    "supplier": ("s_suppkey", 10_000),
+    "part": ("p_partkey", 100_000),
+    "events": ("event_id", 1_000_000),
+}
+
+
+def synth_relational(out_dir: str, mult: int) -> None:
+    con = duckdb.connect()
+    plans = {
+        "region": None,
+        "nation": None,
+        "customer": [
+            "c_custkey + c * 100000 AS c_custkey",
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        ],
+        "supplier": [
+            "s_suppkey + c * 10000 AS s_suppkey",
+            "s_name", "s_nationkey", "s_acctbal",
+        ],
+        "part": [
+            "p_partkey + c * 100000 AS p_partkey",
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        ],
+        "orders": [
+            "o_orderkey + c * 1000000 AS o_orderkey",
+            "o_custkey + c * 100000 AS o_custkey",
+            "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        ],
+        "lineitem": [
+            "l_orderkey + c * 1000000 AS l_orderkey",
+            "l_partkey + c * 100000 AS l_partkey",
+            "l_suppkey + c * 10000 AS l_suppkey",
+            "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate",
+        ],
+        "events": [
+            "event_id + c * 1000000 AS event_id",
+            "ts",
+            "user_id + c * 10000 AS user_id",
+            "event_type", "value", "props",
+        ],
+    }
+    for table, cols in plans.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if cols is None:
+            sql = f"SELECT * FROM read_parquet('{SRC}/{table}.parquet')"
+        else:
+            sql = (
+                f"SELECT {', '.join(cols)} "
+                f"FROM read_parquet('{SRC}/{table}.parquet') "
+                f"CROSS JOIN range({mult}) t(c)"
+            )
+        # >= 32 row groups on the big tables so local[32] gets real
+        # splits (lineitem at mult=50 is ~30M rows -> 500k/group = 60)
+        con.execute(
+            f"COPY ({sql}) TO '{dst}' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 500000)"
+        )
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{dst}')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=50,
                     help="multiple of sf0.1 (50 -> .data/sf5)")
+    ap.add_argument("--relational", action="store_true",
+                    help="also scale the relational tables "
+                         "(region..lineitem, events)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -172,6 +257,8 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     synth_documents(out_dir, N_DOCS_SRC * args.mult)
     synth_embeddings(out_dir, N_VECS_SRC * args.mult)
+    if args.relational:
+        synth_relational(out_dir, args.mult)
     with open(done, "w") as fh:
         fh.write("ok\n")
     print(f"{name} written to {out_dir}")
