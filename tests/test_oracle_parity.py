@@ -119,7 +119,12 @@ def test_oracle_output_types_have_no_hugeint_or_float32(duck):
         hit = [
             c
             for c, t in zip(rel.columns, rel.types)
-            if str(t) in banned
+            # DECIMAL output columns are banned too (pipe10, r13):
+            # a pandas-path fetch renders DuckDB decimals as float64
+            # ('2.63e+19') against Spark's exact Decimal digits.
+            # Decimals stay INTERNAL (the exact-sum discipline) and
+            # exit as DOUBLE, BIGINT, or STRING.
+            if str(t) in banned or str(t).startswith("DECIMAL")
         ]
         if hit:
             offenders[name] = hit

@@ -1486,8 +1486,8 @@ PIPE10_SHARDS = 8
     SELECT shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           CAST(SUM(CAST({SQL_H60.format(x="CAST(doc_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR)")} AS DECIMAL(38,0)))
-             AS DECIMAL(38,0)) AS manifest_fp
+           CAST(CAST(SUM(CAST({SQL_H60.format(x="CAST(doc_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR)")} AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS VARCHAR) AS manifest_fp
     FROM ranked GROUP BY shard_id
     """,
 )
@@ -1535,8 +1535,16 @@ def pipe10_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("string"),
         )
     )
+    # manifest_fp travels as a STRING (r13, the t19 class): the exact
+    # DECIMAL(38,0) sum exceeds int64, and a pandas-path fetch
+    # renders wide decimals as float64 ('2.63e+19') against Spark's
+    # exact digits — tools/pandas_fetch_gate.py caught exactly this
+    # on pipe10's first gate run. The digits are identical on both
+    # engines; only the carrier type was hazardous.
     return ranked.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
-        F.sum(contrib.cast("decimal(38,0)")).alias("manifest_fp"),
+        F.sum(contrib.cast("decimal(38,0)"))
+        .cast("string")
+        .alias("manifest_fp"),
     )

@@ -104,7 +104,8 @@ def prof1_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o WHERE NOT EXISTS (
         SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
     )
-    SELECT c.constraint, c.metric, c.threshold,
+    SELECT c.constraint, c.metric,
+           CAST(c.threshold AS DOUBLE) AS threshold,
            c.metric >= c.threshold AS pass
     FROM (
       SELECT 'orderkey_not_null' AS constraint,
