@@ -13,6 +13,14 @@ values order-insensitively but exactly):
 - Every group-concat / collect is explicitly ordered with a unique
   tie-break key.
 - Top-k queries totally order their sort (unique key last).
+- OUTPUT COLUMN TYPES are restricted to what every fetch layer
+  renders identically: BIGINT/INT, DOUBLE, STRING, BOOLEAN, DATE,
+  TIMESTAMP. DuckDB HUGEINT (any bare sum(BIGINT)!), wide DECIMAL,
+  and float32 are banned in outputs — a pandas-path fetch coerces
+  them to float64 ('157.0' vs '157'), the r12 t19 driver red.
+  Decimals stay internal; guard: tests/test_oracle_parity.py::
+  test_oracle_output_types_have_no_hugeint_or_float32 +
+  tools/pandas_fetch_gate.py.
 """
 
 from __future__ import annotations
