@@ -178,6 +178,48 @@ ALLOWED_REGRESS = {
         "after plan_id normalization (0 diff lines). Re-adjudicate "
         "if sf0.1 crosses 4 s"
     ),
+    # r13: machine drift vs the r12-era measurements, PROVEN by a
+    # same-day same-machine A/B — the r12 HEAD code (f62ff5e, temp
+    # worktree) re-benched on the r13 close machine ran every one of
+    # these queries SLOWER than the r13 code did minutes later
+    # (5-run solo medians; calibration identical 0.506/0.508):
+    #   dd27 3.06(r12 code) vs 2.76(r13) ; dd6 5.86 vs 5.15 ;
+    #   dd8 1.14 vs 1.07  ; t23 1.44 vs 1.27.
+    # The machine simply runs these shapes ~1.3-1.5x slower today
+    # than at the r12 close; new code <= old code everywhere.
+    # dd27/dd6/dd8 plans are bit-identical this round (PLANS.md
+    # diff cascade starts at t19's column drop — pure expr-id
+    # renumbering after it); t23's only plan change is the r12
+    # ADVICE fix making the overflow guard REAL (the r12 'guard' was
+    # optimizer-deleted dead code). Scoped to the r12 baseline; the
+    # gate re-arms when the prior rolls to r13.
+    "dd27_lsh_pairs_capped": (
+        "prior_sf01_r12",
+        "r13 A/B-acquitted machine drift (r12 code slower than r13 "
+        "code on the same day: 3.06 vs 2.76 s); plan bit-identical. "
+        "Re-adjudicate if sf0.1 crosses 4 s",
+    ),
+    "dd6_dup_clusters": (
+        "prior_sf01_r12",
+        "r13 A/B-acquitted machine drift (r12 code 5.86 vs r13 "
+        "5.15 s same day); plan bit-identical. Re-adjudicate if "
+        "sf0.1 crosses 8 s",
+    ),
+    "dd8_decontaminate": (
+        "prior_sf01_r12",
+        "r13 A/B-acquitted machine drift (r12 code 1.14 vs r13 "
+        "1.07 s same day); plan bit-identical. Re-adjudicate if "
+        "sf0.1 crosses 1.8 s",
+    ),
+    "t23_source_unigram_tvd": (
+        "prior_sf01_r12",
+        "r13 A/B-acquitted (r12 code 1.44 vs r13 1.27 s same day) "
+        "AND attributed plan change: the overflow guard is now REAL "
+        "(r12's was SimplifyConditionals-deleted dead code — r12 "
+        "ADVICE medium); two CASE/raise_error projections on the "
+        "sources-sized broadcast dims. Re-adjudicate if sf0.1 "
+        "crosses 2.5 s",
+    ),
 }
 
 
