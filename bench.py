@@ -169,6 +169,19 @@ HEADLINE = [
     "s19_margin_alignment_linear",
     "s20_hard_negatives_linear",
     "dd35_incremental_semdedup_linear",
+    # round-14 additions (VERDICT r13 #6): the 5 slowest NON-headline
+    # queries by BENCH_registry_sf0.1.json, so a regression in the
+    # long tail is driver-visible each round instead of living only in
+    # the full-registry artifacts the driver never parses.
+    "bp2_card_issue_bodies",
+    "dd16_pagerank_dup_graph",
+    "cdc_creates",
+    "dd22_dup_cluster_keepers",
+    "dd9_dup_clusters_twostar",
+    # round-14: the true-partsupp TPC-H plan families (VERDICT r13 #3)
+    "tpch2ps_min_cost_partsupp",
+    "tpch11ps_partsupp_value",
+    "tpch20ps_excess_availqty",
 ]
 
 
@@ -211,6 +224,7 @@ def compact_line(
     calibration: float,
     ref_secs: float,
     errors: dict[str, str],
+    ref_n: int | None = None,
 ) -> dict:
     """COMPACT stdout line (VERDICT r12 #2): the driver tail-captures
     ~2000 chars of stdout; the full 89-entry queries map overflowed
@@ -231,6 +245,16 @@ def compact_line(
         "calibration_secs": calibration,
         "ref_secs": ref_secs,
     }
+    if ref_n is not None:
+        # r13 ADVICE: _ref_cohort_sample swallows cohort failures —
+        # without the surviving-cohort size on the line, a partial
+        # cohort (missing table, errored query) skews round-over-round
+        # value/ref_secs normalization ~33% undetected. ref_n is the
+        # count of cohort queries that actually produced medians;
+        # partial_ref flags the degraded-normalizer case loudly.
+        line["ref_n"] = ref_n
+        if ref_n < len(REF_COHORT):
+            line["partial_ref"] = True
     if errors:
         # count only, on the compact line (full messages live in the
         # sibling artifacts/stderr). partial=true marks that `value`
@@ -440,7 +464,13 @@ def main() -> None:
                 fh.write("\n")
         except OSError:
             pass  # read-only checkout: stderr copy above still has it
-    print(json.dumps(compact_line(timings, sf, calibration, ref_secs, errors)))
+    print(
+        json.dumps(
+            compact_line(
+                timings, sf, calibration, ref_secs, errors, len(ref_medians)
+            )
+        )
+    )
 
 
 if __name__ == "__main__":

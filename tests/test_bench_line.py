@@ -31,10 +31,22 @@ def _fake_timings(n: int) -> dict[str, float]:
 
 def test_compact_line_fits_driver_window_at_full_registry_size():
     line = bench.compact_line(
-        _fake_timings(500), "0.1", 1.234, 5.678, errors={}
+        _fake_timings(500), "0.1", 1.234, 5.678, errors={}, ref_n=3
     )
     s = json.dumps(line)
     assert len(s) <= LINE_BUDGET, f"{len(s)} chars: {s[:200]}..."
+
+
+def test_compact_line_flags_partial_ref_cohort():
+    """r13 ADVICE: a cohort query that errored or lacked tables must
+    be visible on the compact line, not only in stderr siblings."""
+    full = bench.compact_line({}, "0.1", 1.0, 2.0, {}, ref_n=len(bench.REF_COHORT))
+    assert full["ref_n"] == len(bench.REF_COHORT)
+    assert "partial_ref" not in full
+    part = bench.compact_line({}, "0.1", 1.0, 2.0, {}, ref_n=2)
+    assert part["ref_n"] == 2 and part["partial_ref"] is True
+    legacy = bench.compact_line({}, "0.1", 1.0, 2.0, {})
+    assert "ref_n" not in legacy and "partial_ref" not in legacy
 
 
 def test_compact_line_carries_contract_fields_and_worst5():

@@ -42,11 +42,20 @@ def _cell(v) -> str:
     NaN / NaT) because a pandas fetch erases WHICH null the engine
     sent; everything else renders through the repr a canonicalizer
     would see."""
-    if v is None:
-        return "NULL"
+    # Unified null check (r13 ADVICE): pandas.isna covers None, NaN,
+    # NaT, AND pandas.NA — a nullable-dtype column (e.g. Int64) from
+    # either fetch path would otherwise stringify as '<NA>' against
+    # the other side's 'NULL', a false FAIL. Guard against arrays
+    # (isna on a list/ndarray returns an array, not a scalar).
+    if not isinstance(v, (list, tuple, np.ndarray)):
+        try:
+            import pandas as _pd
+
+            if _pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass
     if isinstance(v, float) and math.isnan(v):
-        return "NULL"
-    if v is getattr(__import__("pandas"), "NaT", object()):
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))

@@ -663,13 +663,20 @@ def ivf_assign_2level(
         # The grouped seed table is already collected, so the check
         # is free: every one of the k seeds must appear under exactly
         # one super.
-        n_seeds = sum(len(r["__seeds__"]) for r in grows)
-        if n_seeds != k:
+        seed_ids = sorted(
+            s["cid"] for r in grows for s in r["__seeds__"]
+        )
+        if seed_ids != list(range(k)):
+            # r13 ADVICE: count alone passes {0,1,7,9} with k=4 — the
+            # id-set check enforces the dense-0..k-1 invariant the
+            # error message states, not just the row-loss condition.
             raise ValueError(
                 f"ivf_assign_2level: centroids must carry dense "
                 f"cent_ids 0..k-1 (k={k}), but the two-level seed "
-                f"assignment covered {n_seeds} seeds — non-dense ids "
-                f"or a k inconsistent with the centroid frame"
+                f"assignment covered ids "
+                f"{seed_ids[:8]}{'...' if len(seed_ids) > 8 else ''} "
+                f"({len(seed_ids)} seeds) — non-dense ids or a k "
+                f"inconsistent with the centroid frame"
             )
         if gkey is not None:
             _GROUPED_SEED_CACHE[gkey] = (grows, gschema)

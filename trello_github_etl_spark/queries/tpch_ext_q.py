@@ -936,3 +936,282 @@ def tpch20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
     )
+
+
+# --- true-partsupp plan families (VERDICT r13 #3) -------------------
+# The testdata carries no partsupp parquet, so Q2/Q11/Q20 above are
+# ADAPTED (re-keyed onto lineitem). These three run the TRUE partsupp
+# plan shapes by deriving the table deterministically from
+# part x supplier with a 0-based variant of TPC-H dbgen's suppkey
+# mapping (reference: dbgen build.c mk_part / PART_SUPP_BRIDGE —
+# public spec): for i in 0..3,
+#   ps_suppkey = (p + p//S + i*(S//4)) % S
+# which yields 4 DISTINCT suppliers per part for any S >= 4 (the i
+# offsets {0, S//4, 2S//4, 3S//4} are distinct mod S). availqty and
+# supplycost are deterministic hashes of the key pair, so BOTH
+# engines rebuild the identical table from the same two dims at ANY
+# scale factor — the driver's sf0.01 corpus included, no new testdata
+# needed, and the 50x relational dir scales it automatically.
+# Scale: partsupp is 4x|part| rows built by a broadcast 1-row count
+# crossJoin + explode(sequence) — zero shuffles, embarrassingly
+# parallel, never a fact-table scan.
+
+PARTSUPP_SQL_CTES = """scnt AS (SELECT COUNT(*) AS s_n FROM supplier),
+    ps0 AS (
+      SELECT p.p_partkey AS ps_partkey,
+             (p.p_partkey + p.p_partkey // c.s_n + g.i * (c.s_n // 4))
+               % c.s_n AS ps_suppkey
+      FROM part p
+      CROSS JOIN scnt c
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS i) g
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 37 + ps_suppkey * 101) % 9999 + 1
+               AS ps_availqty,
+             CAST((ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100
+                  AS DOUBLE) / 100.0 AS ps_supplycost
+      FROM ps0
+    )"""
+
+
+def derive_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of PARTSUPP_SQL_CTES — same formula, same types
+    (keys/availqty BIGINT, supplycost DOUBLE; the /100.0 is one IEEE
+    division of the same integer on both engines, bit-identical)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_n = load_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("s_n")
+    )
+    ps0 = (
+        part.crossJoin(F.broadcast(s_n))
+        .select(
+            "p_partkey",
+            "s_n",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.lit(3).cast("bigint"))
+            ).alias("i"),
+        )
+        .withColumn(
+            "ps_suppkey",
+            F.expr(
+                "(p_partkey + p_partkey div s_n + i * (s_n div 4)) % s_n"
+            ),
+        )
+    )
+    return ps0.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        "ps_suppkey",
+        (
+            (F.col("p_partkey") * 37 + F.col("ps_suppkey") * 101) % 9999 + 1
+        ).alias("ps_availqty"),
+        (
+            ((F.col("p_partkey") * 13 + F.col("ps_suppkey") * 7) % 99900 + 100)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("ps_supplycost"),
+    )
+
+
+@query(
+    "tpch2ps_min_cost_partsupp",
+    oracle="WITH " + PARTSUPP_SQL_CTES + """,
+    eur AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    eur_ps AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             MIN(ps.ps_supplycost)
+               OVER (PARTITION BY ps.ps_partkey) AS min_cost
+      FROM partsupp ps JOIN eur e ON ps.ps_suppkey = e.s_suppkey
+    )
+    SELECT p.p_partkey, p.p_type, e.s_name, e.s_acctbal, e.n_name,
+           c.ps_supplycost AS supply_cost
+    FROM part p
+    JOIN eur_ps c ON c.ps_partkey = p.p_partkey
+                 AND c.ps_supplycost = c.min_cost
+    JOIN eur e ON e.s_suppkey = c.ps_suppkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size < 15
+    """,
+)
+def tpch2ps_min_cost_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Q2 (ref parity: the correlated min-cost subquery family,
+    COVERAGE.md TPC-H sweep): for every STANDARD small part, every
+    EUROPE supplier whose partsupp supply cost hits the region-wide
+    per-part minimum. The correlated subquery is a per-part MIN
+    window over the one region-filtered partsupp frame (tpch2's
+    lesson: a groupBy+join-back re-plans the subtree); partsupp is
+    derived, so the only scans are the four dims — every join
+    broadcasts, the window is the single shuffle, keyed on partkey
+    (dim-cardinality, never skewed). Cost equality compares the SAME
+    deterministic doubles on both engines."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eur = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    ps = derive_partsupp(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ps_partkey")
+    cheapest = (
+        ps.join(
+            F.broadcast(eur.select("s_suppkey")),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 15)
+    )
+    eur_dim = eur.select(
+        F.col("s_suppkey").alias("e_suppkey"), "s_name", "s_acctbal", "n_name"
+    )
+    return (
+        cheapest.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(eur_dim), F.col("ps_suppkey") == F.col("e_suppkey")
+        )
+        .select(
+            "p_partkey", "p_type", "s_name", "s_acctbal", "n_name",
+            F.col("ps_supplycost").alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "tpch11ps_partsupp_value",
+    oracle="WITH " + PARTSUPP_SQL_CTES + """,
+    nat_supp AS (
+      SELECT s.s_suppkey
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    vals AS (
+      SELECT ps.ps_partkey,
+             SUM(CAST(ps.ps_supplycost AS DECIMAL(18,2))
+                 * CAST(ps.ps_availqty AS DECIMAL(18,2))) AS vdec
+      FROM partsupp ps JOIN nat_supp s ON ps.ps_suppkey = s.s_suppkey
+      GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, CAST(vdec AS DOUBLE) AS part_value
+    FROM (SELECT ps_partkey, vdec, SUM(vdec) OVER () AS total FROM vals)
+    WHERE CAST(vdec AS DOUBLE) > 0.0005 * CAST(total AS DOUBLE)
+    """,
+)
+def tpch11ps_partsupp_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Q11 (group-by with global-share HAVING over partsupp):
+    stock value concentration per part among one nation's suppliers,
+    kept when above 0.05% of the national total. The global total is
+    a window over the SAME per-part aggregate frame (tpch11's
+    single-scan lesson); the SinglePartition exchange runs on
+    dim-cardinality rows. Value arithmetic is exact DECIMAL on both
+    engines, cast to DOUBLE only at the output/threshold."""
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    ps = derive_partsupp(spark, sf_dir)
+    vals = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost").cast("decimal(18,2)")
+                * F.col("ps_availqty").cast("decimal(18,2)")
+            ).alias("vdec")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("vdec").over(Window.partitionBy()).cast("double")
+    return (
+        vals.withColumn("total", total)
+        .filter(
+            F.col("vdec").cast("double") > F.lit(0.0005) * F.col("total")
+        )
+        .select(
+            "ps_partkey", F.col("vdec").cast("double").alias("part_value")
+        )
+    )
+
+
+@query(
+    "tpch20ps_excess_availqty",
+    oracle="WITH " + PARTSUPP_SQL_CTES + """,
+    q96 AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN q96 q ON ps.ps_partkey = q.l_partkey
+                  AND ps.ps_suppkey = q.l_suppkey
+        WHERE ps.ps_availqty > 0.5 * CAST(q.qty96 AS DOUBLE)
+      )
+    """,
+)
+def tpch20ps_excess_availqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Q20 (nested semi-join chain over partsupp): NATION_5
+    suppliers whose derived availqty exceeds half their own 1996
+    shipped quantity of a small part. Plan: the small-part key set
+    broadcasts into the lineitem scan as a pushed semi-join, the
+    (part, supp) quantity aggregate is the one fact shuffle, the
+    partsupp probe joins THAT (broadcast — q96 is pair-cardinality),
+    and the qualifying supplier set semi-joins into the
+    nation-filtered dim. availqty (BIGINT) vs half the exact decimal
+    sum compares as doubles identically on both engines."""
+    p_small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(F.broadcast(p_small), F.col("l_partkey") == F.col("p_partkey"))
+    q96 = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty96")
+    )
+    ps = derive_partsupp(spark, sf_dir)
+    excess = (
+        ps.join(
+            F.broadcast(q96),
+            (ps.ps_partkey == q96.l_partkey)
+            & (ps.ps_suppkey == q96.l_suppkey),
+        )
+        .filter(
+            F.col("ps_availqty")
+            > F.lit(0.5) * F.col("qty96").cast("double")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )

@@ -63,18 +63,20 @@ ORACLES: dict[str, str] = {}
 # driver sample (the keys of CORRECTNESS_r{N}.json) into
 # DRIVER_SAMPLED_HISTORY below.
 
-# Every name that has appeared in any driver CORRECTNESS_r01..r12
+# Every name that has appeared in any driver CORRECTNESS_r01..r13
 # artifact (union of their keys; regenerate with
 # `python -c "import json,glob; print(sorted(set().union(*[set(json.load(open(f))) for f in glob.glob('CORRECTNESS_r[0-9]*.json')])))"`).
 DRIVER_SAMPLED_HISTORY: frozenset[str] = frozenset({
-    "a7_priority_status_cube", "as1_last_view_before_click",
-    "as2_next_purchase_after_signup", "bp1_quickview_rows",
-    "cdc_creates", "cdc_field_changes", "cdc_scd2_history",
-    "cdc_state_merge", "cdc_updates", "dd10_incremental_dedup",
-    "dd11_triangle_counts", "dd12_winnow_pairs", "dd13_winnow_df_capped",
-    "dd14_semantic_dedup", "dd15_semantic_dedup_nlist64",
-    "dd16_pagerank_dup_graph", "dd17_simhash_hamming_pairs",
-    "dd18_split_leakage", "dd19_near_dup_split_leakage", "dd1_exact_dups",
+    "a1_order_markdown_checklist", "a2_order_issue_body",
+    "a4_pricing_summary", "a7_priority_status_cube",
+    "as1_last_view_before_click", "as2_next_purchase_after_signup",
+    "bp1_quickview_rows", "bp2_card_issue_bodies", "cdc_creates",
+    "cdc_field_changes", "cdc_scd2_history", "cdc_state_merge",
+    "cdc_updates", "dd10_incremental_dedup", "dd11_triangle_counts",
+    "dd12_winnow_pairs", "dd13_winnow_df_capped", "dd14_semantic_dedup",
+    "dd15_semantic_dedup_nlist64", "dd16_pagerank_dup_graph",
+    "dd17_simhash_hamming_pairs", "dd18_split_leakage",
+    "dd19_near_dup_split_leakage", "dd1_exact_dups",
     "dd20_train_decontaminate", "dd21_repeated_ngram_coverage",
     "dd22_dup_cluster_keepers", "dd23_incremental_near_dedup",
     "dd24_semantic_dedup_auto", "dd25_lsh_star_edges",
@@ -85,12 +87,23 @@ DRIVER_SAMPLED_HISTORY: frozenset[str] = frozenset({
     "dd34_cross_source_overlap", "dd35_incremental_semdedup_linear",
     "dd3_minhash_lsh_pairs", "dd4_simhash", "dd5_jaccard_pairs",
     "dd6_dup_clusters", "dd7_jaccard_df_capped", "dd8_decontaminate",
-    "dd9_dup_clusters_twostar", "ivm1_delta_merge", "ivm2_retraction",
-    "ivm3_rollup_cascade", "j6b_fuzzy_username_lookup",
-    "j7_owner_resolution", "j8_status_map_rollup", "mm1_decode_features",
-    "mm2_resize_spec", "mm3_frame_samples", "mm4_audio_segments",
-    "o5_orders_page", "o7_keyset_page", "pct1_price_percentiles",
-    "pipe11_filter_stack", "pipe12_ccnet_stack", "pipe13_provenance_stack",
+    "dd9_dup_clusters_twostar", "dq1_expectations",
+    "dq2_referential_integrity", "f3_title_split", "ivm1_delta_merge",
+    "ivm2_retraction", "ivm3_rollup_cascade", "ivm4_join_view_delta",
+    "ivm5_signed_join_delta", "j10_left_enrich_sentinel",
+    "j1_order_line_rollup", "j2_customer_geo_rollup", "j3_explode_words",
+    "j6_fuzzy_substring_join", "j6b_fuzzy_username_lookup",
+    "j7_owner_resolution", "j8_status_map_rollup",
+    "j9_customers_with_orders_semi", "j9_customers_without_orders",
+    "mm1_decode_features", "mm2_resize_spec", "mm3_frame_samples",
+    "mm4_audio_segments", "mm5_image_ahash_pairs",
+    "o1_top3_orders_per_segment", "o4_top10_orders", "o5_orders_page",
+    "o7_keyset_page", "p1_filter_open_orders", "pct1_price_percentiles",
+    "pipe10_shard_plan", "pipe11_filter_stack", "pipe12_ccnet_stack",
+    "pipe13_provenance_stack", "pipe1_clean_corpus", "pipe2_source_cap",
+    "pipe3_token_chunks", "pipe4_concat_packing", "pipe5_greedy_pack",
+    "pipe6_corpus_shuffle", "pipe7_clean_shuffle_pack",
+    "pipe8_quality_filter", "pipe9_curriculum_order", "prof1_orders_stats",
     "rj1_error_followup_stats", "s10_ivf_trained_topk",
     "s11_random_projection", "s12_pq_topk", "s13_pq_rerank_topk",
     "s14_matryoshka_rerank", "s15_mutual_knn_graph", "s16_margin_alignment",
@@ -99,17 +112,19 @@ DRIVER_SAMPLED_HISTORY: frozenset[str] = frozenset({
     "s20_hard_negatives_linear", "s2_lsh_topk", "s3_embedding_near_dups",
     "s4_ivf_topk", "s5_multiprobe_lsh_topk", "s6_ivf_budgeted_topk",
     "s7_int8_quantize", "s8_quantized_topk", "s9_kmeans_refine",
-    "samp7_dsir_importance", "t10_source_lang_chisq",
-    "t11_cms_heavy_hitters", "t12_kmv_distinct", "t13_doclen_percentiles",
-    "t14_bigram_novelty", "t15_readability", "t16_vocab_coverage",
-    "t17_gopher_quality_rules", "t18_pii_scrub",
-    "t19_unigram_surprisal_buckets", "t1_token_stats",
-    "t20_quality_classifier_deciles", "t21_backoff_lm_ppl_deciles",
-    "t22_domain_quality_rollup", "t23_source_unigram_tvd",
-    "t2_language_id", "t3_quality_scores", "t4_fingerprints",
-    "t5_tfidf_top_terms", "t6_subword_tokens", "t7_pii_redaction",
-    "t8_repetition_stats", "t8a_top_word_adaptive", "t9_collapse_repeats",
-    "zo1_zorder_key",
+    "samp1_stratified_split", "samp2_weighted_mix",
+    "samp3_temperature_rebalance", "samp4_per_source_sample",
+    "samp5_source_char_budget", "samp6_epoch_mix", "samp7_dsir_importance",
+    "t10_source_lang_chisq", "t11_cms_heavy_hitters", "t12_kmv_distinct",
+    "t13_doclen_percentiles", "t14_bigram_novelty", "t15_readability",
+    "t16_vocab_coverage", "t17_gopher_quality_rules", "t18_pii_scrub",
+    "t19_unigram_surprisal_buckets", "t19d_surprisal_column_fps",
+    "t1_token_stats", "t20_quality_classifier_deciles",
+    "t21_backoff_lm_ppl_deciles", "t22_domain_quality_rollup",
+    "t23_source_unigram_tvd", "t2_language_id", "t3_quality_scores",
+    "t4_fingerprints", "t5_tfidf_top_terms", "t6_subword_tokens",
+    "t7_pii_redaction", "t8_repetition_stats", "t8a_top_word_adaptive",
+    "t9_collapse_repeats", "zo1_zorder_key",
 })
 
 # Fixed canaries, present in EVERY round's window: the r12 driver-red
