@@ -160,6 +160,64 @@ def test_real_codec_ppm_16bit_and_truncated_fail_loudly():
         _real_decode_one(2, "image", truncated)
 
 
+def _p6_video_bytes(frames):
+    """Concatenated-P6 video container: one (width, height, value)
+    8-bit frame per entry, back to back."""
+    return b"".join(_ppm_bytes(w, h, v) for w, h, v in frames)
+
+
+def test_real_codec_decodes_concatenated_p6_video(spark):
+    """VERDICT r13 #4: video is no longer a NotImplementedError — a
+    concatenated-P6 payload decodes to whole-clip stats (mm1 path)
+    and per-sampled-frame rows (decode_video_frames), with unsampled
+    frames skipped by header offset."""
+    vid = _p6_video_bytes(
+        [(4, 2, 10), (4, 2, 20), (4, 2, 30), (4, 2, 40), (4, 2, 50)]
+    )
+    media = spark.createDataFrame(
+        [(7, "video", vid, "s")],
+        "media_id long, media_type string, payload binary, meta_source string",
+    )
+    clip = multimodal.decode_media(media, codec="real").collect()[0]
+    assert (clip.width, clip.height, clip.n_frames) == (4, 2, 5)
+    assert clip.feat_0 == pytest.approx(30 / 255.0)  # mean over frames
+    # per-frame rows, every 2nd frame: indices 0, 2, 4
+    rows = sorted(
+        multimodal.decode_video_frames(
+            media, every_n=2, codec="real"
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    assert [r.frame_feat_0 for r in rows] == pytest.approx(
+        [10 / 255.0, 30 / 255.0, 50 / 255.0]
+    )
+    assert all((r.width, r.height) == (4, 2) for r in rows)
+    assert all(r.frame_feat_1 == pytest.approx(0.0) for r in rows)
+
+
+def test_real_codec_video_boundaries_fail_loudly():
+    """Truncated frames and 16-bit frames inside the container raise
+    the same loud boundaries as the single-image path; compressed
+    magic still hits the NotImplementedError wall."""
+    from trello_github_etl_spark.operators.multimodal import (
+        _real_decode_one,
+        decode_video_frames,
+    )
+
+    good = _ppm_bytes(4, 2, 10)
+    with pytest.raises(ValueError, match="truncated P6 frame 1"):
+        _real_decode_one(1, "video", good + b"P6\n4 2\n255\n" + b"\x00" * 3)
+    with pytest.raises(NotImplementedError, match="frame 1"):
+        _real_decode_one(
+            2, "video", good + b"P6\n2 2\n65535\n" + b"\x00\x64" * 12
+        )
+    with pytest.raises(NotImplementedError, match="concatenated-P6"):
+        _real_decode_one(3, "video", b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(ValueError, match="every_n"):
+        decode_video_frames(None, every_n=0)
+
+
 def test_fake_codec_deterministic_batch_shape(spark):
     media = spark.createDataFrame(
         [(i, "video", f"payload{i}".encode(), "s") for i in range(10)],

@@ -243,3 +243,48 @@ def mm5_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="media_id",
         max_band_df=_dedup_mod.HAMMING_BAND_DF,
     )
+
+
+@query(
+    "mm6_video_frame_features",
+    oracle=f"""
+    WITH meta AS (
+      SELECT
+        media_id, text,
+        CAST(TRY_CAST('0x' || substr(h, 1, 4) AS UBIGINT) % 1920 + 1
+          AS BIGINT) AS width,
+        CAST(TRY_CAST('0x' || substr(h, 5, 4) AS UBIGINT) % 1080 + 1
+          AS BIGINT) AS height,
+        CAST(TRY_CAST('0x' || substr(h, 9, 4) AS UBIGINT) % 240 + 1
+          AS BIGINT) AS n_frames
+      FROM ({SQL_MEDIA}) WHERE media_type = 'video'
+    ),
+    frames AS (
+      SELECT media_id, text, width, height,
+             UNNEST(range(0, n_frames, 30)) AS frame_idx
+      FROM meta
+    )
+    SELECT media_id, frame_idx, width, height,
+      CAST(TRY_CAST('0x' || substr(
+        md5(text || ':' || CAST(frame_idx AS VARCHAR)), 1, 8)
+        AS UBIGINT) AS DOUBLE) / 4294967295.0 AS frame_feat_0,
+      CAST(TRY_CAST('0x' || substr(
+        md5(text || ':' || CAST(frame_idx AS VARCHAR)), 9, 8)
+        AS UBIGINT) AS DOUBLE) / 4294967295.0 AS frame_feat_1
+    FROM frames
+    """,
+)
+def mm6_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sampled-frame video decode (VERDICT r13 #4): the decode
+    stage downstream of mm3's frame-sampling plan, as a 1→N
+    mapInPandas over video payloads (every 30th frame). The fake
+    codec shares mm1's md5 dims/frame-count formulas, so mm1/mm3/mm6
+    agree on every video's geometry; codec='real' parses a
+    concatenated-P6 frame container, seeking past unsampled frames by
+    header offset (tests/test_llm_operators.py plants real fixtures).
+    See operators/multimodal.py:decode_video_frames."""
+    from trello_github_etl_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    return decode_video_frames(_media_table(spark, sf_dir), every_n=30)

@@ -150,6 +150,13 @@ DRIVER_SAMPLE_ANCHORS = [
     "a1_order_markdown_checklist",
     "cdc_state_merge",
     "f3_title_split",
+    # r14 (VERDICT r13 #7): output-type-family canaries — DATE /
+    # TIMESTAMP / BOOLEAN fingerprints so a cross-environment
+    # canonicalization drift names its type family instead of
+    # reading as a bare hash red (queries/canary_q.py).
+    "canary_date_fps",
+    "canary_timestamp_fps",
+    "canary_boolean_fps",
 ]
 
 DRIVER_SAMPLE_SIZE = 50
@@ -210,6 +217,7 @@ def load_all() -> None:
     from trello_github_etl_spark.queries import (  # noqa: F401
         advanced_q,
         board_q,
+        canary_q,
         cdc_q,
         ivm_q,
         llm_q,
