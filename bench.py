@@ -169,15 +169,19 @@ HEADLINE = [
     "s19_margin_alignment_linear",
     "s20_hard_negatives_linear",
     "dd35_incremental_semdedup_linear",
-    # round-14 additions (VERDICT r13 #6): the 5 slowest NON-headline
-    # queries by BENCH_registry_sf0.1.json, so a regression in the
-    # long tail is driver-visible each round instead of living only in
-    # the full-registry artifacts the driver never parses.
-    "bp2_card_issue_bodies",
+    # round-14 additions (VERDICT r13 #6): the slowest NON-headline
+    # queries by the r13 registry benches, so a regression in the
+    # long tail is driver-visible each round instead of living only
+    # in the full-registry artifacts the driver never parses. Ranked
+    # by run2 (run1's bp2 24.2s / cdc_creates 9.6s were the
+    # documented transient machine spike — run2 has them at 1.4/0.4s;
+    # bp2 kept anyway as the one board-fixture query with real cost).
     "dd16_pagerank_dup_graph",
-    "cdc_creates",
     "dd22_dup_cluster_keepers",
     "dd9_dup_clusters_twostar",
+    "dd6_dup_clusters",
+    "s10_ivf_trained_topk",
+    "bp2_card_issue_bodies",
     # round-14: the true-partsupp TPC-H plan families (VERDICT r13 #3)
     "tpch2ps_min_cost_partsupp",
     "tpch11ps_partsupp_value",
