@@ -824,6 +824,105 @@ def connected_components(
     )
 
 
+def connected_components_jump(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 32,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """connected_components with POINTER JUMPING (Shiloach–Vishkin
+    shortcutting): each round appends one labels⋈labels self-join
+    (label ← label-of-label) to the neighbor-min step, squaring the
+    label-chain reach per round, so convergence takes O(log diameter)
+    rounds instead of O(diameter).
+
+    Why it exists (r14 close profile, COVERAGE.md): dd6's CC loop
+    cost is rounds × ~0.45 s near-constant scheduling overhead, and
+    the round count tracks corpus diameter — 4 rounds at sf0.1,
+    24 at sf1, 38 at the 50× corpus (the r12 non-convergence
+    finding). Shortcutting turns 24 → ~6 and caps growth at larger
+    scales; candidate to replace the plain loop under dd6 in r15
+    after the full bench chain revalidates.
+
+    Correctness argument (pinned by equivalence tests): labels are
+    initialized to own node id and only ever decrease to ids of
+    same-component nodes. Neighbor-min preserves that (the min
+    includes self and direct neighbors); the shortcut sets
+    l(u) ← l(l(u)), where l(u) is a same-component node whose own
+    label is ≤ l(u) — still same-component, still monotone. At a
+    fixpoint of BOTH operators, labels are constant per component
+    (symmetrized edges force l(u) = l(v) across every edge) and the
+    component's min node keeps its own id, so the fixpoint is
+    exactly connected_components' output: (node, min reachable
+    node). Non-convergence raises, same contract as the plain loop.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    labels = _truncate_lineage(
+        edges.select("u").distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label")),
+        checkpoint_dir,
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"], "inner")
+            .select(F.col("u").alias("nbr_node"), "label")
+            .groupBy("nbr_node")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["nbr_node"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # the shortcut half-step: label <- label(label). Every label
+        # value is a node id present in `stepped` (labels only take
+        # endpoint ids), so the left join always matches; coalesce
+        # guards the invariant anyway. One extra exchange per round
+        # buys exponentially fewer rounds — at ~0.45 s fixed cost per
+        # round, that trade wins from diameter ~6 up.
+        target = stepped.select(
+            F.col("node").alias("t_node"), F.col("label").alias("t_label")
+        )
+        joined = _truncate_lineage(
+            stepped.join(
+                target, stepped["label"] == target["t_node"], "left"
+            ).select(
+                "node",
+                "old_label",
+                F.coalesce(F.col("t_label"), F.col("label")).alias("label"),
+            ),
+            checkpoint_dir,
+        )
+        changed = joined.filter(F.col("label") != F.col("old_label")).count()
+        labels = joined.select("node", "label")
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components_jump did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing) — with "
+            "shortcutting this bounds component count growth at "
+            "~2^(2^rounds); a non-convergence here means max_iter is "
+            "set far too low or the edge frame is non-deterministic."
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def connected_components_auto(
     pairs: DataFrame,
     src: str = "doc_a",
