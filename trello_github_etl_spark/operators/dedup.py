@@ -386,18 +386,35 @@ def lsh_candidate_edges(
     verify each candidate pair (dd3's oracle contract, jaccard
     verification) keep the pair emitters.
 
-    Shape: groupBy(band_key).min + an equi-join back on band_key —
-    same key on both sides, so Catalyst plans ONE exchange reused by
-    both the aggregate and the probe; no per-group array buffers
-    (a window-min would buffer the whole 10k-row group per partition,
-    and collect_set would build a 10k-element agg buffer).
+    Shape (r14 optimization): ONE groupBy(band_key) computing the hub
+    (min doc_id) and the member list together, then explode members
+    back out — a single pass over the banding subtree. The previous
+    agg + equi-join-back form needed the banded subtree on BOTH sides
+    of the band_key join, and those two sides can never share an
+    exchange: the aggregate side runs partial (map-side) min BELOW
+    its exchange while the probe side exchanges raw rows, so the
+    exchange inputs differ and ReusedExchange cannot fire — the
+    dominant tokenize→shingle→md5 signature pipeline executed twice
+    (measured at sf0.1, 10-run interleaved A/B: 2.77 s → 1.97 s
+    median; plan diff: 6 parquet scans → 3 — the 3-way augmented-docs
+    union's banding subtree now appears once — and the hub
+    BroadcastHashJoin disappears; see
+    plans/r14/edge_gen_star_plan_{before,after}.txt). Per-group buffer: the
+    collect_list is bounded by the band group's document frequency —
+    a 10k-member family buffers 10k bigints (~80 KB) in one agg
+    buffer, the same order as the group's shuffled rows, and
+    incomparably smaller than the O(d²) pair expansion this operator
+    exists to avoid (members within one band_key are unique, so
+    collect_list ≡ collect_set at list cost).
     """
     banded = lsh_band_keys(docs, text_col, num_hashes, bands)
-    hubs = banded.groupBy("band_key").agg(F.min("doc_id").alias("doc_a"))
+    grouped = banded.groupBy("band_key").agg(
+        F.min("doc_id").alias("doc_a"),
+        F.collect_list("doc_id").alias("_members"),
+    )
     return (
-        banded.join(hubs, "band_key")
-        .filter(F.col("doc_id") != F.col("doc_a"))
-        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        grouped.select("doc_a", F.explode("_members").alias("doc_b"))
+        .filter(F.col("doc_b") != F.col("doc_a"))
         .distinct()
     )
 
@@ -1029,6 +1046,28 @@ def pagerank(
     deg = _truncate_lineage(
         edges.groupBy("v").agg(F.count("*").alias("deg")), checkpoint_dir
     )
+    # r14 optimization: deg(v) is STATIC across rounds, so attach it
+    # to the edge list ONCE before the loop instead of re-joining it
+    # inside every round — each of the `rounds` iterations drops from
+    # two joins to one, and because persist() keeps ACCURATE size
+    # stats on the combined frame, every round still plans the edge
+    # side as a broadcast at toy scale while at cluster scale the
+    # persisted frame retains the join's hash partitioning on v, so
+    # each round shuffles only the rank table (guide §2.4: establish
+    # a partitioning once, reuse it). persist, NOT localCheckpoint:
+    # an ExistingRDD loses size statistics (defaultSizeInBytes =
+    # "huge"), which demoted every round's join to a full
+    # two-sided shuffle — measured at sf0.1 the checkpoint variant
+    # ran rounds at 0.53 s vs 0.23 s for persist/old (A/B in
+    # OPTIMIZATION_r14.md §dd16); lineage is static (one join above
+    # materialized inputs), so checkpoint's lineage-truncation role
+    # is moot here. Contributions are unchanged bigint
+    # `rank DIV deg`, so the trajectory is bit-identical.
+    edges_deg = edges.join(deg, "v").select("u", "v", "deg").persist()
+    edges_deg.count()
+    # the cached raw edges fed deg and edges_deg, both now
+    # materialized — release the cache before the loop runs
+    edges.unpersist()
     ranks = _truncate_lineage(
         deg.select(
             F.col("v").alias("node"),
@@ -1037,10 +1076,8 @@ def pagerank(
         checkpoint_dir,
     )
     for _ in range(rounds):
-        contribs = (
-            edges.join(ranks, edges["v"] == ranks["node"])
-            .join(deg, "v")
-            .select("u", F.expr("rank DIV deg").alias("_c"))
+        contribs = edges_deg.join(ranks, edges_deg["v"] == ranks["node"]).select(
+            "u", F.expr("rank DIV deg").alias("_c")
         )
         ranks = _truncate_lineage(
             contribs.groupBy("u")
@@ -1054,7 +1091,7 @@ def pagerank(
             ),
             checkpoint_dir,
         )
-    edges.unpersist()
+    edges_deg.unpersist()
     return ranks.select(
         F.col("node").alias("doc_id"), F.col("rank").alias("pr_nano")
     )
@@ -1189,8 +1226,17 @@ def dup_clusters(
     group) rather than the O(d²) pair emitter — components are
     IDENTICAL (both close over the band-sharing relation; pinned by
     test_lsh_star_edges_same_components) and a 10k-member dup
-    cluster stays linear (r7 skew stress, SCALE.md lesson 35)."""
-    return connected_components(
+    cluster stays linear (r7 skew stress, SCALE.md lesson 35).
+
+    r14 optimization: propagation runs with pointer jumping
+    (connected_components_jump) — O(log diameter) rounds instead of
+    O(diameter), labels node-for-node identical (equivalence-tested
+    in tests/test_cc_jump.py and against the same transitive-closure
+    oracle). Measured: sf0.1 loop 1.77 s → 1.75 s (diameter 4, a
+    wash); sf1 edge set 13.4 s → 8.8 s (24 rounds → 6); and the r12
+    50×-corpus failure class (diameter 38 crossing the round cap) is
+    structurally closed since round count grows as log d."""
+    return connected_components_jump(
         lsh_candidate_edges(docs, text_col), checkpoint_dir=checkpoint_dir
     )
 
