@@ -315,41 +315,42 @@ def minhash_lsh_pairs(
     """
     banded = lsh_band_keys(docs, text_col, num_hashes, bands)
     if max_band_df is not None:
-        # pin the banded subtree ONCE: with the cap on, it feeds the
-        # band-df aggregate AND (via the probe join) both self-join
-        # sides — three consumers whose shared child is the dominant
-        # signature pipeline (tokenize/shingle/md5 min-agg). Unlike
-        # the uncapped self-join below, the aggregate's exchange
-        # partitioning doesn't line up for a guaranteed
-        # ReusedExchange, so without the pin the signatures can
-        # recompute per consumer (r7 advice). persist(), NOT
-        # localCheckpoint (r8 advice): the pin's only goal is
-        # avoiding recomputation, and a local checkpoint's blocks are
-        # NOT fault-tolerant — losing an executor fails the job —
-        # while a persisted frame keeps its lineage and recomputes
-        # the lost partitions. Cache lifetime (r9 advice): persist
-        # registers the plan in the session's SQL CacheManager, which
-        # holds the InMemoryRelation until explicit unpersist /
-        # clearCache — ContextCleaner does NOT reclaim SQL-cached
-        # plans on GC. One query per session is fine; long-lived
-        # drivers sweeping many distinct queries must
-        # spark.catalog.clearCache() between queries (bench.py and
-        # the sweep/gate tools do).
-        banded = banded.persist()
-        df_w = banded.groupBy("band_key").agg(
-            F.count(F.lit(1)).alias("_bdf")
+        # r14 optimization: the capped path is ONE aggregation —
+        # collect each band group's sorted member list and filter on
+        # its SIZE (≡ the band's document frequency), then expand
+        # pairs in-group with the same array HOFs jaccard_pairs uses.
+        # The previous shape (persist banded → count-agg → join-back
+        # → self-join) needed the banded subtree pinned because its
+        # three consumers could not share an exchange; this shape has
+        # exactly one consumer of the signature pipeline, no persist,
+        # no joins. Measured at sf0.1 (8-run interleaved A/B,
+        # identical pair sets): cap=20 3.40 s → 1.66 s, cap=3
+        # 3.98 s → 1.67 s. Buffer bound: collect_list holds one id
+        # per group member — a giant (capped-out) family buffers its
+        # d ids (~8·d bytes) before the size filter drops it, the
+        # same O(d) the star-edge emitter already carries, vs the
+        # O(d²) expansion the cap exists to prevent (the expansion
+        # runs only on ≤cap-sized lists).
+        ds = F.col("ds")
+        grouped = (
+            banded.groupBy("band_key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .filter((F.size(ds) > 1) & (F.size(ds) <= max_band_df))
         )
-        banded = (
-            banded.join(df_w, "band_key")
-            .filter(F.col("_bdf") <= max_band_df)
-            .drop("_bdf")
+        pair_structs = _pair_structs(
+            ds, lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
         )
-    # Kept as a self-join (unlike jaccard_pairs' grouped-pair
-    # expansion): banded rows are only `bands` per doc and the
-    # signature subtree dominates cost, so the reused exchange on the
-    # identical child beats a collect_list agg — measured both at
-    # sf0.1, self-join wins by ~10% here while grouping wins ~30%
-    # where the exploded side is wide (shingles).
+        return (
+            exploded(grouped, [], pair_structs, "p")
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+    # UNCAPPED path: kept as a self-join (unlike jaccard_pairs'
+    # grouped-pair expansion): banded rows are only `bands` per doc
+    # and the signature subtree dominates cost, so the reused
+    # exchange on the identical child beats a collect_list agg —
+    # measured both at sf0.1, self-join wins by ~10% here while
+    # grouping wins ~30% where the exploded side is wide (shingles).
     a = banded.alias("a")
     b = banded.alias("b")
     return (
