@@ -1385,6 +1385,35 @@ def test_pagerank_star_hub_dominates_and_is_deterministic(spark):
     assert out == again
 
 
+def test_pagerank_matches_python_model_at_any_round_count(spark):
+    """The r14 interval-2 lineage truncation is a cost knob only: the
+    trajectory must equal a pure-Python replay of the integer-grid
+    recurrence at EVERY round count — including counts that do not
+    align with the truncation interval (1, 3) and ones that do (2, 4),
+    so both the mid-interval lazy round and the forced final-round
+    truncation are exercised."""
+    raw = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    edges = raw + [(b, a) for a, b in raw]
+    deg = {}
+    for _, v in edges:
+        deg[v] = deg.get(v, 0) + 1
+    for rounds in (1, 2, 3, 4):
+        ranks = {n: 1_000_000_000 for n in deg}
+        for _ in range(rounds):
+            s = {}
+            for u, v in edges:
+                s[u] = s.get(u, 0) + ranks[v] // deg[v]
+            ranks = {
+                u: 150_000_000 + (85 * c) // 100 for u, c in s.items()
+            }
+        got = {
+            r.doc_id: r.pr_nano
+            for r in dedup.pagerank(pairs, rounds=rounds).collect()
+        }
+        assert got == ranks, f"rounds={rounds}"
+
+
 def test_samp4_exact_k_per_source_and_determinism(spark, tmp_path):
     """Every source yields exactly min(k, n_source) rows; ranks are
     1..k dense; the sample is identical on re-run and under a

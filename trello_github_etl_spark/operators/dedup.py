@@ -1002,6 +1002,11 @@ def connected_components_auto(
     return connected_components(e, "u", "v", checkpoint_dir=checkpoint_dir)
 
 
+# Lineage-truncation cadence for the pagerank loop: every K rounds,
+# not every round (see the loop comment in ``pagerank``).
+_PR_TRUNCATE_INTERVAL = 2
+
+
 def pagerank(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -1076,11 +1081,20 @@ def pagerank(
         ),
         checkpoint_dir,
     )
-    for _ in range(rounds):
+    # r14 optimization (guide §2.4 / §1.4): truncate lineage every
+    # _PR_TRUNCATE_INTERVAL rounds instead of every round. Truncation
+    # is a cost knob, not a correctness one — the trajectory is
+    # bit-identical at any interval (probe: exceptAll 0/0 at K=2/5/10
+    # on dd16's real sf0.1 pair set) — but each eager checkpoint is a
+    # full job + a block materialization, so per-round truncation made
+    # 10 rounds cost 10 jobs. Interval 2 halves that (interleaved 6-run
+    # A/B at sf0.1: 7.39 s → 6.58 s median; K=5/K=10 measured no
+    # better and carry deeper recompute-on-block-loss lineage).
+    for i in range(rounds):
         contribs = edges_deg.join(ranks, edges_deg["v"] == ranks["node"]).select(
             "u", F.expr("rank DIV deg").alias("_c")
         )
-        ranks = _truncate_lineage(
+        ranks = (
             contribs.groupBy("u")
             .agg(F.sum("_c").alias("_s"))
             .select(
@@ -1089,9 +1103,10 @@ def pagerank(
                     F.lit(150_000_000).cast("bigint")
                     + F.expr("(85 * _s) DIV 100")
                 ).alias("rank"),
-            ),
-            checkpoint_dir,
+            )
         )
+        if (i + 1) % _PR_TRUNCATE_INTERVAL == 0 or i == rounds - 1:
+            ranks = _truncate_lineage(ranks, checkpoint_dir)
     edges_deg.unpersist()
     return ranks.select(
         F.col("node").alias("doc_id"), F.col("rank").alias("pr_nano")
