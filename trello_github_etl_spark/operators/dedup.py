@@ -1147,6 +1147,26 @@ def connected_components_twostar(
     sum(xxhash64)) signature — one scalar aggregate per round, same
     driver-side-only contract as the sibling algorithm;
     ``localCheckpoint`` truncates per-round lineage.
+
+    r14 round-body surgery (guide §2.4, measured 2.76 s → 2.14 s
+    median on the real sf0.1 dd9 edge set, 6 → 3 Exchanges/round,
+    labels bit-identical — tools/twostar_probe.py):
+    - large-star attaches the per-node min via a window over
+      ``partitionBy(u)`` instead of groupBy+join-back: one exchange
+      instead of two, no join. The window buffers one node's
+      neighbor rows per group (sort-based, spills via
+      ExternalAppendOnlyUnsafeRowArray) — the Spark analogue of the
+      secondary-sort streaming reduce the MR formulation uses; a
+      10k-member hub group is ~160 KB, graceful far beyond that.
+    - small-star is ONE ``groupBy(u).agg(min, collect_set)`` whose
+      exploded output emits both the re-hung neighbors and the self
+      row — fusing the old intermediate ``distinct`` + smins groupBy
+      + hang join (3 exchanges) into one aggregation. The
+      collect_set holds each node's DISTINCT big→small targets,
+      i.e. group-mins of the groups it belongs to — bounded by the
+      per-doc band count of the LSH edge construction, NOT by
+      cluster size (measured max 2 at sf0.1 round 1; a star hub's
+      members each hold exactly {hub}).
     """
     raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # node coverage from the UNFILTERED pairs: a node appearing only
@@ -1178,35 +1198,51 @@ def connected_components_twostar(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    from pyspark.sql.window import Window
+
     sig = signature(edges)
     converged = False
+    win = Window.partitionBy("u")
     for _ in range(max_iter):
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        lmins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("_mn"))
-            .select("u", F.least("_mn", "u").alias("m"))
-        )
+        # large-star: m = min(Γ(u) ∪ {u}) attached in-place by the
+        # window — the group min rides the same exchange the rows
+        # themselves need, so no second shuffle and no join-back
         large = (
-            sym.join(lmins, "u")
+            sym.withColumn("_mn", F.min("v").over(win))
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("_mn"), F.col("u")).alias("v"),
+            )
         )
-        # small-star input is big→small by construction of large
-        smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        hang_neighbors = (
-            large.join(smins, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # small-star input is big→small by construction of large;
+        # one aggregation yields the distinct neighbor set AND its
+        # min, and one explode emits every re-hung edge plus the
+        # self edge (u, m)
+        star = large.groupBy("u").agg(
+            F.min("v").alias("m"), F.collect_set("v").alias("vs")
         )
-        hang_self = smins.select("u", F.col("m").alias("v"))
-        edges = _truncate_lineage(
-            hang_neighbors.unionByName(hang_self).distinct(),
-            checkpoint_dir,
-        )
+        hang = star.select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        F.filter("vs", lambda x: x != F.col("m")),
+                        lambda x: F.struct(
+                            x.alias("u"), F.col("m").alias("v")
+                        ),
+                    ),
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m").alias("v")
+                        )
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        edges = _truncate_lineage(hang.distinct(), checkpoint_dir)
         new_sig = signature(edges)
         if new_sig == sig:
             converged = True
