@@ -63,11 +63,26 @@ ORACLES: dict[str, str] = {}
 # driver sample (the keys of CORRECTNESS_r{N}.json) into
 # DRIVER_SAMPLED_HISTORY below.
 
-# Every name that has appeared in any driver CORRECTNESS_r01..r13
+# Every name that has appeared in any driver CORRECTNESS_r01..r14
 # artifact (union of their keys; regenerate with
 # `python -c "import json,glob; print(sorted(set().union(*[set(json.load(open(f))) for f in glob.glob('CORRECTNESS_r[0-9]*.json')])))"`).
 DRIVER_SAMPLED_HISTORY: frozenset[str] = frozenset({
     "a1_order_markdown_checklist", "a2_order_issue_body",
+    "a3_distinct_report", "a5_revenue_rollup", "a6_count_distinct",
+    "a8_grouping_sets", "a9_priority_status_pivot",
+    "bloom1_runtime_filter", "canary_boolean_fps", "canary_date_fps",
+    "canary_timestamp_fps", "d1_monthly_revenue", "d2_date_parts",
+    "f10_task_type", "f11_env_dsl_parse", "f14_json_props_parse",
+    "f15_variant_props", "f1_bounty_parse", "f2_index_prefix_strip",
+    "f5_issue_body_render", "f9_username_normalize",
+    "f_parse_check_item_pipeline", "j13_top_order_per_customer",
+    "j14_null_safe_join", "j6c_fuzzy_blocked_join",
+    "mm6_video_frame_features", "o2_sorted_type_arrays",
+    "o6_first_label_warn", "setops_order_years",
+    "skew1_salted_event_rollup", "skew2_salted_join_rollup",
+    "sql1_region_revenue", "sql2_priority_rank_windows",
+    "sql3_status_case_rollup", "sql5_recursive_month_spine",
+    "sql6_lateral_topk_per_customer",
     "a4_pricing_summary", "a7_priority_status_cube",
     "as1_last_view_before_click", "as2_next_purchase_after_signup",
     "bp1_quickview_rows", "bp2_card_issue_bodies", "cdc_creates",
