@@ -34,6 +34,14 @@ rounds as value/ref_secs; calibration_secs stays for continuity.
 Sub-second queries get extra runs (n*2+1, VERDICT r3 #3: mm1's median
 tripled on n=3 pure noise — tiny queries need more samples for a
 stable median).
+
+r15 measurement changes (both declared in OPTIMIZATION_r15.md):
+- post-sweep outlier RE-TIME pass (VERDICT r14 #1) — see the inline
+  comment in main(); retimed names ride the stdout line (`retimed`),
+  pre-retime medians stay in the stderr/sibling detail.
+- the IVF Python-side seed memos are cleared before EVERY timed run
+  (VERDICT r14 #5), so ivf-family medians are cold-seed numbers from
+  this round on (a one-time step change vs r14 and earlier).
 """
 
 from __future__ import annotations
@@ -197,7 +205,23 @@ HEADLINE = [
 REF_COHORT = ["t1_token_stats", "dd3_minhash_lsh_pairs", "s1_cosine_topk"]
 
 
+def _clear_python_side_caches() -> None:
+    """VERDICT r14 #5: the IVF centroid/grouped-seed memos
+    (similarity._CENTROID_CACHE / _GROUPED_SEED_CACHE) are keyed on
+    sf_dir and survive across a query's n timed runs, so run 2..n of
+    every ivf-family query skipped the seed-collect jobs and their
+    medians were warm-cache numbers. Clearing BEFORE EVERY TIMED RUN
+    makes each run collect its seeds fresh — the honest cold number —
+    at the price of a one-time step change in the ivf-family medians
+    (recorded in SCALE.md lesson 55 / OPTIMIZATION_r15.md)."""
+    from trello_github_etl_spark.operators import similarity
+
+    similarity._CENTROID_CACHE.clear()
+    similarity._GROUPED_SEED_CACHE.clear()
+
+
 def _time_once(spark, name: str) -> float:
+    _clear_python_side_caches()
     t0 = time.time()
     registry.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
@@ -229,6 +253,7 @@ def compact_line(
     ref_secs: float,
     errors: dict[str, str],
     ref_n: int | None = None,
+    retimed: list[str] | None = None,
 ) -> dict:
     """COMPACT stdout line (VERDICT r12 #2): the driver tail-captures
     ~2000 chars of stdout; the full 89-entry queries map overflowed
@@ -249,6 +274,12 @@ def compact_line(
         "calibration_secs": calibration,
         "ref_secs": ref_secs,
     }
+    if retimed:
+        # VERDICT r14 #1: the names whose medians were re-timed after
+        # the sweep (pooled with the original runs) — bounded at 10 by
+        # the suspect selection, so the line stays inside the driver's
+        # capture window (tests/test_bench_line.py).
+        line["retimed"] = sorted(retimed)
     if ref_n is not None:
         # r13 ADVICE: _ref_cohort_sample swallows cohort failures —
         # without the surviving-cohort size on the line, a partial
@@ -268,6 +299,34 @@ def compact_line(
         line["error_count"] = len(errors)
         line["partial"] = True
     return line
+
+
+def retime_suspects(
+    timings: dict[str, float],
+    spread: dict[str, list],
+    ref_samples: dict[str, list[float]],
+) -> list[str]:
+    """Select the post-sweep re-time candidates (VERDICT r14 #1) —
+    see the caller comment in main() for the rationale. Returns at
+    most 10 names, worst-first: every >=1s query whose median exceeds
+    2.5x its own min-of-run, plus — only when the sweep shows the
+    machine moved (a dispersion suspect exists, or a ref-cohort
+    query's start/middle/end samples spread beyond 1.5x) — the >=2s
+    members of the worst-5."""
+    machine_moved = any(
+        len(v) > 1 and max(v) > 1.5 * min(v) for v in ref_samples.values()
+    )
+    by_worst = sorted(timings, key=lambda k: timings[k], reverse=True)
+    suspects = [
+        n
+        for n in by_worst
+        if timings[n] >= 1.0 and timings[n] > 2.5 * spread[n][0]
+    ]
+    if suspects or machine_moved:
+        for n in by_worst[:5]:
+            if timings[n] >= 2.0 and n not in suspects:
+                suspects.append(n)
+    return suspects[:10]
 
 
 def _calibration_secs(spark) -> float:
@@ -331,6 +390,7 @@ def main() -> None:
         headline = HEADLINE
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     ref_samples: dict[str, list[float]] = {}
     _ref_cohort_sample(spark, ref_samples)  # START-of-sweep sample
@@ -352,19 +412,13 @@ def main() -> None:
         try:
             runs = []
             for _ in range(n_runs):
-                t0 = time.time()
-                df = registry.QUERIES[name](spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.time() - t0)
+                runs.append(_time_once(spark, name))
             # Sub-second queries are noise-dominated at small n (VERDICT
             # r3 #3): once we know the query is fast, take extra samples
             # — the marginal cost is trivial and the median stabilizes.
             if statistics.median(runs) < 1.0 and n_runs > 1:
                 for _ in range(n_runs + 1):
-                    t0 = time.time()
-                    df = registry.QUERIES[name](spark, SF_DIR)
-                    df.write.format("noop").mode("overwrite").save()
-                    runs.append(time.time() - t0)
+                    runs.append(_time_once(spark, name))
         except Exception as exc:  # noqa: BLE001 — keep sweeping
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
@@ -378,6 +432,7 @@ def main() -> None:
             # own cache semantics identical to prior rounds' numbers.
             spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
+        all_runs[name] = runs
         # [min, max, n]: n records the ACTUAL sample count (sub-second
         # queries take extra runs), not the configured n_runs
         spread[name] = [round(min(runs), 3), round(max(runs), 3), len(runs)]
@@ -388,6 +443,50 @@ def main() -> None:
         )
 
     _ref_cohort_sample(spark, ref_samples)  # END-of-sweep sample
+
+    # Post-sweep outlier re-time pass (VERDICT r14 #1): the r14 driver
+    # sweep hit a slow machine window mid-run and reported three
+    # UNTOUCHED queries (s18/s19/t23) at 2-4x their same-session 8-core
+    # and r13 values — one transient poisoned the round-over-round
+    # artifact. After the sweep, re-time
+    #   (a) any query whose median exceeds 2.5x its own min-of-run (a
+    #       PARTIAL window: some runs fast, some slow), always; and
+    #   (b) the worst-5 by median (the only per-query numbers the
+    #       driver's stdout line carries — the trio class, where EVERY
+    #       run landed inside the window and within-query dispersion is
+    #       silent), but only when the sweep shows evidence the machine
+    #       moved: a dispersion suspect exists, or a ref-cohort query's
+    #       start/middle/end samples spread beyond 1.5x. A clean run
+    #       adds zero retime cost.
+    # One fresh n_runs block each, POOLED with the original runs (the
+    # VERDICT asked for the re-timed median alone; pooling is strictly
+    # more robust — the reported median then spans both machine states
+    # instead of whichever one the retime block happened to sample).
+    # Pre-retime medians stay visible in the stderr/sibling detail
+    # (`pre_retime`).
+    pre_retime: dict[str, float] = {}
+    if timings:
+        for name in retime_suspects(timings, spread, ref_samples):
+            try:
+                fresh = [_time_once(spark, name) for _ in range(n_runs)]
+            except Exception:  # noqa: BLE001 — retime must never kill the bench
+                continue
+            finally:
+                spark.catalog.clearCache()
+            pooled = all_runs[name] + fresh
+            pre_retime[name] = timings[name]
+            timings[name] = round(statistics.median(pooled), 3)
+            all_runs[name] = pooled
+            spread[name] = [
+                round(min(pooled), 3),
+                round(max(pooled), 3),
+                len(pooled),
+            ]
+            print(
+                f"# retime {name}: median {pre_retime[name]} -> "
+                f"{timings[name]}s (fresh {[round(x, 3) for x in fresh]})",
+                file=sys.stderr,
+            )
     ref_medians = {
         n: round(statistics.median(v), 3) for n, v in ref_samples.items()
     }
@@ -406,6 +505,10 @@ def main() -> None:
         "ref_cohort": ref_medians,
         "ref_secs": ref_secs,
     }
+    if pre_retime:
+        # medians as the main sweep measured them, BEFORE the retime
+        # pool — kept so round-over-round comparisons can see both
+        detail["pre_retime"] = pre_retime
     if errors:
         detail["errors"] = errors
     print(f"# spread: {json.dumps(detail)}", file=sys.stderr)
@@ -445,6 +548,7 @@ def main() -> None:
                         "ref_secs": ref_secs,
                         "sf": sf,
                         "errors": errors,
+                        "pre_retime": pre_retime,
                     },
                     fh,
                     indent=1,
@@ -471,7 +575,13 @@ def main() -> None:
     print(
         json.dumps(
             compact_line(
-                timings, sf, calibration, ref_secs, errors, len(ref_medians)
+                timings,
+                sf,
+                calibration,
+                ref_secs,
+                errors,
+                len(ref_medians),
+                retimed=list(pre_retime),
             )
         )
     )

@@ -37,6 +37,27 @@ def test_compact_line_fits_driver_window_at_full_registry_size():
     assert len(s) <= LINE_BUDGET, f"{len(s)} chars: {s[:200]}..."
 
 
+def test_compact_line_fits_budget_with_max_retimed_names():
+    """VERDICT r14 #1: the retime pass caps its suspect list at 10;
+    even 10 worst-case-length names plus the rest of the line must fit
+    the driver's capture window."""
+    t = _fake_timings(500)
+    retimed = sorted(t, key=t.get, reverse=True)[:10]
+    line = bench.compact_line(
+        t, "0.1", 1.234, 5.678, errors={}, ref_n=3, retimed=retimed
+    )
+    assert line["retimed"] == sorted(retimed)
+    s = json.dumps(line)
+    assert len(s) <= LINE_BUDGET, f"{len(s)} chars: {s[:200]}..."
+
+
+def test_compact_line_omits_retimed_when_empty():
+    line = bench.compact_line({}, "0.1", 1.0, 2.0, {}, retimed=[])
+    assert "retimed" not in line
+    legacy = bench.compact_line({}, "0.1", 1.0, 2.0, {})
+    assert "retimed" not in legacy
+
+
 def test_compact_line_flags_partial_ref_cohort():
     """r13 ADVICE: a cohort query that errored or lacked tables must
     be visible on the compact line, not only in stderr siblings."""
@@ -73,3 +94,50 @@ def test_compact_line_handles_empty_sweep():
     line = bench.compact_line({}, "custom", 1.0, 0.0, {})
     assert line["value"] == 0 and line["n_queries"] == 0
     assert line["sf"] == "custom"
+
+
+def test_retime_suspects_catches_the_r14_trio_class():
+    """The r14 driver window slowed s18/s19/t23 on EVERY run (no
+    within-query dispersion), but the ref cohort's start/middle/end
+    samples saw the machine move — the worst-5 must then be queued
+    for a fresh timing block."""
+    timings = {
+        "s18_mutual_knn_linear": 12.1,
+        "s19_margin_alignment_linear": 9.3,
+        "t23_source_unigram_tvd": 6.1,
+        "dd16_pagerank_dup_graph": 7.0,
+        "dd6_dup_clusters": 5.9,
+        "t1_token_stats": 0.5,
+    }
+    spread = {n: [v * 0.95, v * 1.05, 3] for n, v in timings.items()}
+    # cohort middle sample landed inside the slow window
+    refs = {"t1": [0.5, 1.6, 0.52], "dd3": [1.8, 1.9, 1.85]}
+    got = bench.retime_suspects(timings, spread, refs)
+    assert set(got) == {
+        "s18_mutual_knn_linear", "s19_margin_alignment_linear",
+        "t23_source_unigram_tvd", "dd16_pagerank_dup_graph",
+        "dd6_dup_clusters",
+    }
+
+
+def test_retime_suspects_dispersion_always_fires_and_clean_run_is_free():
+    timings = {"q_slow": 5.0, "q_ok": 3.0, "t1": 0.4}
+    spread = {"q_slow": [1.2, 5.4, 3], "q_ok": [2.9, 3.1, 3],
+              "t1": [0.38, 0.42, 7]}
+    refs = {"t1": [0.5, 0.52, 0.51]}
+    got = bench.retime_suspects(timings, spread, refs)
+    # dispersion suspect first, then the machine-moved worst-5 fill
+    assert got[0] == "q_slow" and "q_ok" in got and "t1" not in got
+    # clean run: flat cohort, no dispersion -> zero retime cost
+    clean_spread = {"q_slow": [4.8, 5.2, 3], "q_ok": [2.9, 3.1, 3],
+                    "t1": [0.38, 0.42, 7]}
+    assert bench.retime_suspects(timings, clean_spread, refs) == []
+
+
+def test_retime_suspects_caps_at_ten():
+    timings = {f"q{i:02d}": 10.0 + i for i in range(20)}
+    spread = {n: [1.0, v, 3] for n, v in timings.items()}
+    got = bench.retime_suspects(timings, spread, {})
+    assert len(got) == 10
+    # worst-first ordering
+    assert got[0] == "q19"

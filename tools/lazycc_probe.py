@@ -2,19 +2,21 @@
 convergence-count action for the iterative graph loops (guide §1.4 /
 §2.4 — fewer actions per round at the same dataflow).
 
-Variants, each run interleaved (alternating per iteration so machine
-drift cancels):
-  cc_plain   V0 eager (current)  vs V1 lazy (checkpoint fused into count)
-  cc_jump    V0 eager            vs V1 lazy   vs V2 lazy + eager `stepped`
-             (V2 materializes the half-step so the neighbor-min subtree
-              is computed ONCE per round instead of feeding both sides
-              of the shortcut self-join)
-  cc_twostar V0 eager            vs V1 lazy (checkpoint fused into the
-             signature collect)
-  pagerank   V0 eager K=2        vs V1 lazy (all rounds fold into the
-             consumer action)
+Variants, run interleaved (alternating per iteration so machine drift
+cancels). "old" forces every _truncate_lineage call eager — exactly
+the pre-r15 behavior (every call site was eager=True). "new" is the
+production default (per-round truncations lazy, fused into the
+convergence action; structural inits eager where dual consumers
+require it).
 
-Label/rank equivalence asserted via exceptAll both ways on every pair.
+  cc_plain   old vs new
+  cc_jump    old(eager, shortcut through the half-step plan) vs
+             new(lazy, shortcut through the round's materialized
+             input labels) vs pin(lazy, eagerly pinned half-step)
+  cc_twostar old vs new (checkpoint fused into the signature collect)
+  pagerank   old vs new (mid-loop truncations lazy, final eager)
+
+Label/rank equivalence asserted via exceptAll both ways on old-vs-new.
 
 Usage: python tools/lazycc_probe.py [--sf /root/testdata/sf0.1]
        [--iters 4] [--which plain,jump,twostar,pagerank]
@@ -43,10 +45,14 @@ def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def set_mode(eager_override, shortcut="labels"):
+    dedup._TRUNCATE_EAGER_OVERRIDE = eager_override
+    dedup._JUMP_SHORTCUT = shortcut
+
+
 def interleaved(variants: dict, iters: int):
-    """variants: name -> thunk. Runs name order per iteration."""
     times: dict[str, list[float]] = {n: [] for n in variants}
-    for i in range(iters):
+    for _ in range(iters):
         for n, fn in variants.items():
             t0 = time.time()
             fn()
@@ -55,6 +61,10 @@ def interleaved(variants: dict, iters: int):
         print(f"  {n}: median {round(statistics.median(ts), 3)}s runs={ts}",
               flush=True)
     return times
+
+
+def diff(a, b):
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
 
 
 def main() -> None:
@@ -76,92 +86,80 @@ def main() -> None:
     edges = dedup.lsh_candidate_edges(docs).localCheckpoint(eager=True)
     print(f"edges materialized: {edges.count()}", flush=True)
 
-    # flip the module-level default that _truncate_lineage consults
-    def eager_mode(on: bool):
-        dedup._TRUNCATE_EAGER_OVERRIDE = on
+    def variant(fn, eager_override, shortcut="labels"):
+        def run():
+            set_mode(eager_override, shortcut)
+            spark.sparkContext.setJobDescription(
+                f"lazycc:{fn.__name__}:eager={eager_override}:{shortcut}")
+            noop(fn())
+            spark.sparkContext.setJobDescription(None)
+        return run
 
-    if "plain" in which:
-        print("cc_plain:", flush=True)
-        interleaved(
-            {
-                "V0_eager": lambda: (eager_mode(True),
-                                     noop(dedup.connected_components(edges)))[1],
-                "V1_lazy": lambda: (eager_mode(False),
-                                    noop(dedup.connected_components(edges)))[1],
-            },
-            args.iters,
-        )
-        eager_mode(True)
-        a = dedup.connected_components(edges)
-        eager_mode(False)
-        b = dedup.connected_components(edges)
-        print(f"  label diff: {a.exceptAll(b).count() + b.exceptAll(a).count()}",
-              flush=True)
+    try:
+        if "plain" in which:
+            print("cc_plain:", flush=True)
+            interleaved({
+                "old_eager": variant(
+                    lambda: dedup.connected_components(edges), True),
+                "new_lazy": variant(
+                    lambda: dedup.connected_components(edges), None),
+            }, args.iters)
+            set_mode(True)
+            a = dedup.connected_components(edges)
+            set_mode(None)
+            b = dedup.connected_components(edges)
+            print(f"  label diff old-vs-new: {diff(a, b)}", flush=True)
 
-    if "jump" in which:
-        print("cc_jump:", flush=True)
-        interleaved(
-            {
-                "V0_eager": lambda: (eager_mode(True), setattr(dedup, "_JUMP_PIN_STEPPED", False),
-                                     noop(dedup.connected_components_jump(edges)))[2],
-                "V1_lazy": lambda: (eager_mode(False), setattr(dedup, "_JUMP_PIN_STEPPED", False),
-                                    noop(dedup.connected_components_jump(edges)))[2],
-                "V2_lazy_pin": lambda: (eager_mode(False), setattr(dedup, "_JUMP_PIN_STEPPED", True),
-                                        noop(dedup.connected_components_jump(edges)))[2],
-            },
-            args.iters,
-        )
-        eager_mode(True)
-        dedup._JUMP_PIN_STEPPED = False
-        a = dedup.connected_components_jump(edges)
-        eager_mode(False)
-        dedup._JUMP_PIN_STEPPED = True
-        b = dedup.connected_components_jump(edges)
-        print(f"  label diff: {a.exceptAll(b).count() + b.exceptAll(a).count()}",
-              flush=True)
-        dedup._JUMP_PIN_STEPPED = True
+        if "jump" in which:
+            print("cc_jump:", flush=True)
+            interleaved({
+                "old_eager_stepped": variant(
+                    lambda: dedup.connected_components_jump(edges),
+                    True, "stepped"),
+                "new_lazy_lagged": variant(
+                    lambda: dedup.connected_components_jump(edges),
+                    None, "labels"),
+                "lazy_pin": variant(
+                    lambda: dedup.connected_components_jump(edges),
+                    None, "pinned"),
+            }, args.iters)
+            set_mode(True, "stepped")
+            a = dedup.connected_components_jump(edges)
+            set_mode(None, "labels")
+            b = dedup.connected_components_jump(edges)
+            print(f"  label diff old-vs-new: {diff(a, b)}", flush=True)
 
-    if "twostar" in which:
-        print("cc_twostar:", flush=True)
-        interleaved(
-            {
-                "V0_eager": lambda: (eager_mode(True),
-                                     noop(dedup.connected_components_twostar(edges)))[1],
-                "V1_lazy": lambda: (eager_mode(False),
-                                    noop(dedup.connected_components_twostar(edges)))[1],
-            },
-            args.iters,
-        )
-        eager_mode(True)
-        a = dedup.connected_components_twostar(edges)
-        eager_mode(False)
-        b = dedup.connected_components_twostar(edges)
-        print(f"  label diff: {a.exceptAll(b).count() + b.exceptAll(a).count()}",
-              flush=True)
+        if "twostar" in which:
+            print("cc_twostar:", flush=True)
+            interleaved({
+                "old_eager": variant(
+                    lambda: dedup.connected_components_twostar(edges), True),
+                "new_lazy": variant(
+                    lambda: dedup.connected_components_twostar(edges), None),
+            }, args.iters)
+            set_mode(True)
+            a = dedup.connected_components_twostar(edges)
+            set_mode(None)
+            b = dedup.connected_components_twostar(edges)
+            print(f"  label diff old-vs-new: {diff(a, b)}", flush=True)
 
-    if "pagerank" in which:
-        print("pagerank:", flush=True)
-        pairs = dedup.minhash_lsh_pairs(
-            docs, max_band_df=PAGERANK_BAND_DF
-        ).localCheckpoint(eager=True)
-        print(f"  capped pairs: {pairs.count()}", flush=True)
-        interleaved(
-            {
-                "V0_eager": lambda: (eager_mode(True),
-                                     noop(dedup.pagerank(pairs)))[1],
-                "V1_lazy": lambda: (eager_mode(False),
-                                    noop(dedup.pagerank(pairs)))[1],
-            },
-            args.iters,
-        )
-        eager_mode(True)
-        a = dedup.pagerank(pairs)
-        eager_mode(False)
-        b = dedup.pagerank(pairs)
-        print(f"  rank diff: {a.exceptAll(b).count() + b.exceptAll(a).count()}",
-              flush=True)
-
-    eager_mode(True)
+        if "pagerank" in which:
+            print("pagerank:", flush=True)
+            pairs = dedup.minhash_lsh_pairs(
+                docs, max_band_df=PAGERANK_BAND_DF
+            ).localCheckpoint(eager=True)
+            print(f"  capped pairs: {pairs.count()}", flush=True)
+            interleaved({
+                "old_eager": variant(lambda: dedup.pagerank(pairs), True),
+                "new_lazy": variant(lambda: dedup.pagerank(pairs), None),
+            }, args.iters)
+            set_mode(True)
+            a = dedup.pagerank(pairs)
+            set_mode(None)
+            b = dedup.pagerank(pairs)
+            print(f"  rank diff old-vs-new: {diff(a, b)}", flush=True)
+    finally:
+        set_mode(None, "labels")
 
 
 if __name__ == "__main__":

@@ -277,6 +277,66 @@ def _cap_engagement_receipts() -> int:
     return 1 if failed else 0
 
 
+def _mega_band_receipt() -> int:
+    """VERDICT r14 #7: the r14 capped-pairs rewrite buffers a band's
+    doc_ids in ONE aggregation buffer BEFORE the size filter drops it
+    (collect_list → filter(size <= cap)), so a pathological band whose
+    df vastly exceeds the cap now materializes its id list where the
+    old count-first shape did not. This receipt stresses exactly that
+    buffer: 100,000 docs with IDENTICAL text ⇒ every LSH band is one
+    100k-member group, far above every registered cap. PASS = the
+    capped path completes (the O(d) buffer holds ~800 KB/group, no
+    OOM) and emits ZERO pairs (every band capped out), and the star-
+    edge emitter recovers the family as one hub with exactly d-1
+    edges. Runs on a synthetic in-process frame — the lever is the
+    aggregation shape, not the fixture bytes."""
+    sys.path.insert(0, ROOT)
+    from pyspark.sql import functions as F
+    from trello_github_etl_spark.operators import dedup
+    from trello_github_etl_spark.session import get_spark
+
+    d = 100_000
+    spark = get_spark("skew-mega-band")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.range(0, d).select(
+            F.col("id").alias("doc_id"),
+            F.lit(
+                "identical boilerplate body shared by every document "
+                "in the planted mega family"
+            ).alias("text"),
+        )
+        capped = dedup.minhash_lsh_pairs(docs, max_band_df=20).count()
+        edges = dedup.lsh_candidate_edges(docs).count()
+    finally:
+        spark.stop()
+    failed = False
+    if capped == 0:
+        print(
+            f"mega-band receipt: capped pairs on a {d}-member planted "
+            f"band completed with 0 pairs (cap engaged, O(d) agg "
+            f"buffer held)"
+        )
+    else:
+        print(
+            f"SKEW GATE FAILED: mega-band capped path emitted {capped} "
+            f"pairs — the band-df cap did not drop the planted family"
+        )
+        failed = True
+    if edges == d - 1:
+        print(
+            f"mega-band receipt: star edges recovered the family as "
+            f"one hub ({edges} edges = d-1)"
+        )
+    else:
+        print(
+            f"SKEW GATE FAILED: star edges on the mega band returned "
+            f"{edges}, expected {d - 1}"
+        )
+        failed = True
+    return 1 if failed else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true")
@@ -325,6 +385,16 @@ def main() -> int:
         rc = _cap_engagement_receipts()
     except Exception as exc:  # noqa: BLE001
         print(f"SKEW GATE FAILED: cap-engagement receipts errored — "
+              f"{type(exc).__name__}: {exc}")
+        return 1
+    if rc != 0:
+        return rc
+
+    # --- mega-band buffer receipt (VERDICT r14 #7)
+    try:
+        rc = _mega_band_receipt()
+    except Exception as exc:  # noqa: BLE001
+        print(f"SKEW GATE FAILED: mega-band receipt errored — "
               f"{type(exc).__name__}: {exc}")
         return 1
     if rc != 0:

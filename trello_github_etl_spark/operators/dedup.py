@@ -331,10 +331,21 @@ def minhash_lsh_pairs(
         # same O(d) the star-edge emitter already carries, vs the
         # O(d²) expansion the cap exists to prevent (the expansion
         # runs only on ≤cap-sized lists).
+        # array_distinct (r14 ADVICE): doc_id is unique per caller
+        # contract, making this a no-op on valid input — but if a
+        # caller ever violates it, sort_array(collect_list) keeps the
+        # duplicates adjacent and the pair expansion would emit
+        # (d, d) self-pairs, where the old self-join's strict
+        # doc_a < doc_b predicate could not. Distinct-ing restores
+        # collect_set semantics so both paths degrade identically.
         ds = F.col("ds")
         grouped = (
             banded.groupBy("band_key")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .agg(
+                F.array_distinct(
+                    F.sort_array(F.collect_list("doc_id"))
+                ).alias("ds")
+            )
             .filter((F.size(ds) > 1) & (F.size(ds) <= max_band_df))
         )
         pair_structs = _pair_structs(
@@ -364,6 +375,13 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+# Probe hook (r14 ADVICE on the star-edge agg buffer): "agg" = the
+# r14 groupBy(min, collect_list)+explode form (one unspillable
+# ArrayBuffer per band group); "window" = hub min via a spillable
+# window over partitionBy(band_key), same pass count and bytes.
+_STAR_EDGE_SHAPE: str = "agg"
 
 
 def lsh_candidate_edges(
@@ -409,6 +427,26 @@ def lsh_candidate_edges(
     collect_list ≡ collect_set at list cost).
     """
     banded = lsh_band_keys(docs, text_col, num_hashes, bands)
+    if _STAR_EDGE_SHAPE == "window":
+        # r15 (r14 ADVICE): same single-pass shape, but the hub min
+        # rides a window over partitionBy(band_key) instead of a
+        # collect_list agg buffer — the window's per-group row buffer
+        # (ExternalAppendOnlyUnsafeRowArray) SPILLS, so a
+        # multi-million-member band no longer concentrates ~8 B/member
+        # in one unspillable aggregation buffer. Identical edges,
+        # identical shuffle bytes (both ship every (band_key, doc_id)
+        # row through one exchange on band_key).
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_key")
+        return (
+            banded.withColumn("_hub", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
     grouped = banded.groupBy("band_key").agg(
         F.min("doc_id").alias("doc_a"),
         F.collect_list("doc_id").alias("_members"),
@@ -717,7 +755,25 @@ def containment_pairs(
     )
 
 
-def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+# Probe hook (tools/lazycc_probe.py): None = use each call site's
+# declared eagerness; True/False forces it globally for interleaved
+# A/B runs. Never set outside probes.
+_TRUNCATE_EAGER_OVERRIDE: bool | None = None
+
+# Probe hook: where the jump loop's shortcut half-step looks up
+# label-of-label. "labels" (production) = the round's already-
+# materialized input labels, l_in(l_step(u)) — no extra
+# materialization, no duplicated subtree. "stepped" = the half-step
+# plan itself, l_step(l_step(u)) (the pre-r15 dataflow: computes the
+# neighbor-min subtree on both sides of the join). "pinned" =
+# eagerly checkpoint the half-step first, then self-shortcut — one
+# extra job per round buys the stronger jump with no duplication.
+_JUMP_SHORTCUT: str = "labels"
+
+
+def _truncate_lineage(
+    df: DataFrame, checkpoint_dir: str | None, eager: bool = True
+) -> DataFrame:
     """Per-round lineage truncation for iterative operators.
 
     With ``checkpoint_dir`` set, uses a RELIABLE checkpoint (parquet
@@ -729,12 +785,29 @@ def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     local: the sandbox has no shared FS, and local mode has no
     executor loss to survive.
 
+    ``eager=False`` (r15, guide §1.4) cuts the logical plan at a
+    LogicalRDD immediately but defers materialization into the NEXT
+    action over the frame — the iterative loops below all run a
+    convergence count / signature collect / consumer action right
+    after truncating, so fusing the two halves the per-round job
+    count at identical dataflow. Only safe when that next action is
+    the frame's SOLE consumer until it completes: two not-yet-
+    materialized consumers in ONE job schedule as independent stages
+    and compute the subtree twice (the persisted blocks land only
+    after the first stage finishes). The reliable-checkpoint path
+    IGNORES eager=False: RDD.checkpoint() on an unmaterialized RDD
+    re-runs the whole computation to write the checkpoint files
+    (Spark's documented recompute-unless-persisted behavior), which
+    would double every round's work on a real cluster.
+
     ``setCheckpointDir`` is SparkContext-global; setting it here is
     idempotent and last-writer-wins, which is safe because the dir
     only namespaces where checkpoint files land.
     """
+    if _TRUNCATE_EAGER_OVERRIDE is not None:
+        eager = _TRUNCATE_EAGER_OVERRIDE
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
@@ -809,6 +882,11 @@ def connected_components(
         # one row per node — tiny next to the edge list. Pass
         # ``checkpoint_dir`` on a real cluster for a RELIABLE
         # checkpoint that survives executor loss mid-algorithm.
+        # eager=False (r15): the ``changed`` count right below is the
+        # frame's sole next consumer, so the truncation job fuses
+        # into the count — one job per round instead of two at the
+        # same dataflow (the count's filter sits ABOVE the LogicalRDD
+        # boundary, so the full frame still materializes).
         joined = _truncate_lineage(
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["nbr_node"], "left"
@@ -821,6 +899,7 @@ def connected_components(
                 ).alias("label"),
             ),
             checkpoint_dir,
+            eager=False,
         )
         changed = joined.filter(F.col("label") != F.col("old_label")).count()
         labels = joined.select("node", "label")
@@ -860,20 +939,30 @@ def connected_components_jump(
     the round count tracks corpus diameter — 4 rounds at sf0.1,
     24 at sf1, 38 at the 50× corpus (the r12 non-convergence
     finding). Shortcutting turns 24 → ~6 and caps growth at larger
-    scales; candidate to replace the plain loop under dd6 in r15
-    after the full bench chain revalidates.
+    scales. This has been the PRODUCTION path under dup_clusters
+    (dd6) since r14 (r14 ADVICE: the earlier 'candidate for r15'
+    phrasing was stale the moment the wiring landed).
 
     Correctness argument (pinned by equivalence tests): labels are
     initialized to own node id and only ever decrease to ids of
     same-component nodes. Neighbor-min preserves that (the min
     includes self and direct neighbors); the shortcut sets
-    l(u) ← l(l(u)), where l(u) is a same-component node whose own
-    label is ≤ l(u) — still same-component, still monotone. At a
-    fixpoint of BOTH operators, labels are constant per component
-    (symmetrized edges force l(u) = l(v) across every edge) and the
-    component's min node keeps its own id, so the fixpoint is
-    exactly connected_components' output: (node, min reachable
-    node). Non-convergence raises, same contract as the plain loop.
+    l(u) ← l_in(l_step(u)) — label-of-label through the round's
+    INPUT label table (r15: the input is already materialized, so
+    the lookup side costs nothing extra; shortcutting through the
+    half-step plan itself would compute the neighbor-min subtree on
+    both sides of the join). l_step(u) is a same-component node id
+    and l_in maps node ids to same-component label values ≤ the id
+    (labels only decrease from own id), so the update stays
+    same-component and monotone. At the loop's exit (l_new = l_in
+    everywhere) no node had l_step(u) < l_in(u) — since
+    l_in(x) ≤ x would then force l_new(u) ≤ l_step(u) < l_in(u) —
+    so l_in is a neighbor-min fixpoint: labels constant per
+    component (symmetrized edges force l(u) = l(v) across every
+    edge) and the component's min node keeps its own id. The
+    fixpoint is exactly connected_components' output: (node, min
+    reachable node). Non-convergence raises, same contract as the
+    plain loop.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -904,12 +993,33 @@ def connected_components_jump(
             ).alias("label"),
         )
         # the shortcut half-step: label <- label(label). Every label
-        # value is a node id present in `stepped` (labels only take
-        # endpoint ids), so the left join always matches; coalesce
-        # guards the invariant anyway. One extra exchange per round
-        # buys exponentially fewer rounds — at ~0.45 s fixed cost per
-        # round, that trade wins from diameter ~6 up.
-        target = stepped.select(
+        # value is a node id present in the lookup side (labels only
+        # take endpoint ids), so the left join always matches;
+        # coalesce guards the invariant anyway. One extra exchange
+        # per round buys exponentially fewer rounds — at ~0.45 s
+        # fixed cost per round, that trade wins from diameter ~6 up.
+        #
+        # r15: the lookup table is the round's INPUT labels (already
+        # materialized by the previous round's truncation), NOT
+        # `stepped` itself — stepped is a lazy plan, and feeding it
+        # to both sides of the shortcut join would compute the
+        # neighbor-min subtree twice inside one job (two independent
+        # exchange stages below the join; see _truncate_lineage).
+        # The jump is one step lagged — l_new(u) = l_in(l_step(u))
+        # instead of l_step(l_step(u)) — which preserves the
+        # monotone same-component invariant (l_in is a label state
+        # on the same trajectory) and the fixpoint (at exit
+        # l_new = l_in, forcing l_step = l_in, the neighbor-min
+        # fixpoint), at worst one extra round; equivalence pinned by
+        # tests/test_cc_jump.py and the sf0.1/sf1 exceptAll probes.
+        if _JUMP_SHORTCUT == "pinned":
+            stepped = stepped.localCheckpoint(eager=True)
+            target = stepped
+        elif _JUMP_SHORTCUT == "stepped":
+            target = stepped
+        else:
+            target = labels
+        target = target.select(
             F.col("node").alias("t_node"), F.col("label").alias("t_label")
         )
         joined = _truncate_lineage(
@@ -921,6 +1031,7 @@ def connected_components_jump(
                 F.coalesce(F.col("t_label"), F.col("label")).alias("label"),
             ),
             checkpoint_dir,
+            eager=False,
         )
         changed = joined.filter(F.col("label") != F.col("old_label")).count()
         labels = joined.select("node", "label")
@@ -965,7 +1076,10 @@ def connected_components_auto(
     choice, exactly AQE's move.  dd6/dd9 deliberately keep the pure
     iterative/two-star operators — they ARE the giant-graph path."""
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = _truncate_lineage(e, checkpoint_dir)
+    # eager=False: the size-probe count right below materializes the
+    # edge list (and the collect / iterative fallback then reads the
+    # persisted blocks) — fuses the former pin job into the count
+    e = _truncate_lineage(e, checkpoint_dir, eager=False)
     if e.count() <= small_edges:
         parent: dict = {}
 
@@ -1049,6 +1163,13 @@ def pagerank(
     # deg joins into EVERY round: truncate it like the labels, or
     # each round re-runs the degree aggregation + its exchange over
     # the cached edges (r4 code review)
+    # deg stays EAGER (r15 note): its job is also what materializes
+    # the cached `edges` union. Lazy, the edges_deg.count() job below
+    # would carry TWO consumers of the not-yet-cached edges (the deg
+    # subtree and the join's probe side) as independent stages — the
+    # upstream pair pipeline would compute twice (see
+    # _truncate_lineage's sole-consumer rule). Once per query, not
+    # per round, so there is no job-count win to chase here.
     deg = _truncate_lineage(
         edges.groupBy("v").agg(F.count("*").alias("deg")), checkpoint_dir
     )
@@ -1080,6 +1201,9 @@ def pagerank(
             F.lit(1_000_000_000).cast("bigint").alias("rank"),
         ),
         checkpoint_dir,
+        # eager=False: a one-column rename over the persisted deg
+        # blocks, consumed once by round 1's join
+        eager=False,
     )
     # r14 optimization (guide §2.4 / §1.4): truncate lineage every
     # _PR_TRUNCATE_INTERVAL rounds instead of every round. Truncation
@@ -1106,7 +1230,20 @@ def pagerank(
             )
         )
         if (i + 1) % _PR_TRUNCATE_INTERVAL == 0 or i == rounds - 1:
-            ranks = _truncate_lineage(ranks, checkpoint_dir)
+            # eager=False for MID-loop truncations (r15): each still
+            # cuts the logical plan (bounded planning per round) but
+            # materializes inside the next materializing job
+            # (strictly sequential consumers: round i's ranks feed
+            # only round i+1). The FINAL round stays eager — it
+            # drains the whole lazy chain in one job, and it must
+            # complete BEFORE edges_deg.unpersist() below drops the
+            # blocks every round's join reads (a lazy final frame
+            # would materialize after return, recomputing edges_deg
+            # from scratch per consumer). 10 rounds: 5 interval jobs
+            # → 1.
+            ranks = _truncate_lineage(
+                ranks, checkpoint_dir, eager=(i == rounds - 1)
+            )
     edges_deg.unpersist()
     return ranks.select(
         F.col("node").alias("doc_id"), F.col("rank").alias("pr_nano")
@@ -1163,21 +1300,33 @@ def connected_components_twostar(
       row — fusing the old intermediate ``distinct`` + smins groupBy
       + hang join (3 exchanges) into one aggregation. The
       collect_set holds each node's DISTINCT big→small targets,
-      i.e. group-mins of the groups it belongs to — bounded by the
-      per-doc band count of the LSH edge construction, NOT by
-      cluster size (measured max 2 at sf0.1 round 1; a star hub's
-      members each hold exactly {hub}).
+      i.e. group-mins of the groups it belongs to. Buffer bound
+      (r14 ADVICE, scoped correctly): for LSH-derived edges
+      (dup_clusters_twostar) that is the per-doc band count
+      (measured max 2 at sf0.1 round 1; a star hub's members each
+      hold exactly {hub}); for ARBITRARY edge inputs this is a
+      public general-graph operator and the set is bounded only by
+      node degree (distinct big→small min targets) — the same order
+      as the per-node window buffer the large-star step already
+      accepts, though the window spills and a single agg-set buffer
+      does not; a degree-skewed general graph should budget memory
+      for its max-degree node here.
     """
     raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # node coverage from the UNFILTERED pairs: a node appearing only
     # in self-pairs must still come back as its own singleton cluster,
     # exactly as connected_components does — the two operators are
     # documented drop-ins for each other (r4 code review)
+    # eager=False (r15): all_nodes' sole consumer is the FINAL label
+    # join, so its materialization job folds into the consumer's
+    # action; the initial edge frame folds into round 1's signature
+    # collect the same way (see _truncate_lineage).
     all_nodes = _truncate_lineage(
         raw.select(F.col("u").alias("node"))
         .unionByName(raw.select(F.col("v").alias("node")))
         .distinct(),
         checkpoint_dir,
+        eager=False,
     )
     e = raw.filter(F.col("u") != F.col("v"))
     # start from big→small orientation so round 1's large-star sees
@@ -1187,6 +1336,7 @@ def connected_components_twostar(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct(),
         checkpoint_dir,
+        eager=False,
     )
 
     def signature(df: DataFrame):
@@ -1242,7 +1392,9 @@ def connected_components_twostar(
                 )
             ).alias("e")
         ).select("e.u", "e.v")
-        edges = _truncate_lineage(hang.distinct(), checkpoint_dir)
+        # eager=False: the signature collect right below materializes
+        # the round's edge set — one job per round instead of two
+        edges = _truncate_lineage(hang.distinct(), checkpoint_dir, eager=False)
         new_sig = signature(edges)
         if new_sig == sig:
             converged = True
@@ -1570,6 +1722,13 @@ def winnow_pairs(
     )
 
 
+# Probe hook (tools/dd15_probe.py): how semantic_dedup's STATIC-
+# centroid path pins the assignment frame shared by the pair join's
+# two sides and the final verdict join. None = status quo (no pin);
+# "persist" / "checkpoint" as measured variants.
+_SEMDEDUP_STATIC_PIN: str | None = None
+
+
 def semantic_dedup_nlist(n: int) -> int:
     """Corpus-adaptive coarse-cell count — delegates to the canonical
     similarity.auto_nlist (ceil(√N) clamped to [16, 4096]; FAISS's
@@ -1676,6 +1835,10 @@ def semantic_dedup(
             "centroids or nlist, not both"
         )
     cells = ivf_assign(embeddings, centroids, 1, vec_col, id_col, cache_key)
+    if auto_k is None and _SEMDEDUP_STATIC_PIN == "persist":
+        cells = cells.persist()
+    elif auto_k is None and _SEMDEDUP_STATIC_PIN == "checkpoint":
+        cells = cells.localCheckpoint(eager=True)
     pair_src = cells
     if auto_k is not None:
         # Auto path only (k=√N ⇒ enough cells for join parallelism):

@@ -964,6 +964,11 @@ def quantized_topk(
 KMEANS_FIX = 1e9  # fixed-point quantum for reproducible accumulation
 
 
+# Probe hook (tools/kmeans_probe.py): False = pre-r15 behavior
+# (collect + literal-inline the refined centroids every iteration).
+_KMEANS_INPLAN_PACK: bool = True
+
+
 def kmeans_refine(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -989,10 +994,44 @@ def kmeans_refine(
     — rebuilds the k mean vectors. Cells that lose all members drop
     out (k shrinks) rather than teleporting. Returns
     (cent_id, n_members, c_vec) after ``n_iter`` rounds.
+
+    r15 (VERDICT r14 #6): only ITERATION 1 collects its centroid
+    table (the caller's seed frame — a cheap limit/filter job).
+    Every later iteration's centroids are a COMPUTED plan, and
+    collecting them forced one extra driver action per iteration
+    (s10 profile: 3 materialization actions per build). Instead the
+    refined centroids are packed IN-PLAN into the same one-row
+    array<struct<cid,cn,cv>> the >IVF_INLINE_MAX broadcast path
+    ships, and the assignment fold (_cell_scores_sql — the ONE
+    shared definition) references the broadcast column: the whole
+    n_iter-round build now materializes inside the consumer's single
+    action. Bit-identical by construction — the fold expression is
+    the same, cn is the same norm() expression _collect_centroids
+    evaluates JVM-side before collecting, sort_array orders by cid
+    exactly as the collect path's orderBy(cent_id), and the values
+    never leave the JVM at all.
     """
     cents = centroids
-    for _ in range(n_iter):
-        assigned = ivf_assign(vectors, cents, 1, vec_col, id_col)
+    for i in range(n_iter):
+        if i == 0 or not _KMEANS_INPLAN_PACK:
+            assigned = ivf_assign(vectors, cents, 1, vec_col, id_col)
+        else:
+            packed = cents.select(
+                F.struct(
+                    F.col("cent_id").cast("int").alias("cid"),
+                    norm(F.col("c_vec")).alias("cn"),
+                    F.col("c_vec").alias("cv"),
+                ).alias("_c")
+            ).agg(F.sort_array(F.collect_list("_c")).alias("__cents__"))
+            scores = _cell_scores_sql("`__cents__`", vec_col)
+            assigned = (
+                ensure_parallelism(vectors)
+                .crossJoin(F.broadcast(packed))
+                .select(
+                    F.expr(_argmax_cid_sql(scores)).alias("cell"),
+                    F.col(vec_col),
+                )
+            )
         pe = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "_x")
         ).select(
