@@ -377,11 +377,19 @@ def minhash_lsh_pairs(
     )
 
 
-# Probe hook (r14 ADVICE on the star-edge agg buffer): "agg" = the
-# r14 groupBy(min, collect_list)+explode form (one unspillable
-# ArrayBuffer per band group); "window" = hub min via a spillable
-# window over partitionBy(band_key), same pass count and bytes.
-_STAR_EDGE_SHAPE: str = "agg"
+# Star-edge hub shape (r14 ADVICE on the agg buffer; probe hook for
+# tools/staredge_probe.py): "agg" = the r14 groupBy(min,
+# collect_list)+explode form (one UNSPILLABLE ArrayBuffer per band
+# group — a multi-million-member band concentrates ~8 B/member in a
+# single task's agg buffer); "window" = hub min via a window over
+# partitionBy(band_key), whose per-group row buffer
+# (ExternalAppendOnlyUnsafeRowArray) SPILLS. Interleaved A/B at
+# sf0.1: agg 1.542 s vs window 1.586 s median — a wash locally,
+# identical edge sets (exceptAll 0), identical pass count and
+# shuffle bytes; window is the production default because it removes
+# the only per-group memory ceiling this operator had (this is THE
+# giant-dup-cluster path, SCALE.md lesson 35).
+_STAR_EDGE_SHAPE: str = "window"
 
 
 def lsh_candidate_edges(
@@ -1432,15 +1440,26 @@ def dup_clusters(
     test_lsh_star_edges_same_components) and a 10k-member dup
     cluster stays linear (r7 skew stress, SCALE.md lesson 35).
 
-    r14 optimization: propagation runs with pointer jumping
-    (connected_components_jump) — O(log diameter) rounds instead of
-    O(diameter), labels node-for-node identical (equivalence-tested
-    in tests/test_cc_jump.py and against the same transitive-closure
-    oracle). Measured: sf0.1 loop 1.77 s → 1.75 s (diameter 4, a
-    wash); sf1 edge set 13.4 s → 8.8 s (24 rounds → 6); and the r12
-    50×-corpus failure class (diameter 38 crossing the round cap) is
-    structurally closed since round count grows as log d."""
-    return connected_components_jump(
+    Routing history (VERDICT r14 #2, decided r15): r14 wired this
+    through pointer jumping (O(log d) rounds; closed the r12
+    38-round failure class vs the plain O(diameter) loop). This
+    round's interleaved A/B on the real sf1 edge set, AFTER both
+    loops got the fused per-round action (r15), settled the standing
+    jump-vs-twostar trade: two-star 3.60 s vs jump 5.11 s median
+    (r14's pre-fusion numbers 5.16 vs 7.99 agreed in direction).
+    Two-star also carries the stronger scale contract — O(log² n)
+    rounds regardless of diameter AND a monotonically shrinking edge
+    set per round, where the jump loop joins the FULL edge list
+    every round. dup_clusters therefore now routes through
+    connected_components_twostar (making dd6 computationally
+    identical to dd9 — they share one oracle; recorded in
+    COVERAGE.md). Labels are node-for-node identical across all
+    three loops (the min-reachable fixpoint is unique;
+    equivalence-tested in tests/test_cc_jump.py and the lazycc
+    probes' exceptAll receipts at sf0.1 + sf1).
+    connected_components_jump remains the public moderate-diameter
+    alternative."""
+    return connected_components_twostar(
         lsh_candidate_edges(docs, text_col), checkpoint_dir=checkpoint_dir
     )
 
@@ -1722,11 +1741,16 @@ def winnow_pairs(
     )
 
 
-# Probe hook (tools/dd15_probe.py): how semantic_dedup's STATIC-
-# centroid path pins the assignment frame shared by the pair join's
-# two sides and the final verdict join. None = status quo (no pin);
-# "persist" / "checkpoint" as measured variants.
-_SEMDEDUP_STATIC_PIN: str | None = None
+# How semantic_dedup's STATIC-centroid path pins the assignment
+# frame shared by the pair join's two sides and the final verdict
+# join (r15, VERDICT r14 #4). Probe hook for tools/dd15_probe.py;
+# production default "checkpoint" — interleaved A/B on dd15 at
+# sf0.1: no pin 4.47 s / persist 3.36 s / checkpoint 3.05 s median,
+# verdict frames bit-identical. The unpinned plan computed the
+# O(N·k·dim) assignment pass ~3x (both pair-join sides + the final
+# verdict join); the eager pin computes it once, exactly as the
+# auto path has pinned since r11.
+_SEMDEDUP_STATIC_PIN: str | None = "checkpoint"
 
 
 def semantic_dedup_nlist(n: int) -> int:

@@ -964,9 +964,13 @@ def quantized_topk(
 KMEANS_FIX = 1e9  # fixed-point quantum for reproducible accumulation
 
 
-# Probe hook (tools/kmeans_probe.py): False = pre-r15 behavior
-# (collect + literal-inline the refined centroids every iteration).
-_KMEANS_INPLAN_PACK: bool = True
+# Probe hook: how kmeans_refine attaches the iteration>=2 refined
+# centroids. False = pre-r15 (collect + literal-inline, one driver
+# action per iteration); "broadcast" = one-row broadcast crossJoin
+# (measured: per-row BNLJ row-append cost at small k); "scalar" =
+# Spark 4 scalar subquery (runtime literal, no per-row copy, no
+# collect).
+_KMEANS_INPLAN_PACK: "bool | str" = "scalar"
 
 
 def kmeans_refine(
@@ -975,6 +979,7 @@ def kmeans_refine(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    inplan_pack: "bool | str | None" = None,
 ) -> DataFrame:
     """Lloyd iterations refining the IVF coarse quantizer, with
     bit-reproducible distributed means: each element is floored onto
@@ -999,21 +1004,36 @@ def kmeans_refine(
     table (the caller's seed frame — a cheap limit/filter job).
     Every later iteration's centroids are a COMPUTED plan, and
     collecting them forced one extra driver action per iteration
-    (s10 profile: 3 materialization actions per build). Instead the
-    refined centroids are packed IN-PLAN into the same one-row
-    array<struct<cid,cn,cv>> the >IVF_INLINE_MAX broadcast path
-    ships, and the assignment fold (_cell_scores_sql — the ONE
-    shared definition) references the broadcast column: the whole
-    n_iter-round build now materializes inside the consumer's single
-    action. Bit-identical by construction — the fold expression is
-    the same, cn is the same norm() expression _collect_centroids
-    evaluates JVM-side before collecting, sort_array orders by cid
-    exactly as the collect path's orderBy(cent_id), and the values
-    never leave the JVM at all.
+    (s10 profile: 3 materialization actions per build). With
+    ``inplan_pack="scalar"`` (the default via _KMEANS_INPLAN_PACK)
+    the refined centroids instead ride a Spark 4 SCALAR SUBQUERY —
+    packed into the same one-row array<struct<cid,cn,cv>> the
+    >IVF_INLINE_MAX path ships, executed once per action and
+    embedded as a runtime literal — so the whole n_iter-round build
+    materializes inside the consumer's single action. Bit-identical
+    by construction: the fold expression (_cell_scores_sql, the ONE
+    shared definition) is unchanged, cn is the same norm()
+    expression _collect_centroids evaluates JVM-side before
+    collecting, sort_array orders by cid exactly as the collect
+    path's orderBy(cent_id), and the values never leave the JVM.
+
+    WHICH MODE TO PASS (interleaved 6-run A/B at sf0.1, both modes
+    hash-exact): callers that consume the refined centroids as a
+    FRAME (s9's exploded output) win — 2.44 -> 2.13 s median, every
+    iteration — because a whole corpus-pass action folds away;
+    callers that immediately COLLECT the result (s10's ivf_topk
+    serve build) should pass ``inplan_pack=False``: the fold only
+    moves work between two driver-side actions and re-plans the
+    full chain, measured +0.40 s median. The "broadcast" variant
+    (one-row crossJoin) was measured and rejected: the 8 KB packed
+    row is appended to EVERY corpus row by the BNLJ (+0.65 s on
+    s10).
     """
+    if inplan_pack is None:
+        inplan_pack = _KMEANS_INPLAN_PACK
     cents = centroids
     for i in range(n_iter):
-        if i == 0 or not _KMEANS_INPLAN_PACK:
+        if i == 0 or not inplan_pack:
             assigned = ivf_assign(vectors, cents, 1, vec_col, id_col)
         else:
             packed = cents.select(
@@ -1024,14 +1044,30 @@ def kmeans_refine(
                 ).alias("_c")
             ).agg(F.sort_array(F.collect_list("_c")).alias("__cents__"))
             scores = _cell_scores_sql("`__cents__`", vec_col)
-            assigned = (
-                ensure_parallelism(vectors)
-                .crossJoin(F.broadcast(packed))
-                .select(
-                    F.expr(_argmax_cid_sql(scores)).alias("cell"),
-                    F.col(vec_col),
+            if inplan_pack == "scalar":
+                # Spark 4 scalar-subquery: the 1-row packed array
+                # executes once and lands in the plan as a runtime
+                # LITERAL — literal-speed folds (no 8 KB broadcast
+                # row appended to every corpus row, the BNLJ
+                # variant's per-row copy) and still zero driver
+                # collect round-trips.
+                assigned = (
+                    ensure_parallelism(vectors)
+                    .withColumn("__cents__", packed.scalar())
+                    .select(
+                        F.expr(_argmax_cid_sql(scores)).alias("cell"),
+                        F.col(vec_col),
+                    )
                 )
-            )
+            else:
+                assigned = (
+                    ensure_parallelism(vectors)
+                    .crossJoin(F.broadcast(packed))
+                    .select(
+                        F.expr(_argmax_cid_sql(scores)).alias("cell"),
+                        F.col(vec_col),
+                    )
+                )
         pe = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "_x")
         ).select(

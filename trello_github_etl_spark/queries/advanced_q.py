@@ -529,9 +529,15 @@ def s10_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = emb.filter(F.col("vec_id") < similarity.NUM_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    trained = similarity.kmeans_refine(emb, seed, n_iter=2).select(
-        "cent_id", "c_vec"
-    )
+    # inplan_pack=False (r15): ivf_topk COLLECTS the refined
+    # centroids to build the serve plan, so the scalar-subquery fold
+    # only moves work between two driver actions and re-plans the
+    # full 2-round chain — measured +0.40 s median at sf0.1 (operator
+    # docstring has the A/B); the collect+literal path stays optimal
+    # exactly here.
+    trained = similarity.kmeans_refine(
+        emb, seed, n_iter=2, inplan_pack=False
+    ).select("cent_id", "c_vec")
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
