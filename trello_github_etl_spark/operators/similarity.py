@@ -356,6 +356,14 @@ _CENTROID_CACHE: dict[str, list] = {}
 # seed-scan + k-row assignment job entirely.
 _GROUPED_SEED_CACHE: dict[str, tuple] = {}
 
+# ivf_assign_2level cold seed shape: "ckpt" pins the ≤k-row centroid
+# table with one eager localCheckpoint before the two seed collects
+# (one corpus pass per cold assignment); "legacy" is the pre-r15
+# shape whose supers collect and grouped.collect() each embedded the
+# corpus seed derivation (two passes), kept only for the interleaved
+# A/B in tools/seed2l_probe.py.
+_2LEVEL_SEED_SHAPE = "ckpt"
+
 
 def _collect_centroids(centroids: DataFrame, cache_key: str | None) -> list:
     """``cache_key`` IDENTIFIES THE CENTROID SET: a hit returns the
@@ -619,12 +627,34 @@ def ivf_assign_2level(
     seed table (total payload: all k seed vectors, ~0.5 KB each —
     broadcast-bounded by the LINEAR_NLIST_MAX clamp) followed by one
     HOF fold per point. No corpus shuffle anywhere.
+
+    COLD SEED PHASE IS ONE CORPUS PASS (r15, guide §1.2/§2.4): on a
+    cold call (seed memos empty — which since bench.py's VERDICT r14
+    #5 change is EVERY timed run) the supers collect inside the
+    seed-side ivf_assign AND ``grouped.collect()`` each embedded the
+    corpus seed derivation (the auto-seed TakeOrdered), i.e. two full
+    corpus passes per assignment. The cold path now pins the ≤k-row
+    centroid table with one eager ``localCheckpoint`` first, so both
+    collects read the pinned blocks — one corpus pass, identical
+    rows, no extra driver work (the rejected alternative — rebuild
+    driver-local frames from one full collect — doubled the k-row
+    py4j serialization ``grouped_b`` already pays and measured a
+    local wash; tools/seed2l_probe.py, OPTIMIZATION_r15.md). Warm
+    calls (both memos hit) never touch the frame and skip the pin.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     k1 = math.ceil(math.sqrt(k))
-    supers = centroids.filter(F.col("cent_id") < k1)
     skey = (cache_key + "|sup") if cache_key is not None else None
+    gkey = (cache_key + "|grp") if cache_key is not None else None
+    if _2LEVEL_SEED_SHAPE == "ckpt" and (
+        skey is None
+        or skey not in _CENTROID_CACHE
+        or gkey is None
+        or gkey not in _GROUPED_SEED_CACHE
+    ):
+        centroids = centroids.localCheckpoint(eager=True)
+    supers = centroids.filter(F.col("cent_id") < k1)
     seed_sup = ivf_assign(
         centroids.select(
             F.col("cent_id").alias("__sid"), F.col("c_vec").alias("__svec")
@@ -651,7 +681,8 @@ def ivf_assign_2level(
     # on EVERY action over the result — collected floats round-trip
     # exactly (float32 → Python float → float32 is lossless), so the
     # rebuilt broadcast is bit-identical to the in-plan frame.
-    gkey = (cache_key + "|grp") if cache_key is not None else None
+    # (gkey is derived next to skey above — the cold-path pin needs
+    # both memo keys before the seed-side frames are built.)
     if gkey is not None and gkey in _GROUPED_SEED_CACHE:
         grows, gschema = _GROUPED_SEED_CACHE[gkey]
     else:
