@@ -1744,13 +1744,20 @@ def winnow_pairs(
 # How semantic_dedup's STATIC-centroid path pins the assignment
 # frame shared by the pair join's two sides and the final verdict
 # join (r15, VERDICT r14 #4). Probe hook for tools/dd15_probe.py;
-# production default "checkpoint" — interleaved A/B on dd15 at
-# sf0.1: no pin 4.47 s / persist 3.36 s / checkpoint 3.05 s median,
-# verdict frames bit-identical. The unpinned plan computed the
-# O(N·k·dim) assignment pass ~3x (both pair-join sides + the final
-# verdict join); the eager pin computes it once, exactly as the
-# auto path has pinned since r11.
-_SEMDEDUP_STATIC_PIN: str | None = "checkpoint"
+# production default "persist" — the r15 first-half landed
+# "checkpoint" off the sf0.1 A/B alone (no pin 4.47 / persist 3.36 /
+# checkpoint 3.05 s on dd15) and the sf1 close bench caught the
+# trade inverting BADLY at 10x: an ExistingRDD loses size statistics
+# (defaultSizeInBytes = "huge" — the same hazard pagerank's
+# edges_deg comment documents), so the pair/verdict joins over the
+# checkpointed frame replan as full two-sided shuffles. Interleaved
+# sf1 A/B: dd14 checkpoint 47.3 / none 14.4 / persist 20.1 s median
+# (persist wins 2/3 pairings), dd15 checkpoint ~14 / none 8.78 /
+# persist 4.26 s; sf0.1 three-shape re-run: dd14 persist 2.19 best,
+# dd15 persist 2.55 vs checkpoint 2.28 (wash). persist keeps
+# accurate stats AND computes the O(N·k·dim) assignment once —
+# verdict frames bit-identical under all three shapes.
+_SEMDEDUP_STATIC_PIN: str | None = "persist"
 
 
 def semantic_dedup_nlist(n: int) -> int:
